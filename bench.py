@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the declared query suite warm and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Contract: sf dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+cores from $SPARK_GRAFT_CPUS (default all). Each query is executed with a
+count()-style materialization (collect of final small result) after one
+warm-up pass of the session (BASELINE.md measures warm timings; cold JVM
+start is excluded from per-query numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from zonal_datacube_spark.registry import all_queries
+from zonal_datacube_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("zds-bench")
+    queries = all_queries()
+
+    # Warm the JVM + parquet footers with the flagship query once.
+    queries["q_zonal_stats"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for key in sorted(queries):
+        t0 = time.perf_counter()
+        queries[key](spark, sf_dir).collect()
+        timings[key] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_warm_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,49 @@
+"""SparkSession factory with the engine's fixed configuration.
+
+Config rationale (SURVEY.md §4.4):
+- AQE on: runtime shuffle-partition coalescing, join-strategy switching and
+  skew-join splitting — the Spark analogue of the reference's dynamic Dask
+  scheduling.
+- shuffle.partitions low at fixture scale (AQE coalesces anyway); at 100 TB
+  deployment this is overridden per-job (rule of thumb: ~128 MB per shuffle
+  partition).
+- Arrow on: every driver collect and every pandas_udf crosses the JVM↔Python
+  boundary as Arrow record batches.
+- Session timezone UTC + parquet NTZ inference: fixture timestamps are
+  tz-naive; both Spark and the DuckDB oracle must read identical wall times.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(app_name: str = "zonal-datacube-spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    master = f"local[{cpus or DEFAULT_CPUS}]"
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .getOrCreate()
+    )
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

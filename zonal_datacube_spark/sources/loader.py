@@ -1,0 +1,77 @@
+"""Parquet sources for the fixture star schema (TESTDATA.md).
+
+The reference's sources are windowed COG/raster reads and vector file reads
+(rioxarray / geopandas); ours is ``spark.read.parquet`` — Catalyst pushes
+predicates to parquet row-group statistics and prunes columns, the direct
+analogue of the reference's fishnet tile pruning + windowed reads
+(SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Confs the engine depends on for oracle parity, set idempotently at load
+# time because the harness may hand us a session it built itself:
+# - UTC session TZ + NTZ inference → tz-naive fixture timestamps read as the
+#   same wall time DuckDB sees (FIXTURES.md parity rules);
+# - nanosAsLong → events.ts is TIMESTAMP(NANOS) parquet, which Spark 4
+#   refuses natively; we read raw int64 nanos and rebuild a TIMESTAMP_NTZ.
+_SESSION_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _SESSION_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Schema is inferred from parquet footers —
+    no full-file scan happens at load time (lazy, like the reference's
+    xarray open)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # int64 nanos → µs (integer floor-div, matching DuckDB's ns→µs
+        # truncation) → TIMESTAMP_NTZ built TZ-independently.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so ``spark.sql`` queries
+    (GROUPING SETS etc.) can reference them by name."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
