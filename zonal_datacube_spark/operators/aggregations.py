@@ -1,0 +1,228 @@
+"""Aggregations (SURVEY.md §2.4) — the heart of zonal statistics.
+
+Reference analogue: per-zone sum/mean/min/max/count/std and categorical
+histograms, computed as per-tile partials + a tree-reduce combine. Spark's
+HashAggregate does exactly this natively: partial (map-side) aggregation →
+shuffle of the tiny partial state → final aggregation. Nothing here needs a
+UDF; every aggregate is JVM-side and codegen'd.
+
+FP-parity note (SURVEY.md §5.4): double aggregates are rounded identically
+on both engines. Statistics on *large-magnitude* columns (variance of
+prices ~1e8) cannot be rounded to fixed decimals portably — the stats query
+uses small-magnitude columns (quantity, discount) where double partial-sum
+nondeterminism sits far below the rounding grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.sources.loader import load_table
+
+
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregates over the fact table (single final combine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
+
+
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial+final grouped aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts: Spark expands to a two-phase aggregate
+    (distinct keys shuffled once, then counted)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — rows-only key (approx values are
+    implementation-defined, so no value oracle by design)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates on small-magnitude columns (see module note)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 3).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 3).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+    )
+
+
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin per group: the order that realized the customer's max /
+    min total price. Packed (value, key) comparison makes ties deterministic
+    on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max(F.struct("o_totalprice", "o_orderkey"))["o_orderkey"].alias("max_order"),
+        F.min(F.struct("o_totalprice", "o_orderkey"))["o_orderkey"].alias("min_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals flag→status→grand; NULL marks the rolled level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations of (flag, status)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via Spark SQL (the parser is part of the
+    public surface — SURVEY.md §7 non-goals: no custom dialect)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("zds_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM zds_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical histogram pivoted wide — conditional aggregation with
+    explicit aliases (engine-portable pivot, FIXTURES.md rule 5)."""
+    ev = load_table(spark, sf_dir, "events")
+    cats = ["click", "error", "purchase", "signup", "view"]
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == c, F.lit(1))).alias(f"n_{c}")
+            for c in cats
+        ]
+    )
+
+
+QUERIES = {
+    "q_agg_global": q_agg_global,
+    "q_agg_groupby": q_agg_groupby,
+    "q_agg_distinct": q_agg_distinct,
+    "q_agg_approx_distinct": q_agg_approx_distinct,
+    "q_agg_stats": q_agg_stats,
+    "q_agg_minmax_by": q_agg_minmax_by,
+    "q_agg_rollup": q_agg_rollup,
+    "q_agg_cube": q_agg_cube,
+    "q_agg_grouping_sets": q_agg_grouping_sets,
+    "q_agg_pivot": q_agg_pivot,
+}
+
+ORACLE = {
+    "q_agg_global": """
+        SELECT count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price,
+               round(avg(l_discount), 6) AS avg_discount
+        FROM lineitem
+    """,
+    "q_agg_groupby": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_agg_distinct": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "q_agg_stats": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 3) AS std_qty,
+               round(var_samp(l_quantity), 3) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_agg_minmax_by": """
+        SELECT DISTINCT o_custkey,
+               first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey DESC) AS max_order,
+               first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS min_order,
+               round(max(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS max_price
+        FROM orders
+    """,
+    "q_agg_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_agg_cube": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_agg_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "q_agg_pivot": """
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        FROM events GROUP BY user_id
+    """,
+}

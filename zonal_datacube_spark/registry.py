@@ -16,6 +16,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = (
     "zonal_datacube_spark.operators.zonal",
+    "zonal_datacube_spark.operators.scans",
+    "zonal_datacube_spark.operators.filters",
+    "zonal_datacube_spark.operators.joins",
+    "zonal_datacube_spark.operators.aggregations",
 )
 
 
