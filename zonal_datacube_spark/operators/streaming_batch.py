@@ -1,0 +1,206 @@
+"""Streaming semantics, batch-emulated and oracle-checked (SURVEY.md §2.9).
+
+The reference is batch-only Dask; the engine adds the stream-table surface:
+tumbling / sliding / session windows, stream dedup, late-data (watermark)
+semantics. Each query here is the deterministic batch restatement of the
+corresponding Structured Streaming pipeline in
+``zonal_datacube_spark/streaming/demo.py`` (the demo asserts
+batch ≡ stream for the tumbling case; see tests/test_streaming.py).
+
+Time parity rules (SURVEY.md §5.4): all durations/gaps are computed in
+integer MICROSECONDS (the storage precision of both engines) — second-level
+diffs truncate differently when fractional parts straddle a boundary.
+Spark's 1-day/6-hour windows are epoch-aligned, so window starts equal
+``date_trunc``/generate_series values in UTC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.sources.loader import load_table
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap in microseconds
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling counts/sums per event_type via window()."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day windows sliding every 6 hours: each event lands in 4 windows;
+    Spark expands window() into the 4 assignments, the oracle enumerates
+    window starts with generate_series + a containment join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute gap: lag → new-session flag
+    → running sum = session id → per-session aggregate. One shuffle on
+    user_id; the running sum never crosses users, so this scales with user
+    cardinality (the batch twin of session_window + watermark)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    )
+    order_w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(order_w)) > F.lit(_GAP_US), 1
+        ).otherwise(F.when(F.lag("ts_us").over(order_w).isNull(), 1).otherwise(0)),
+    ).withColumn("session_id", F.sum("new_session").over(run_w))
+    return (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        )
+        .select("user_id", "session_id", "n_events", "start_us", "duration_us")
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream dedup restated deterministically: keep the min event_id per
+    (user, minute) — ``dropDuplicates`` keeps an arbitrary row, which cannot
+    hash-compare; min-per-key is the same semantics with a defined winner."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm:ss").alias("minute"),
+        )
+        .agg(
+            F.min("event_id").alias("kept_event_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch-restated: events more than 10 minutes
+    behind the per-type max ts are 'late'; count kept vs dropped."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    cutoff = F.max("ts").over(w) - F.expr("INTERVAL 10 MINUTES")
+    return (
+        ev.withColumn("is_late", (F.col("ts") < cutoff).cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("is_late").alias("n_late"),
+            (F.count("*") - F.sum("is_late")).alias("n_kept"),
+        )
+    )
+
+
+QUERIES = {
+    "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_sliding": q_stream_sliding,
+    "q_stream_session": q_stream_session,
+    "q_stream_dedup": q_stream_dedup,
+    "q_stream_late": q_stream_late,
+}
+
+ORACLE = {
+    "q_stream_tumbling": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "q_stream_sliding": """
+        WITH starts AS (
+            SELECT unnest(generate_series(
+                TIMESTAMP '2023-12-31 06:00:00',
+                TIMESTAMP '2024-01-31 00:00:00',
+                INTERVAL 6 HOUR)) AS s
+        )
+        SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS win_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events JOIN starts ON ts >= s AND ts < s + INTERVAL 1 DAY
+        GROUP BY s
+    """,
+    "q_stream_session": """
+        WITH t AS (
+            SELECT user_id, event_id,
+                   date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
+            FROM events
+        ), flagged AS (
+            SELECT *,
+                   CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                        WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                        ELSE 0 END AS new_session
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ), sessions AS (
+            SELECT *,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id::BIGINT AS session_id,
+               count(*) AS n_events,
+               min(ts_us) AS start_us,
+               (max(ts_us) - min(ts_us)) AS duration_us
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    "q_stream_dedup": """
+        SELECT user_id,
+               strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+               min(event_id) AS kept_event_id,
+               count(*) AS n_dups
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "q_stream_late": """
+        WITH t AS (
+            SELECT event_type, ts,
+                   CASE WHEN ts < max(ts) OVER (PARTITION BY event_type)
+                                 - INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS is_late
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_total,
+               sum(is_late)::BIGINT AS n_late,
+               (count(*) - sum(is_late))::BIGINT AS n_kept
+        FROM t
+        GROUP BY event_type
+    """,
+}

@@ -20,6 +20,9 @@ _MODULES = (
     "zonal_datacube_spark.operators.filters",
     "zonal_datacube_spark.operators.joins",
     "zonal_datacube_spark.operators.aggregations",
+    "zonal_datacube_spark.operators.windows",
+    "zonal_datacube_spark.operators.sorts_sets",
+    "zonal_datacube_spark.operators.scalar_funcs",
 )
 
 
