@@ -23,6 +23,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.windows",
     "zonal_datacube_spark.operators.sorts_sets",
     "zonal_datacube_spark.operators.scalar_funcs",
+    "zonal_datacube_spark.operators.streaming_batch",
 )
 
 

@@ -1,0 +1,95 @@
+"""True Structured Streaming pipeline over the events fixture.
+
+The batch-emulated queries in ``operators/streaming_batch.py`` are the
+oracle-checked surface; this module is the genuine ``readStream`` pipeline
+for the tumbling case, asserted batch≡stream in tests/test_streaming.py.
+
+Design:
+- file source (parquet) with an explicit schema — a streaming source cannot
+  infer schemas; ``ts`` arrives as int64 nanos (see sources/loader.py) and
+  is rebuilt into TIMESTAMP_NTZ with the same TZ-independent expression;
+- event-time watermark bounds state: windows older than the watermark are
+  finalized and their state evicted — this is what makes the aggregation
+  runnable over an unbounded stream;
+- ``Trigger.AvailableNow`` + complete-mode memory sink makes the finite
+  fixture run deterministic for the equivalence test.
+
+At scale the same plan runs on a Kafka/file-stream source with
+``outputMode("update")`` and a real sink; nothing in the transformation
+changes — that is the point of declaring it over the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from zonal_datacube_spark.sources.loader import ensure_session_confs
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # int64 nanos (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+# Watermarks require TIMESTAMP (LTZ) — TIMESTAMP_NTZ is rejected by
+# EventTimeWatermark. The engine session pins timeZone=UTC, so LTZ wall
+# times render identically to the batch side's NTZ values.
+_TS_EXPR = "timestamp_micros(ts div 1000)"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (file source over the fixture dir)."""
+    ensure_session_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr(_TS_EXPR))
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-day tumbling counts/sums per event_type with an event-time
+    watermark — the streaming twin of q_stream_tumbling."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_tumbling_demo(spark: SparkSession, sf_dir: str, table: str = "zds_stream_demo") -> DataFrame:
+    """Execute the streaming pipeline to completion over the finite fixture
+    and return the materialized result."""
+    q = (
+        tumbling_counts(events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(table)
