@@ -40,7 +40,12 @@ def main() -> int:
             print(f"[ROWS] {k}: {n} rows (rows-only key, no oracle)")
             continue
         t0 = time.perf_counter()
-        res = compare_query(k, spark, con, queries[k], oracle[k], sf_dir)
+        try:
+            res = compare_query(k, spark, con, queries[k], oracle[k], sf_dir)
+        except Exception as exc:  # keep going: one broken key ≠ broken suite
+            print(f"[ERR ] {k}: {type(exc).__name__}: {str(exc).splitlines()[0][:200]}")
+            failures += 1
+            continue
         print(f"{res}  ({time.perf_counter() - t0:.2f}s)")
         failures += 0 if res.ok else 1
     print(f"\n{len(selected) - failures}/{len(selected)} green at {sf_dir}")

@@ -1,0 +1,201 @@
+"""Deduplication operators (SURVEY.md §2.8, §2.10) — the LLM-pipeline core.
+
+Four tiers, each with the scale story a 100 TB corpus needs:
+
+- exact (`q_dedup_exact`): content-hash groupBy — one shuffle on the hash,
+  partial aggregation upstream;
+- distinct rows (`q_distinct_rows`): distinct-to-aggregate rewrite;
+- near-dup exact-Jaccard (`q_dedup_near`): 3-token shingles → inverted
+  shingle index self-join → per-pair intersection counts. The shingle join
+  only materializes pairs that *share* a shingle — never the n² cross
+  product; bucket sizes stay bounded because shingle cardinality grows with
+  the corpus;
+- MinHash-LSH (`q_dedup_minhash`): 9 portable min-hashes (md5-salted) per
+  doc banded 3×3 — candidate pairs must share a full band, then are
+  verified with true Jaccard. This is the sub-quadratic 100 TB path: cost
+  is O(docs × hashes) + O(candidates), not O(pairs).
+
+Portability: the min-hash uses md5 over salted shingles and *string* min —
+byte-identical in Spark and DuckDB (no engine hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.functions.text_funcs import shingles, tokens
+from zonal_datacube_spark.sources.loader import load_table
+
+NEAR_DUP_TAU = 0.8  # planted near-dups in the fixture sit at J >= 0.9
+MINHASH_SEEDS = 9  # 3 bands x 3 rows
+MINHASH_BANDS = 3
+
+
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keep the min doc_id per md5(text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("h", F.md5("text"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens())
+    return (
+        docs.filter(F.size("t") >= 3)
+        .select("doc_id", F.explode(shingles("t")).alias("sh"))
+    )
+
+
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact shingle-set Jaccard >= tau."""
+    sh = _doc_shingles(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+        .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    return j.filter(F.col("jaccard") >= NEAR_DUP_TAU).select(
+        "a_id", "b_id", "inter", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: banded min-hash candidates verified with true
+    Jaccard. Output = verified candidate pairs (the sub-quadratic plan)."""
+    sh = _doc_shingles(spark, sf_dir)
+    seeds = F.broadcast(
+        spark.createDataFrame([(s,) for s in range(MINHASH_SEEDS)], "seed INT")
+    )
+    mh = (
+        sh.crossJoin(seeds)
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), "sh"))).alias("h"))
+    )
+    rows_per_band = MINHASH_SEEDS // MINHASH_BANDS
+    bands = (
+        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        # seeds within a band concatenated in seed order → the band value
+        .agg(F.concat_ws("", F.array_sort(F.collect_list(F.concat_ws(":", F.col("seed").cast("string"), "h")))).alias("bv"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # verify candidates with true Jaccard (exact, but only on candidates)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .join(
+            sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "sh_b"),
+            "b_id",
+        )
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+        .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    return j.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SH_CTE = """
+        toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+               FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+               WHERE len(t) >= 3),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+QUERIES = {
+    "q_distinct_rows": q_distinct_rows,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_near": q_dedup_near,
+    "q_dedup_minhash": q_dedup_minhash,
+}
+
+ORACLE = {
+    "q_distinct_rows": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "q_dedup_exact": """
+        SELECT md5(text) AS h, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "q_dedup_near": f"""
+        WITH {_SH_CTE},
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a_id, b_id, inter,
+               round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        FROM pairs
+        JOIN sz sa ON a_id = sa.doc_id
+        JOIN sz sb ON b_id = sb.doc_id
+        WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {NEAR_DUP_TAU}
+    """,
+    "q_dedup_minhash": f"""
+        WITH {_SH_CTE},
+        seeds AS (SELECT unnest(range(0, {MINHASH_SEEDS})) AS seed),
+        mh AS (
+            SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS h
+            FROM sh CROSS JOIN seeds
+            GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, (seed // {MINHASH_SEEDS // MINHASH_BANDS}) AS band,
+                   string_agg(seed::VARCHAR || ':' || h, '' ORDER BY seed::VARCHAR || ':' || h) AS bv
+            FROM mh
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.a_id, c.b_id, count(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.a_id
+            JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+            GROUP BY 1, 2
+        )
+        SELECT a_id, b_id,
+               round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON a_id = sa.doc_id
+        JOIN sz sb ON b_id = sb.doc_id
+    """,
+}

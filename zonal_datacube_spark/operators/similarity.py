@@ -1,0 +1,174 @@
+"""Similarity search over embeddings (SURVEY.md §2.10).
+
+Embeddings are 64-dim unit-L2-norm float arrays (FIXTURES.md) → cosine ==
+dot product. All scoring is JVM-side higher-order array arithmetic
+(zip_with + aggregate after an explicit float→double cast); no Python
+crosses the hot path.
+
+Scale tiers:
+- `q_sim_knn` — brute-force top-k for a small probe set: probes broadcast
+  against the full corpus; per-probe ranking. Exact; cost O(probes × N).
+- `q_sim_join` — similarity self-join blocked by the label column (the
+  IVF-style partition: only same-cell pairs are scored) → per-group n²
+  instead of global n².
+- `q_sim_lsh_ann` — sign-bit LSH (8 hyperplane signs → 256 buckets):
+  probes score only their own bucket. Approximate; cost O(probes × N/256).
+  The ranking ties are broken on (rounded score, vec_id) so the result set
+  is deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.sources.loader import load_table
+
+PROBE_IDS = (0, 1, 2, 3, 4)
+KNN_K = 5
+ANN_K = 3
+SIM_JOIN_TAU = 0.4
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sign_bucket(col: str) -> F.Column:
+    """8 sign bits of the leading dimensions → bucket id 0..255 (fixed
+    'hyperplanes' = axis planes; deterministic and engine-portable)."""
+    terms = [
+        F.when(F.element_at(F.col(col), i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(8)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("bigint")
+
+
+def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-5 cosine neighbors for the probe set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+        )
+    )
+    scored = (
+        probes.crossJoin(emb.select("vec_id", "embedding"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("score", F.round(_dot("probe_vec", "embedding"), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "score", "rn")
+    )
+
+
+def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity self-join within label blocks: pairs with cosine >= tau.
+    The equi-join on label prunes the global n² to per-block n² — the same
+    blocking idea MinHash-LSH applies to text."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("lbl"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("label").alias("lbl"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")
+    )
+    pairs = (
+        a.join(b, "lbl")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("score", F.round(_dot("va", "vb"), 6))
+        .filter(F.col("score") >= SIM_JOIN_TAU)
+    )
+    return pairs.select(F.col("lbl").alias("label"), "a_id", "b_id", "score")
+
+
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via sign-bit LSH buckets: probes only score
+    candidates in their own bucket, top-3 each."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket("embedding")
+    )
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+            F.col("bucket").alias("probe_bucket"),
+        )
+    )
+    scored = (
+        probes.join(emb, F.col("bucket") == F.col("probe_bucket"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("score", F.round(_dot("probe_vec", "embedding"), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_K)
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "bucket", "score", "rn")
+    )
+
+
+_PROBES_SQL = ", ".join(str(p) for p in PROBE_IDS)
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+QUERIES = {
+    "q_sim_knn": q_sim_knn,
+    "q_sim_join": q_sim_join,
+    "q_sim_lsh_ann": q_sim_lsh_ann,
+}
+
+ORACLE = {
+    "q_sim_knn": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+                   round(list_inner_product(p.v, e.v), 6) AS score
+            FROM (SELECT * FROM e WHERE vec_id IN ({_PROBES_SQL})) p
+            CROSS JOIN e
+            WHERE e.vec_id <> p.vec_id
+        )
+        SELECT probe_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rn
+        FROM scored
+        QUALIFY rn <= {KNN_K}
+    """,
+    "q_sim_join": f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_inner_product(a.v, b.v), 6) AS score
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.v, b.v), 6) >= {SIM_JOIN_TAU}
+    """,
+    "q_sim_lsh_ann": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   ({_BUCKET_SQL})::BIGINT AS bucket
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, e.bucket,
+                   round(list_inner_product(p.v, e.v), 6) AS score
+            FROM (SELECT * FROM e WHERE vec_id IN ({_PROBES_SQL})) p
+            JOIN e ON e.bucket = p.bucket
+            WHERE e.vec_id <> p.vec_id
+        )
+        SELECT probe_id, neighbor_id, bucket, score,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rn
+        FROM scored
+        QUALIFY rn <= {ANN_K}
+    """,
+}

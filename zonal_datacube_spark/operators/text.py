@@ -1,0 +1,211 @@
+"""Text-analysis operators over the documents table (SURVEY.md §2.10 +
+the training-data-pipeline extensions: language-ID, quality scoring, token
+counting, fingerprinting).
+
+Everything is built-in-function DataFrame code — explode/groupBy joins for
+the inverted-index shapes, higher-order array functions for per-doc
+features. At 100 TB the explode shapes shuffle on (token) / (doc_id),
+both high-cardinality keys; no driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.functions.text_funcs import (
+    canonical_fingerprint,
+    stopword_count,
+    tokens,
+)
+from zonal_datacube_spark.sources.loader import load_table
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token counts: tokenize → explode → count (inverted-index
+    shape; Spark does partial map-side counts before the token shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf per (doc, token): tf × ln(N/df). Doc-frequency and corpus
+    size are tiny aggregates broadcast back against the term table."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) document statistics."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens())
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size("t")), 6).alias("avg_tokens"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-ratio n-gram heuristic) and its
+    confusion matrix against the labeled lang column. The rule is
+    deliberately simple and deterministic — the operator under test is the
+    per-doc feature extraction + CASE classification, not model quality."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens())
+    ratio = stopword_count("t") / F.size("t")
+    pred = (
+        F.when(ratio >= 0.10, "en")
+        .when(ratio >= 0.06, "fr")
+        .when(ratio >= 0.03, "de")
+        .when(ratio > 0.0, "es")
+        .otherwise("zh")
+    )
+    return (
+        docs.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token count, type-token ratio, stopword
+    ratio, chars-per-token, and a composite quality score."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens())
+    n_tok = F.size("t").cast("double")
+    ttr = F.size(F.array_distinct("t")) / n_tok
+    stop_ratio = stopword_count("t") / n_tok
+    quality = F.least(F.lit(1.0), n_tok / 100.0) * (1.0 - stop_ratio) * ttr
+    return docs.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(F.col("n_chars") / n_tok, 6).alias("chars_per_token"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint (md5 of the sorted distinct token
+    set) → docs sharing a fingerprint are set-identical rewrites."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", canonical_fingerprint())
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def q_text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: regex token classes vs whitespace tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.size(tokens()).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+QUERIES = {
+    "q_text_tokens": q_text_tokens,
+    "q_text_tfidf": q_text_tfidf,
+    "q_text_stats": q_text_stats,
+    "q_text_langid": q_text_langid,
+    "q_text_quality": q_text_quality,
+    "q_text_fingerprint": q_text_fingerprint,
+    "q_text_token_regex": q_text_token_regex,
+}
+
+_TOKS = "string_split(lower(text), ' ')"
+
+ORACLE = {
+    "q_text_tokens": f"""
+        SELECT token, count(*) AS n_occurrences
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+    """,
+    "q_text_tfidf": f"""
+        WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+             tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+             df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+             n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.token, tf.tf,
+               round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+    "q_text_stats": f"""
+        SELECT lang, source,
+               count(*) AS n_docs,
+               round(avg(n_chars), 6) AS avg_chars,
+               round(avg(len({_TOKS})), 6) AS avg_tokens
+        FROM documents
+        GROUP BY lang, source
+    """,
+    "q_text_langid": f"""
+        WITH t AS (
+            SELECT lang,
+                   len(list_filter({_TOKS}, x -> x = 'the' OR x = 'a')) * 1.0
+                       / len({_TOKS}) AS r
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN r >= 0.10 THEN 'en'
+                    WHEN r >= 0.06 THEN 'fr'
+                    WHEN r >= 0.03 THEN 'de'
+                    WHEN r > 0.0 THEN 'es'
+                    ELSE 'zh' END AS pred_lang,
+               count(*) AS n_docs
+        FROM t
+        GROUP BY 1, 2
+    """,
+    "q_text_quality": f"""
+        WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio,
+               round(len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 1.0
+                     / len(toks), 6) AS stop_ratio,
+               round(n_chars * 1.0 / len(toks), 6) AS chars_per_token,
+               round(least(1.0, len(toks) / 100.0)
+                     * (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 1.0
+                        / len(toks))
+                     * (len(list_distinct(toks)) * 1.0 / len(toks)), 6) AS quality
+        FROM t
+    """,
+    "q_text_fingerprint": f"""
+        SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp,
+               count(*) AS n_docs,
+               min(doc_id) AS min_doc_id
+        FROM documents
+        GROUP BY 1
+    """,
+    "q_text_token_regex": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{_BPE_RE}'))::BIGINT AS n_bpe_tokens,
+               len({_TOKS})::BIGINT AS n_ws_tokens
+        FROM documents
+    """,
+}

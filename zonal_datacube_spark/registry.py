@@ -24,6 +24,9 @@ _MODULES = (
     "zonal_datacube_spark.operators.sorts_sets",
     "zonal_datacube_spark.operators.scalar_funcs",
     "zonal_datacube_spark.operators.streaming_batch",
+    "zonal_datacube_spark.operators.text",
+    "zonal_datacube_spark.operators.dedup",
+    "zonal_datacube_spark.operators.similarity",
 )
 
 
