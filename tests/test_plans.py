@@ -1,0 +1,59 @@
+"""Plan-shape tests: lock in the scale-critical physical properties
+(SURVEY.md §4 — these are the '100 TB would still work' assertions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from zonal_datacube_spark.operators.joins import q_join_broadcast
+from zonal_datacube_spark.operators.scans import q_scan_filter_pushdown, q_scan_project
+from zonal_datacube_spark.operators.zonal import q_zonal_stats
+from zonal_datacube_spark.plans.diagnostics import (
+    assert_broadcast_join,
+    assert_pushed_filter,
+    assert_read_schema_pruned,
+    formatted_plan,
+    plan_has,
+)
+
+
+def test_filter_reaches_parquet(spark):
+    assert_pushed_filter(q_scan_filter_pushdown(spark, SF_SMOKE), "l_shipdate")
+
+
+def test_projection_prunes_read_schema(spark):
+    # 16-column lineitem, 3-column projection → scan must not read the rest
+    assert_read_schema_pruned(q_scan_project(spark, SF_SMOKE), 3)
+
+
+def test_zonal_join_is_broadcast(spark):
+    assert_broadcast_join(q_zonal_stats(spark, SF_SMOKE))
+
+
+def test_dim_chain_joins_are_broadcast(spark):
+    plan = formatted_plan(q_join_broadcast(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_is_partial_then_final(spark):
+    from zonal_datacube_spark.operators.aggregations import q_agg_groupby
+
+    plan = formatted_plan(q_agg_groupby(spark, SF_SMOKE))
+    # map-side partial aggregation must run before the one exchange —
+    # at 100 TB only tiny partial states shuffle, never raw rows
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+    # exactly one shuffle in the plan tree (formatted output repeats each
+    # node in the detail section — count tree edges only)
+    import re
+
+    assert len(re.findall(r"\+- Exchange", plan)) == 1
+
+
+def test_sort_limit_is_take_ordered(spark):
+    from zonal_datacube_spark.operators.sorts_sets import q_sort_limit
+
+    checks = plan_has(q_sort_limit(spark, SF_SMOKE), "TakeOrderedAndProject")
+    assert checks["TakeOrderedAndProject"]

@@ -32,7 +32,7 @@ def cosine_to_unit_first_axis(v: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
-def trimmed_mean_10(v: pd.Series) -> pd.Series:  # GROUPED_AGG usage
+def trimmed_mean_10(v: pd.Series) -> float:  # Series→scalar ⇒ GROUPED_AGG
     """Custom grouped aggregate: 10%-trimmed mean — a zonal statistic the
     built-in aggregates don't offer (robust to raster outliers)."""
     arr = np.sort(v.to_numpy(dtype=float))
@@ -54,8 +54,6 @@ def per_group_zscore(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     per-tile normalize-then-analyze shape). The group must fit a worker —
     at 100 TB that means keying by tile, never by a low-cardinality
     attribute."""
-    out_schema = f"{df.schema[key_col].simpleString().split(':')[0]} placeholder" and None
-
     fields = [f for f in df.schema.fields if f.name in (key_col, value_col)]
     schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in fields] + ["zscore double"]
