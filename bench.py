@@ -29,12 +29,15 @@ def main() -> int:
     queries = all_queries()
 
     # Warm the JVM + parquet footers with the flagship query once.
-    queries["q_zonal_stats"](spark, sf_dir).collect()
+    queries["q_zonal_stats"](spark, sf_dir).toPandas()
 
+    # Materialize via Arrow (toPandas): full result transfer at columnar
+    # speed — collect()'s per-Row Python object construction would bench
+    # the driver's deserializer, not the engine.
     timings: dict[str, float] = {}
     for key in sorted(queries):
         t0 = time.perf_counter()
-        queries[key](spark, sf_dir).collect()
+        queries[key](spark, sf_dir).toPandas()
         timings[key] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

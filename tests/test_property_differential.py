@@ -1,0 +1,58 @@
+"""Property-based differential testing (SURVEY.md §5.3 layer 3).
+
+Hypothesis generates random filter+aggregate queries over lineitem; each is
+executed by both Spark and DuckDB and must agree exactly. This catches
+semantics drift beyond the fixed §2 suite (comparison ops, NULL handling,
+predicate composition) on the same engine pair the driver uses.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_ORACLE
+from zonal_datacube_spark.sources.loader import load_table
+
+NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+STR_COLS = ("l_returnflag", "l_linestatus")
+OPS = ("<", "<=", ">", ">=", "=", "<>")
+
+
+@st.composite
+def predicates(draw) -> str:
+    clauses = []
+    for _ in range(draw(st.integers(1, 3))):
+        if draw(st.booleans()):
+            col = draw(st.sampled_from(NUM_COLS))
+            op = draw(st.sampled_from(OPS))
+            val = draw(st.floats(0, 60, allow_nan=False, allow_infinity=False))
+            clauses.append(f"{col} {op} {round(val, 2)}")
+        else:
+            col = draw(st.sampled_from(STR_COLS))
+            val = draw(st.sampled_from(("A", "N", "R", "O", "F")))
+            clauses.append(f"{col} {'=' if draw(st.booleans()) else '<>'} '{val}'")
+    joiner = draw(st.sampled_from((" AND ", " OR ")))
+    pred = joiner.join(clauses)
+    return f"NOT ({pred})" if draw(st.booleans()) else pred
+
+
+@given(pred=predicates(), group=st.sampled_from(STR_COLS))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_filter_agg_agrees(pred, group, spark, duck):
+    sql = f"""
+        SELECT {group} AS g, count(*) AS n, round(sum(l_quantity), 2) AS s
+        FROM lineitem
+        WHERE {pred}
+        GROUP BY {group}
+    """
+    load_table(spark, SF_ORACLE, "lineitem").createOrReplaceTempView("lineitem")
+    got = {
+        (r.g, r.n, r.s) for r in spark.sql(sql).collect()
+    }
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want, f"disagreement for predicate: {pred}"

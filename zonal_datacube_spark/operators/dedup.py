@@ -82,21 +82,30 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: banded min-hash candidates verified with true
     Jaccard. Output = verified candidate pairs (the sub-quadratic plan)."""
     sh = _doc_shingles(spark, sf_dir)
-    seeds = F.broadcast(
-        spark.createDataFrame([(s,) for s in range(MINHASH_SEEDS)], "seed INT")
-    )
-    mh = (
-        sh.crossJoin(seeds)
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), "sh"))).alias("h"))
+    # all 9 min-hashes in ONE pass over the shingle table (9 aggregate
+    # expressions, single shuffle on doc_id) — a seed cross-join would 9×
+    # the shuffle volume for no reason
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(s)), "sh"))).alias(f"h{s}")
+            for s in range(MINHASH_SEEDS)
+        ]
     )
     rows_per_band = MINHASH_SEEDS // MINHASH_BANDS
-    bands = (
-        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        # seeds within a band concatenated in seed order → the band value
-        .agg(F.concat_ws("", F.array_sort(F.collect_list(F.concat_ws(":", F.col("seed").cast("string"), "h")))).alias("bv"))
-    )
+    # band value = concat of the band's min-hashes in seed order
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bv"),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -108,7 +117,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    # verify candidates with true Jaccard (exact, but only on candidates)
+    # verify candidates with true Jaccard — candidates are a tiny fraction
+    # of the corpus (that is the point of LSH), so broadcast them into the
+    # shingle joins: the 100 TB shingle table streams through map-side
+    # joins and never shuffles for verification
+    cand = F.broadcast(cand)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "a_id"), "a_id")
@@ -121,7 +134,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("inter"))
     )
     j = (
-        inter.join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+        F.broadcast(inter)
+        .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
         .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
     )
@@ -168,17 +182,21 @@ ORACLE = {
     """,
     "q_dedup_minhash": f"""
         WITH {_SH_CTE},
-        seeds AS (SELECT unnest(range(0, {MINHASH_SEEDS})) AS seed),
-        mh AS (
-            SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS h
-            FROM sh CROSS JOIN seeds
-            GROUP BY doc_id, seed
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+                   min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+                   min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+                   min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7,
+                   min(md5('8|' || sh)) AS h8
+            FROM sh GROUP BY doc_id
         ),
         bands AS (
-            SELECT doc_id, (seed // {MINHASH_SEEDS // MINHASH_BANDS}) AS band,
-                   string_agg(seed::VARCHAR || ':' || h, '' ORDER BY seed::VARCHAR || ':' || h) AS bv
-            FROM mh
-            GROUP BY 1, 2
+            SELECT doc_id, 0 AS band, h0 || h1 || h2 AS bv FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, h3 || h4 || h5 AS bv FROM sig
+            UNION ALL
+            SELECT doc_id, 2 AS band, h6 || h7 || h8 AS bv FROM sig
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id

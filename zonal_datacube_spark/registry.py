@@ -27,6 +27,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.text",
     "zonal_datacube_spark.operators.dedup",
     "zonal_datacube_spark.operators.similarity",
+    "zonal_datacube_spark.operators.udf_queries",
 )
 
 
