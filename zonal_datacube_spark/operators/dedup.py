@@ -142,6 +142,53 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+SIMHASH_BITS = 16
+SIMHASH_MAX_HAMMING = 1
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit signature over the shingle set (sign of
+    per-bit vote across md5(shingle) bits), pairs at hamming distance <= 1.
+
+    Portable bit plumbing: hex-digit value via locate/strpos into a hex
+    alphabet, bit extraction via integer div/mod — byte-identical in both
+    engines. The signature build is one explode (shingles × 16 bits) +
+    two groupBys; the pair scan compares single BIGINTs (bit_count(xor)) —
+    at 100 TB the signature table is 1/1000th the corpus and the pair scan
+    blocks on the signature value itself (band the 16 bits) if needed."""
+    sh = _doc_shingles(spark, sf_dir)
+    bits = sh.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, 15)")).alias("j"),
+        F.col("sh"),
+    ).withColumn(
+        "bit",
+        F.expr(
+            "((locate(substr(md5(sh), 1 + cast(j div 4 AS int), 1), '0123456789abcdef') - 1)"
+            " div (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2"
+        ),
+    )
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("s")
+    )
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 AS bigint), j)")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+    a = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("bigint"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
 _SH_CTE = """
         toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
@@ -155,6 +202,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
 }
 
 ORACLE = {
@@ -179,6 +227,28 @@ ORACLE = {
         JOIN sz sa ON a_id = sa.doc_id
         JOIN sz sb ON b_id = sb.doc_id
         WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {NEAR_DUP_TAU}
+    """,
+    "q_dedup_simhash": f"""
+        WITH {_SH_CTE},
+        bits AS (
+            SELECT doc_id, j,
+                   sum(CASE WHEN
+                       ((strpos('0123456789abcdef', substr(md5(sh), 1 + (j // 4), 1)) - 1)
+                        // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))
+                       % 2 = 1
+                       THEN 1 ELSE -1 END) AS s
+            FROM sh, unnest(range(0, {SIMHASH_BITS})) AS b(j)
+            GROUP BY doc_id, j
+        ),
+        sig AS (
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1 << j) ELSE 0 END)::BIGINT AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     """,
     "q_dedup_minhash": f"""
         WITH {_SH_CTE},

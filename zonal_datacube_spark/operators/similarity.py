@@ -117,6 +117,32 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DUP_TAU = 0.4
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs above tau, blocked by the sign-bit
+    LSH bucket (unlike q_sim_join's label blocking, this blocking needs no
+    labels — the scale path for unlabeled corpora). Near-identical vectors
+    share all leading sign bits, so true near-dups stay in-bucket."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket("embedding")
+    )
+    a = emb.select(
+        F.col("bucket").alias("bk"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("bucket").alias("bk"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, "bk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("score", F.round(_dot("va", "vb"), 6))
+        .filter(F.col("score") >= EMBED_DUP_TAU)
+        .select("a_id", "b_id", F.col("bk").alias("bucket"), "score")
+    )
+
+
 _PROBES_SQL = ", ".join(str(p) for p in PROBE_IDS)
 
 _BUCKET_SQL = " + ".join(
@@ -127,6 +153,7 @@ QUERIES = {
     "q_sim_knn": q_sim_knn,
     "q_sim_join": q_sim_join,
     "q_sim_lsh_ann": q_sim_lsh_ann,
+    "q_dedup_embed": q_dedup_embed,
 }
 
 ORACLE = {
@@ -151,6 +178,17 @@ ORACLE = {
                round(list_inner_product(a.v, b.v), 6) AS score
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_inner_product(a.v, b.v), 6) >= {SIM_JOIN_TAU}
+    """,
+    "q_dedup_embed": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   ({_BUCKET_SQL})::BIGINT AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+               round(list_inner_product(a.v, b.v), 6) AS score
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.v, b.v), 6) >= {EMBED_DUP_TAU}
     """,
     "q_sim_lsh_ann": f"""
         WITH e AS (
