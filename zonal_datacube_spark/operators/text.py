@@ -92,7 +92,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size("t").cast("double")
     ttr = F.size(F.array_distinct("t")) / n_tok
     stop_ratio = stopword_count("t") / n_tok
-    quality = F.least(F.lit(1.0), n_tok / 100.0) * (1.0 - stop_ratio) * ttr
+    # length factor divides by a PRIME (101): the composite score can then
+    # never land exactly on a half-decimal, so 6-decimal rounding agrees
+    # between engines (Spark HALF_UP vs DuckDB rint diverge on exact ties)
+    quality = F.least(F.lit(1.0), n_tok / 101.0) * (1.0 - stop_ratio) * ttr
     return docs.select(
         "doc_id",
         F.size("t").cast("bigint").alias("n_tokens"),
@@ -189,7 +192,7 @@ ORACLE = {
                round(len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 1.0
                      / len(toks), 6) AS stop_ratio,
                round(n_chars * 1.0 / len(toks), 6) AS chars_per_token,
-               round(least(1.0, len(toks) / 100.0)
+               round(least(1.0, len(toks) / 101.0)
                      * (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 1.0
                         / len(toks))
                      * (len(list_distinct(toks)) * 1.0 / len(toks)), 6) AS quality
