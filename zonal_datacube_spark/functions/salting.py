@@ -1,0 +1,43 @@
+"""Skew mitigation: salted two-phase aggregation (SURVEY.md §1.3, §4).
+
+A zonal workload is structurally skewed: one giant zone (ocean, desert)
+can hold most pixels, making its reduce task the straggler. AQE's skew-join
+splitting handles joins; for *aggregations* the standard fix is salting:
+
+  phase 1: partial aggregate on (key, salt) — the hot key's rows spread
+           over ``n_salts`` reducers;
+  phase 2: final aggregate on key — merges ``n_salts`` partial states.
+
+Only associative statistics pass through this helper (sum/count/min/max —
+mean is derived sum/count at the end). Results are identical to the direct
+aggregation (tested), only the shuffle distribution changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_zonal_stats(
+    cells: DataFrame,
+    key_col: str = "zone_id",
+    value_col: str = "value",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-key count/sum/mean/min/max with the hot-key shuffle spread over
+    ``n_salts`` partial reducers."""
+    salted = cells.withColumn("salt", (F.rand(seed=7) * n_salts).cast("int"))
+    partial = salted.groupBy(key_col, "salt").agg(
+        F.count(value_col).alias("n"),
+        F.sum(value_col).alias("s"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+    return partial.groupBy(key_col).agg(
+        F.sum("n").alias("n_cells"),
+        F.round(F.sum("s"), 2).alias("sum_value"),
+        F.round(F.sum("s") / F.sum("n"), 6).alias("mean_value"),
+        F.round(F.min("mn"), 2).alias("min_value"),
+        F.round(F.max("mx"), 2).alias("max_value"),
+    )
