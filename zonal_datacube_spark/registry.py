@@ -28,6 +28,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.dedup",
     "zonal_datacube_spark.operators.similarity",
     "zonal_datacube_spark.operators.udf_queries",
+    "zonal_datacube_spark.operators.analytics_ext",
 )
 
 
