@@ -44,6 +44,7 @@ def main() -> int:
         timings[key] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    ordered = sorted(timings.values())
     print(
         json.dumps(
             {
@@ -53,6 +54,8 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "p50": round(ordered[len(ordered) // 2], 4),
+                "p95": round(ordered[int(len(ordered) * 0.95)], 4),
             }
         )
     )
