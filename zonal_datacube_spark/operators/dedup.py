@@ -59,19 +59,35 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact shingle-set Jaccard >= tau."""
+    """Near-duplicate pairs by exact shingle-set Jaccard >= tau.
+
+    Length-bound pruning (lossless): I ≤ min(|A|,|B|) and the union ≥
+    max(|A|,|B|), so J ≤ min/max — any pair with min < τ·max can never
+    reach τ and is dropped *inside the join probe*, before the pair rows
+    ever shuffle to the intersection count. Carrying n_sh on each side
+    (via a broadcast of the tiny size table) also removes the two
+    post-aggregation size joins."""
     sh = _doc_shingles(spark, sf_dir)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    sz = F.broadcast(sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")))
+    sh_sized = sh.join(sz, "doc_id")
+    a = sh_sized.select(
+        F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    b = sh_sized.select(
+        F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        a.join(
+            b,
+            (F.col("sh_a") == F.col("sh_b"))
+            & (F.col("a_id") < F.col("b_id"))
+            & (F.least("na", "nb") >= NEAR_DUP_TAU * F.greatest("na", "nb")),
+        )
+        .groupBy("a_id", "b_id", "na", "nb")
         .agg(F.count("*").alias("inter"))
     )
-    j = (
-        inter.join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-        .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    j = inter.withColumn(
+        "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     )
     return j.filter(F.col("jaccard") >= NEAR_DUP_TAU).select(
         "a_id", "b_id", "inter", F.round("jaccard", 6).alias("jaccard")
