@@ -56,3 +56,53 @@ def test_random_filter_agg_agrees(pred, group, spark, duck):
     }
     want = {tuple(r) for r in duck.execute(sql).fetchall()}
     assert got == want, f"disagreement for predicate: {pred}"
+
+
+@given(
+    pred=predicates(),
+    join_type=st.sampled_from(("JOIN", "LEFT JOIN", "SEMI JOIN", "ANTI JOIN")),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_join_agrees(pred, join_type, spark, duck):
+    """Random predicate under each join flavor; Spark SQL supports the same
+    SEMI/ANTI syntax as DuckDB."""
+    sql = f"""
+        SELECT o_orderkey, count(*) AS n
+        FROM orders {join_type} (SELECT * FROM lineitem WHERE {pred}) li
+          ON o_orderkey = li.l_orderkey
+        GROUP BY o_orderkey
+    """
+    load_table(spark, SF_ORACLE, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, SF_ORACLE, "orders").createOrReplaceTempView("orders")
+    got = {(r.o_orderkey, r.n) for r in spark.sql(sql).collect()}
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want, f"disagreement for {join_type} with predicate: {pred}"
+
+
+@given(pred=predicates(), k=st.integers(1, 4))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_topk_agrees(pred, k, spark, duck):
+    """Random-filtered top-k per group via row_number — window semantics
+    under arbitrary predicates."""
+    sql = f"""
+        SELECT l_orderkey, l_linenumber
+        FROM (
+            SELECT l_orderkey, l_linenumber,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+            FROM lineitem WHERE {pred}
+        ) t
+        WHERE rn <= {k}
+    """
+    load_table(spark, SF_ORACLE, "lineitem").createOrReplaceTempView("lineitem")
+    got = {(r.l_orderkey, r.l_linenumber) for r in spark.sql(sql).collect()}
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want, f"disagreement for window top-{k} with predicate: {pred}"
