@@ -1,0 +1,27 @@
+"""Distributed k-means: determinism, improvement over seeds, IVF fit."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from zonal_datacube_spark.functions.kmeans import assign_cells, inertia, kmeans_fit
+from zonal_datacube_spark.sources.loader import load_table
+
+
+def test_kmeans_improves_and_is_deterministic(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seeds0 = kmeans_fit(emb, k=8, iters=0)
+    fitted = kmeans_fit(emb, k=8, iters=3)
+    assert inertia(emb, fitted) > inertia(emb, seeds0)  # training helps
+    again = kmeans_fit(emb, k=8, iters=3)
+    a = sorted((r.cell, tuple(round(v, 9) for v in r.centroid)) for r in fitted.collect())
+    b = sorted((r.cell, tuple(round(v, 9) for v in r.centroid)) for r in again.collect())
+    assert a == b  # deterministic
+
+
+def test_assignment_partitions_corpus(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=2)
+    assigned = assign_cells(emb, cents)
+    assert assigned.count() == emb.count()  # every vector exactly one cell
+    n_cells = assigned.select("cell").distinct().count()
+    assert 2 <= n_cells <= 8
