@@ -70,6 +70,23 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def load_csv(spark: SparkSession, path: str, schema: str, header: bool = True) -> DataFrame:
+    """CSV source with an explicit schema — inference would scan the data
+    twice and guess types; at 100 TB both are unacceptable."""
+    ensure_session_confs(spark)
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def load_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines source with an explicit schema (same rationale)."""
+    ensure_session_confs(spark)
+    return spark.read.schema(schema).json(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view so ``spark.sql`` queries
     (GROUPING SETS etc.) can reference them by name."""
