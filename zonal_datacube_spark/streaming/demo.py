@@ -109,6 +109,26 @@ def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return keyed.dropDuplicatesWithinWatermark(["user_id", "minute_ts"])
 
 
+def run_stream_foreach_batch(
+    stream_df: DataFrame, spark: SparkSession, out_dir: str
+) -> None:
+    """foreachBatch sink: each micro-batch lands as parquet via the normal
+    batch writer — the escape hatch for sinks without a native streaming
+    writer (JDBC, upserts, multi-table fan-out). Batch id makes the write
+    idempotent under retries (the path encodes it)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, spark: SparkSession, table: str, output_mode: str = "complete"
 ) -> DataFrame:
