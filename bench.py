@@ -43,23 +43,34 @@ def main() -> int:
         queries[key](spark, sf_dir).toPandas()
         timings[key] = round(time.perf_counter() - t0, 4)
 
+    print(bench_json_line(timings, sf))
+    return 0
+
+
+def bench_json_line(timings: dict[str, float], sf: float) -> str:
+    """ONE compact JSON line. The driver keeps only a ~2 KB tail of stdout
+    and parses the JSON from it (round 1's 2.3 KB line was truncated →
+    ``parsed: null``), so: 2-decimal per-query timings, no separator
+    whitespace, and callers must print nothing to stdout after this."""
     total = round(sum(timings.values()), 4)
     ordered = sorted(timings.values())
-    print(
-        json.dumps(
+    for ndigits in (2, 1):
+        line = json.dumps(
             {
                 "metric": "suite_warm_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, ndigits) for k, v in timings.items()},
                 "sf": sf,
                 "n_queries": len(timings),
                 "p50": round(ordered[len(ordered) // 2], 4),
                 "p95": round(ordered[int(len(ordered) * 0.95)], 4),
-            }
+            },
+            separators=(",", ":"),
         )
-    )
-    return 0
+        if len(line) <= 1900:
+            break
+    return line
 
 
 if __name__ == "__main__":
