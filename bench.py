@@ -31,8 +31,13 @@ def main() -> int:
     spark = get_spark("zds-bench")
     queries = all_queries()
 
-    # Warm the JVM + parquet footers with the flagship query once.
+    # Warm the JVM + parquet footers with the flagship query, and the
+    # shared dedup caches (shingle arrays + signature tables) with one
+    # shingle consumer — BASELINE.md measures warm steady-state timings,
+    # so one-time cache population belongs to warm-up, not to whichever
+    # dedup key happens to run first.
     queries["q_zonal_stats"](spark, sf_dir).toPandas()
+    queries["q_dedup_minhash"](spark, sf_dir).toPandas()
 
     # Materialize via Arrow (toPandas): full result transfer at columnar
     # speed — collect()'s per-Row Python object construction would bench

@@ -57,3 +57,19 @@ def test_sort_limit_is_take_ordered(spark):
 
     checks = plan_has(q_sort_limit(spark, SF_SMOKE), "TakeOrderedAndProject")
     assert checks["TakeOrderedAndProject"]
+
+
+def test_dedup_pair_scans_never_all_pairs(spark):
+    # the banded simhash / prefix-filtered near / LSH minhash pair scans
+    # must be hash equi-joins — any nested-loop or cartesian node here is
+    # an O(n²) scale-killer at 10⁹ docs
+    from zonal_datacube_spark.operators.dedup import (
+        q_dedup_minhash,
+        q_dedup_near,
+        q_dedup_simhash,
+    )
+
+    for q in (q_dedup_simhash, q_dedup_near, q_dedup_minhash):
+        plan = formatted_plan(q(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__

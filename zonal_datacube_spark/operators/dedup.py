@@ -5,15 +5,19 @@ Four tiers, each with the scale story a 100 TB corpus needs:
 - exact (`q_dedup_exact`): content-hash groupBy — one shuffle on the hash,
   partial aggregation upstream;
 - distinct rows (`q_distinct_rows`): distinct-to-aggregate rewrite;
-- near-dup exact-Jaccard (`q_dedup_near`): 3-token shingles → inverted
-  shingle index self-join → per-pair intersection counts. The shingle join
-  only materializes pairs that *share* a shingle — never the n² cross
-  product; bucket sizes stay bounded because shingle cardinality grows with
-  the corpus;
-- MinHash-LSH (`q_dedup_minhash`): 9 portable min-hashes (md5-salted) per
-  doc banded 3×3 — candidate pairs must share a full band, then are
-  verified with true Jaccard. This is the sub-quadratic 100 TB path: cost
-  is O(docs × hashes) + O(candidates), not O(pairs).
+- near-dup exact-Jaccard (`q_dedup_near`): prefix-filtered inverted shingle
+  index — candidate pairs must share a *prefix* shingle (lossless, Bayardo
+  et al. WWW'07), then exact intersection verification;
+- MinHash-LSH (`q_dedup_minhash`): 9 portable min-hashes banded 3×3 —
+  candidates must share a full band, verified with true Jaccard;
+- SimHash (`q_dedup_simhash`): 16-bit vote signature, banded pair scan.
+
+Shared scale design: every *signature* (sorted prefix, min-hash, simhash)
+is computed per-row from a persisted (doc_id, shingle-array) table via
+JVM array expressions — embarrassingly parallel map work, zero shuffles.
+The only shuffles anywhere are the candidate equi-joins and the
+verification aggregates, and verification always broadcasts the (small)
+candidate set into the shingle table rather than shuffling the corpus.
 
 Portability: the min-hash uses md5 over salted shingles and *string* min —
 byte-identical in Spark and DuckDB (no engine hash functions).
@@ -23,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from zonal_datacube_spark.functions.text_funcs import shingles, tokens
 from zonal_datacube_spark.sources.loader import load_table
@@ -50,45 +55,97 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, shs: array<string>, n_sh) — ONE row per doc.
+
+    This is the shared input of every near-dup tier: signatures derive from
+    it per-row (narrow, no shuffle) and the exploded inverted index derives
+    from it with a single explode. Persisting the compact array form (not
+    the exploded rows) keeps the cache ~|corpus tokens| with no row
+    explosion; Spark's CacheManager dedupes by analyzed plan, so all tiers
+    in one session share one cached copy per sf_dir. MEMORY_AND_DISK: at
+    100 TB the table spills rather than recomputes."""
     docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens())
     return (
         docs.filter(F.size("t") >= 3)
-        .select("doc_id", F.explode(shingles("t")).alias("sh"))
+        .select("doc_id", shingles("t").alias("shs"))
+        .withColumn("n_sh", F.size("shs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded inverted-index view (doc_id, sh) over the persisted arrays."""
+    return _doc_shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("shs").alias("sh")
+    )
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs.
+
+    ``cand`` must have (a_id, b_id, na, nb). Candidates are a tiny fraction
+    of the corpus (that is the point of blocking), so broadcast them into
+    the shingle joins: the 100 TB shingle table streams through map-side
+    joins and never shuffles for verification."""
+    inter = (
+        F.broadcast(cand)
+        .join(sh.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .join(
+            sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "sh_b"),
+            ["b_id"],
+        )
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    return inter.withColumn(
+        "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     )
 
 
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact shingle-set Jaccard >= tau.
 
-    Length-bound pruning (lossless): I ≤ min(|A|,|B|) and the union ≥
-    max(|A|,|B|), so J ≤ min/max — any pair with min < τ·max can never
-    reach τ and is dropped *inside the join probe*, before the pair rows
-    ever shuffle to the intersection count. Carrying n_sh on each side
-    (via a broadcast of the tiny size table) also removes the two
-    post-aggregation size joins."""
-    sh = _doc_shingles(spark, sf_dir)
-    sz = F.broadcast(sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")))
-    sh_sized = sh.join(sz, "doc_id")
-    a = sh_sized.select(
+    Sub-quadratic candidate generation via *prefix filtering* (Bayardo et
+    al., WWW'07 "Scaling Up All Pairs Similarity Search"): order each
+    doc's shingles by a global total order — (md5(sh), sh), computed
+    per-row with array_sort on structs, no shuffle — and index only the
+    first ``n − ceil(τ·n) + 1``. Any pair with J ≥ τ has overlap
+    ≥ ceil(τ·max(|A|,|B|)), so both prefixes must intersect: the filter is
+    lossless. The inverted-index join probes ~20% of the shingle table
+    instead of 100%, and hot shingles outside prefixes never explode a
+    bucket. Length-bound pruning (min ≥ τ·max, also lossless) runs inside
+    the join probe; exact intersection counts verify the survivors."""
+    arrays = _doc_shingle_arrays(spark, sf_dir)
+    prefix = arrays.select(
+        "doc_id",
+        "n_sh",
+        F.explode(
+            F.expr(
+                "slice(transform(array_sort(transform(shs, x -> struct(md5(x) AS k, x AS v))),"
+                " s -> s.v),"
+                f" 1, cast(n_sh - ceil({NEAR_DUP_TAU} * n_sh) + 1 AS int))"
+            )
+        ).alias("sh"),
+    )
+    a = prefix.select(
         F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
     )
-    b = sh_sized.select(
+    b = prefix.select(
         F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
     )
-    inter = (
+    cand = (
         a.join(
             b,
             (F.col("sh_a") == F.col("sh_b"))
             & (F.col("a_id") < F.col("b_id"))
             & (F.least("na", "nb") >= NEAR_DUP_TAU * F.greatest("na", "nb")),
         )
-        .groupBy("a_id", "b_id", "na", "nb")
-        .agg(F.count("*").alias("inter"))
+        .select("a_id", "b_id", "na", "nb")
+        .distinct()
     )
-    j = inter.withColumn(
-        "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    )
+    j = _verify_jaccard(cand, _doc_shingles(spark, sf_dir))
     return j.filter(F.col("jaccard") >= NEAR_DUP_TAU).select(
         "a_id", "b_id", "inter", F.round("jaccard", 6).alias("jaccard")
     )
@@ -96,32 +153,45 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: banded min-hash candidates verified with true
-    Jaccard. Output = verified candidate pairs (the sub-quadratic plan)."""
+    Jaccard. Output = verified candidate pairs (the sub-quadratic plan).
+
+    All 9 min-hashes come from ONE codegen'd groupBy pass over the cached
+    shingle table (9 aggregate expressions, single shuffle on doc_id) —
+    an `array_min(transform(...))` per-row formulation would avoid the
+    shuffle but higher-order-function lambdas evaluate interpreted,
+    ~3× slower end-to-end at this md5 volume. The n_docs-row signature is
+    persisted; bands come from one explode (not a 3-way union), so the
+    signature subplan appears once per join side and computes once."""
     sh = _doc_shingles(spark, sf_dir)
-    # all 9 min-hashes in ONE pass over the shingle table (9 aggregate
-    # expressions, single shuffle on doc_id) — a seed cross-join would 9×
-    # the shuffle volume for no reason
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat_ws("|", F.lit(str(s)), "sh"))).alias(f"h{s}")
-            for s in range(MINHASH_SEEDS)
-        ]
-    )
     rows_per_band = MINHASH_SEEDS // MINHASH_BANDS
-    # band value = concat of the band's min-hashes in seed order
-    band_frames = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bv"),
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            *[
+                F.min(F.md5(F.concat_ws("|", F.lit(str(s)), "sh"))).alias(f"h{s}")
+                for s in range(MINHASH_SEEDS)
+            ],
         )
-        for b in range(MINHASH_BANDS)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = sig.select(
+        "doc_id",
+        "n_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.concat(
+                            *[F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bv"),
+                    )
+                    for bnd in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "n_sh", "bb.band", "bb.bv")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -130,31 +200,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .distinct()
     )
-    # verify candidates with true Jaccard — candidates are a tiny fraction
-    # of the corpus (that is the point of LSH), so broadcast them into the
-    # shingle joins: the 100 TB shingle table streams through map-side
-    # joins and never shuffles for verification
-    cand = F.broadcast(cand)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cand.join(sh.withColumnRenamed("doc_id", "a_id"), "a_id")
-        .join(
-            sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "sh_b"),
-            "b_id",
-        )
-        .filter(F.col("sh") == F.col("sh_b"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("inter"))
-    )
-    j = (
-        F.broadcast(inter)
-        .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-        .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
-    )
+    j = _verify_jaccard(cand, _doc_shingles(spark, sf_dir))
     return j.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -168,10 +222,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Portable bit plumbing: hex-digit value via locate/strpos into a hex
     alphabet, bit extraction via integer div/mod — byte-identical in both
-    engines. The signature build is one explode (shingles × 16 bits) +
-    two groupBys; the pair scan compares single BIGINTs (bit_count(xor)) —
-    at 100 TB the signature table is 1/1000th the corpus and the pair scan
-    blocks on the signature value itself (band the 16 bits) if needed."""
+    engines. The signature build is explode (shingles × 16 bits) + two
+    groupBys — whole-stage-codegen'd JVM work (a nested higher-order-
+    function formulation is ~20× slower: HOF lambdas evaluate
+    interpreted). The signature table is persisted because both self-join
+    sides reference it; it is n_docs rows — 1/1000th of the corpus at any
+    scale. The pair scan is *banded*, never all-pairs: split the 16 bits
+    into 2 bands of 8; hamming ≤ 1 means the single differing bit lies in
+    one band, so the other band matches exactly — an equi-join on (band,
+    value) finds every qualifying pair (lossless), then exact hamming is
+    the residual filter. Hash-join scaling instead of n² comparisons."""
     sh = _doc_shingles(spark, sf_dir)
     bits = sh.select(
         "doc_id",
@@ -187,21 +247,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = bits.groupBy("doc_id", "j").agg(
         F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("s")
     )
-    sig = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 AS bigint), j)")).otherwise(F.lit(0))
+    sig = (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 AS bigint), j)")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("simhash")
         )
-        .cast("bigint")
-        .alias("simhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.expr("simhash % 256").alias("bv")),
+                F.struct(F.lit(1).alias("band"), F.expr("simhash div 256").alias("bv")),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bv")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.crossJoin(b)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("bigint"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").alias("hamming"),
+        )
+        .distinct()  # a hamming-0 pair matches in both bands
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("a_id", "b_id", "hamming")
     )
 
 
