@@ -40,6 +40,46 @@ def test_per_group_zscore(spark):
     assert [r.zscore for r in rows if r.grp == 2] == [0.0]
 
 
+def test_relational_keys_match_pandas_kernels(spark):
+    """The declared (relational, oracle-checked) §2.12 keys and the pandas
+    extension kernels are the same statistic — lock their agreement."""
+    from zonal_datacube_spark.operators.udf_queries import (
+        q_udaf_zonal_trimmed_mean,
+        q_udf_grouped_zscore,
+    )
+
+    cells = load_table(spark, SF_SMOKE, "events")
+    zones = F.broadcast(zones_df(spark))
+    assigned = cells.join(
+        zones, (cells.value >= zones.lo) & (cells.value < zones.hi)
+    ).select("zone_id", "value")
+    pandas_tm = {
+        r.zone_id: r.trimmed_mean for r in zonal_trimmed_mean(assigned).collect()
+    }
+    for r in q_udaf_zonal_trimmed_mean(spark, SF_SMOKE).collect():
+        assert r.trimmed_mean == pytest.approx(pandas_tm[r.zone_id], abs=1e-6)
+
+    ev = cells.select("user_id", "value")
+    z = per_group_zscore(ev, "user_id", "value")
+    pandas_z = {
+        r.user_id: (r.max_z, r.min_z, r.n)
+        for r in z.groupBy("user_id")
+        .agg(
+            F.round(F.max("zscore"), 6).alias("max_z"),
+            F.round(F.min("zscore"), 6).alias("min_z"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    rel = q_udf_grouped_zscore(spark, SF_SMOKE).collect()
+    assert len(rel) == len(pandas_z)
+    for r in rel:
+        exp = pandas_z[r.user_id]
+        assert r.n == exp[2]
+        assert r.max_z == pytest.approx(exp[0], abs=1e-5)
+        assert r.min_z == pytest.approx(exp[1], abs=1e-5)
+
+
 def test_multimodal_decode_batches(spark):
     media = synthetic_media(spark, 12)
     out = decode_media_stats(media)

