@@ -71,6 +71,23 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via percentile_approx (Greenwald-Khanna-style
+    mergeable summaries) — the sketch real 100 TB users reach for daily:
+    partial summaries merge associatively, so only fixed-size sketch state
+    ever shuffles, never raw values. Rows-only key like
+    ``q_agg_approx_distinct`` (approx values are implementation-defined;
+    the exact-percentile twin ``q_agg_percentile`` is the oracle-checked
+    surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
+    )
+
+
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates on small-magnitude columns (see module note)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -145,6 +162,7 @@ QUERIES = {
     "q_agg_groupby": q_agg_groupby,
     "q_agg_distinct": q_agg_distinct,
     "q_agg_approx_distinct": q_agg_approx_distinct,
+    "q_agg_percentile_approx": q_agg_percentile_approx,
     "q_agg_stats": q_agg_stats,
     "q_agg_minmax_by": q_agg_minmax_by,
     "q_agg_rollup": q_agg_rollup,

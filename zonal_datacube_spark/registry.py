@@ -29,6 +29,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.similarity",
     "zonal_datacube_spark.operators.udf_queries",
     "zonal_datacube_spark.operators.analytics_ext",
+    "zonal_datacube_spark.operators.media",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
@@ -56,7 +57,9 @@ KEY_ORDER = (
     # §2.12 surface, upgraded from rows-only to oracle-checked
     "q_udaf_zonal_trimmed_mean",
     "q_udf_grouped_zscore",
-    # newly declared keys (uncommented as each lands this round)
+    # newly declared keys
+    "q_media_decode_stats",
+    "q_agg_percentile_approx",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
