@@ -48,6 +48,10 @@ def main() -> int:
         queries[key](spark, sf_dir).toPandas()
         timings[key] = round(time.perf_counter() - t0, 4)
 
+    # Full-precision per-query detail for human/judge consumption — the
+    # stdout line below is width-budgeted for the driver's tail buffer.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump({"sf": sf, "queries": timings, "total": round(sum(timings.values()), 4)}, f)
     print(bench_json_line(timings, sf))
     return 0
 
@@ -55,11 +59,17 @@ def main() -> int:
 def bench_json_line(timings: dict[str, float], sf: float) -> str:
     """ONE compact JSON line. The driver keeps only a ~2 KB tail of stdout
     and parses the JSON from it (round 1's 2.3 KB line was truncated →
-    ``parsed: null``), so: 2-decimal per-query timings, no separator
-    whitespace, and callers must print nothing to stdout after this."""
+    ``parsed: null``), so: no separator whitespace, per-query precision
+    degrades 2dp → 1dp → 1dp-without-percentiles until the line fits, and
+    callers must print nothing to stdout after this."""
     total = round(sum(timings.values()), 4)
     ordered = sorted(timings.values())
-    for ndigits in (2, 1):
+    percentiles = {
+        "n_queries": len(timings),
+        "p50": round(ordered[len(ordered) // 2], 4),
+        "p95": round(ordered[int(len(ordered) * 0.95)], 4),
+    }
+    for ndigits, extras in ((2, percentiles), (1, percentiles), (1, {})):
         line = json.dumps(
             {
                 "metric": "suite_warm_wall_seconds",
@@ -67,13 +77,11 @@ def bench_json_line(timings: dict[str, float], sf: float) -> str:
                 "unit": "sec",
                 "queries": {k: round(v, ndigits) for k, v in timings.items()},
                 "sf": sf,
-                "n_queries": len(timings),
-                "p50": round(ordered[len(ordered) // 2], 4),
-                "p95": round(ordered[int(len(ordered) * 0.95)], 4),
+                **extras,
             },
             separators=(",", ":"),
         )
-        if len(line) <= 1900:
+        if len(line) <= 1850:
             break
     return line
 

@@ -41,3 +41,27 @@ def test_partition_pruning(spark, partitioned_events):
 
 def test_unpartitioned_read_sees_all(spark, partitioned_events):
     assert spark.read.parquet(partitioned_events).count() == 1000
+
+
+def test_tumbling_partitioned_key_prunes_and_matches(spark):
+    from zonal_datacube_spark.operators.streaming_batch import (
+        TUMBLING_PART_DAYS,
+        q_stream_tumbling,
+        q_stream_tumbling_partitioned,
+    )
+
+    df = q_stream_tumbling_partitioned(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), "day range did not become a PartitionFilter"
+    # result == the unpartitioned tumbling key filtered to the same days
+    lo, hi = TUMBLING_PART_DAYS
+    expected = sorted(
+        map(
+            tuple,
+            q_stream_tumbling(spark, SF_SMOKE)
+            .filter(F.substring("bucket_start", 1, 10).between(lo, hi))
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == expected and expected

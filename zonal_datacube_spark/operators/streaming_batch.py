@@ -16,6 +16,9 @@ Spark's 1-day/6-hour windows are epoch-aligned, so window starts equal
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -23,10 +26,55 @@ from zonal_datacube_spark.sources.loader import load_table
 
 _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap in microseconds
 
+_PART_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "zds_partitioned_events")
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, cached under the system temp dir) a
+    day-partitioned copy of events — the on-disk fishnet-tile analogue:
+    ``day=YYYY-MM-DD/`` directories let a time predicate prune whole
+    partitions at planning time instead of filtering rows at runtime."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(_PART_CACHE_ROOT, tag, "events_by_day")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    return path
+
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-day tumbling counts/sums per event_type via window()."""
     ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+TUMBLING_PART_DAYS = ("2024-01-05", "2024-01-14")  # inclusive day range
+
+
+def q_stream_tumbling_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_stream_tumbling restricted to a 10-day range, read from the
+    day-partitioned events layout: the ``day`` predicate becomes a
+    PartitionFilter (asserted in tests/test_data_skipping.py), so only
+    10 of ~31 day directories are scanned. 1-day tumbling windows are
+    epoch-aligned UTC, so window start == partition day exactly."""
+    lo, hi = TUMBLING_PART_DAYS
+    ev = spark.read.parquet(partitioned_events_path(spark, sf_dir)).filter(
+        F.col("day").between(lo, hi)
+    )
     return (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
@@ -126,6 +174,7 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_tumbling_partitioned": q_stream_tumbling_partitioned,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
@@ -139,6 +188,16 @@ ORACLE = {
                count(*) AS n_events,
                round(sum(value), 2) AS sum_value
         FROM events
+        GROUP BY 1, 2
+    """,
+    "q_stream_tumbling_partitioned": f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{TUMBLING_PART_DAYS[0]}'
+                                           AND '{TUMBLING_PART_DAYS[1]}'
         GROUP BY 1, 2
     """,
     "q_stream_sliding": """

@@ -60,6 +60,7 @@ KEY_ORDER = (
     # newly declared keys
     "q_media_decode_stats",
     "q_agg_percentile_approx",
+    "q_stream_tumbling_partitioned",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
