@@ -51,11 +51,11 @@ def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
     """Fit k centroids; returns DataFrame(cell INT, centroid ARRAY<DOUBLE>)."""
     spark = emb.sparkSession
-    seeds = [
+    current = [
         (i, [float(v) for v in r.embedding])
         for i, r in enumerate(emb.orderBy("vec_id").limit(k).collect())
     ]
-    centroids = _centroids_to_rows(spark, seeds)
+    centroids = _centroids_to_rows(spark, current)
     for _ in range(iters):
         assigned = assign_cells(emb, centroids)
         per_dim = (
@@ -72,9 +72,12 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
             )
             .collect()
         )
-        centroids = _centroids_to_rows(
-            spark, [(r.cell, list(r.centroid)) for r in new_rows]
-        )
+        # a cell that attracted zero points vanishes from the aggregate —
+        # keep its previous centroid so callers always get k cells back
+        # (deterministic; the cell can re-acquire points next iteration)
+        updated = {r.cell: list(r.centroid) for r in new_rows}
+        current = [(c, updated.get(c, vec)) for c, vec in current]
+        centroids = _centroids_to_rows(spark, current)
     return centroids
 
 
