@@ -38,5 +38,7 @@ def canonical_fingerprint(text_col: str = "text") -> Column:
 
 
 def stopword_count(tokens_col: str = "t", stopwords: tuple[str, ...] = ("the", "a")) -> Column:
-    cond = " OR ".join(f"x = '{w}'" for w in stopwords)
-    return F.expr(f"size(filter({tokens_col}, x -> {cond}))")
+    # column expressions, not string interpolation — a stopword containing
+    # a quote must not be able to alter the predicate
+    stopword_arr = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(F.col(tokens_col), lambda x: F.array_contains(stopword_arr, x)))

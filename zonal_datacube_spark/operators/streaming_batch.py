@@ -201,10 +201,20 @@ ORACLE = {
         GROUP BY 1, 2
     """,
     "q_stream_sliding": """
-        WITH starts AS (
+        WITH bounds AS (
+            -- derive the enumeration from the data (a fixture with events
+            -- outside a hardcoded span would silently drop windows);
+            -- day-truncation keeps starts aligned to epoch 6h boundaries,
+            -- over-generation is harmless — the inner join drops empty
+            -- windows, exactly like Spark's window() output
+            SELECT date_trunc('day', min(ts)) - INTERVAL 1 DAY AS lo,
+                   date_trunc('day', max(ts)) + INTERVAL 1 DAY AS hi
+            FROM events
+        ),
+        starts AS (
             SELECT unnest(generate_series(
-                TIMESTAMP '2023-12-31 06:00:00',
-                TIMESTAMP '2024-01-31 00:00:00',
+                (SELECT lo FROM bounds),
+                (SELECT hi FROM bounds),
                 INTERVAL 6 HOUR)) AS s
         )
         SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS win_start,

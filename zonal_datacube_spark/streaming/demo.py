@@ -115,7 +115,11 @@ def run_stream_foreach_batch(
     """foreachBatch sink: each micro-batch lands as parquet via the normal
     batch writer — the escape hatch for sinks without a native streaming
     writer (JDBC, upserts, multi-table fan-out). Batch id makes the write
-    idempotent under retries (the path encodes it)."""
+    idempotent under same-batch retries (the path encodes it). In
+    complete mode every batch dir is a full snapshot, so readers must
+    take ONLY the max batch id (``read_foreach_batch_result``) — a
+    batch=* union would double-count earlier snapshots whenever
+    availableNow splits the input into multiple batches."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
@@ -127,6 +131,17 @@ def run_stream_foreach_batch(
         .start()
     )
     q.awaitTermination(120)
+
+
+def read_foreach_batch_result(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the final snapshot written by ``run_stream_foreach_batch``:
+    the max batch id's directory (complete-mode snapshots supersede each
+    other; earlier batch dirs are retries/history, not data to union)."""
+    import os
+
+    batches = [d for d in os.listdir(out_dir) if d.startswith("batch=")]
+    last = max(batches, key=lambda d: int(d.split("=", 1)[1]))
+    return spark.read.parquet(os.path.join(out_dir, last))
 
 
 def run_stream_to_memory(

@@ -47,11 +47,18 @@ def _update_profile(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    n, total, last_us = state.get if state.exists else (0, 0.0, None)
     for pdf in pdfs:
+        if not len(pdf):
+            continue
         n += len(pdf)
         total += float(pdf["value"].sum())
-        last_us = max(last_us, int(pdf["ts_us"].max()))
+        # guard the max: an all-null ts batch yields NaN, and pre-epoch
+        # timestamps must not lose to a 0 initializer
+        mx = pdf["ts_us"].max()
+        if pd.notna(mx):
+            mx = int(mx)
+            last_us = mx if last_us is None else max(last_us, mx)
     state.update((n, total, last_us))
     yield pd.DataFrame(
         {
