@@ -83,6 +83,108 @@ def test_random_join_agrees(pred, join_type, spark, duck):
     assert got == want, f"disagreement for {join_type} with predicate: {pred}"
 
 
+@st.composite
+def string_exprs(draw) -> str:
+    """Random scalar string expression valid (and identical) in both SQL
+    dialects over part.p_name."""
+    base = "p_name"
+    for _ in range(draw(st.integers(1, 3))):
+        kind = draw(st.sampled_from(("upper", "lower", "trim", "reverse", "substr", "replace", "concat")))
+        if kind == "substr":
+            s = draw(st.integers(1, 6))
+            ln = draw(st.integers(1, 8))
+            base = f"substr({base}, {s}, {ln})"
+        elif kind == "replace":
+            frm = draw(st.sampled_from(("a", "e", "r", " ")))
+            to = draw(st.sampled_from(("", "X", "zz")))
+            base = f"replace({base}, '{frm}', '{to}')"
+        elif kind == "concat":
+            base = f"({base} || '{draw(st.sampled_from(('-', '_t', '')))}')"
+        else:
+            base = f"{kind}({base})"
+    return base
+
+
+@given(expr=string_exprs(), m=st.integers(2, 7))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_string_exprs_agree(expr, m, spark, duck):
+    sql = f"""
+        SELECT p_partkey, {expr} AS e, length({expr}) AS n
+        FROM part WHERE p_partkey % {m} = 1
+    """
+    load_table(spark, SF_ORACLE, "part").createOrReplaceTempView("part")
+    got = {(r.p_partkey, r.e, r.n) for r in spark.sql(sql).collect()}
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want, f"disagreement for string expr: {expr}"
+
+
+@st.composite
+def date_exprs(draw) -> str:
+    """Random date expression over l_shipdate, dialect-shared surface:
+    date_trunc (cast to DATE — Spark returns TIMESTAMP), extract, and
+    interval arithmetic."""
+    kind = draw(st.sampled_from(("trunc", "extract", "shift")))
+    if kind == "trunc":
+        unit = draw(st.sampled_from(("month", "quarter", "year", "week")))
+        return f"cast(date_trunc('{unit}', cast(l_shipdate AS DATE)) AS DATE)"
+    if kind == "extract":
+        unit = draw(st.sampled_from(("year", "month", "day", "quarter")))
+        return f"cast(extract({unit} FROM l_shipdate) AS BIGINT)"
+    # outer cast: DuckDB yields TIMESTAMP for DATE ± INTERVAL, Spark DATE
+    n = draw(st.integers(-40, 40))
+    shift = f"+ INTERVAL {n} DAY" if n >= 0 else f"- INTERVAL {-n} DAY"
+    return f"cast(cast(l_shipdate AS DATE) {shift} AS DATE)"
+
+
+@given(expr=date_exprs(), pred=predicates())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_date_exprs_agree(expr, pred, spark, duck):
+    sql = f"""
+        SELECT l_orderkey, l_linenumber, {expr} AS e
+        FROM lineitem WHERE {pred}
+    """
+    load_table(spark, SF_ORACLE, "lineitem").createOrReplaceTempView("lineitem")
+    got = {(r.l_orderkey, r.l_linenumber, r.e) for r in spark.sql(sql).collect()}
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want, f"disagreement for date expr: {expr}"
+
+
+@given(
+    p1=predicates(),
+    p2=predicates(),
+    setop=st.sampled_from(("UNION", "UNION ALL", "INTERSECT", "EXCEPT")),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_set_ops_agree(p1, p2, setop, spark, duck):
+    """Random projections under each set operator; UNION ALL compares
+    multisets (duplicates preserved), the rest distinct sets."""
+    from collections import Counter
+
+    sql = f"""
+        SELECT l_returnflag AS a, l_linestatus AS b, round(l_quantity, 0) AS q
+        FROM lineitem WHERE {p1}
+        {setop}
+        SELECT l_returnflag, l_linestatus, round(l_quantity, 0)
+        FROM lineitem WHERE {p2}
+    """
+    load_table(spark, SF_ORACLE, "lineitem").createOrReplaceTempView("lineitem")
+    got = Counter((r.a, r.b, r.q) for r in spark.sql(sql).collect())
+    want = Counter(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == want, f"disagreement for {setop} with {p1!r} / {p2!r}"
+
+
 @given(pred=predicates(), k=st.integers(1, 4))
 @settings(
     max_examples=15,
