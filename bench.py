@@ -38,6 +38,8 @@ def main() -> int:
     # dedup key happens to run first.
     queries["q_zonal_stats"](spark, sf_dir).toPandas()
     queries["q_dedup_minhash"](spark, sf_dir).toPandas()
+    # spawn the Python worker pool (first Arrow-UDF query otherwise pays it)
+    queries["q_media_decode_stats"](spark, sf_dir).toPandas()
 
     # Materialize via Arrow (toPandas): full result transfer at columnar
     # speed — collect()'s per-Row Python object construction would bench

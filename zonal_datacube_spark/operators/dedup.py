@@ -81,26 +81,29 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+def _verify_jaccard(cand: DataFrame, arrays: DataFrame) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs.
 
-    ``cand`` must have (a_id, b_id, na, nb). Candidates are a tiny fraction
-    of the corpus (that is the point of blocking), so broadcast them into
-    the shingle joins: the 100 TB shingle table streams through map-side
-    joins and never shuffles for verification."""
-    inter = (
-        F.broadcast(cand)
-        .join(sh.withColumnRenamed("doc_id", "a_id"), "a_id")
-        .join(
-            sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "sh_b"),
-            ["b_id"],
+    ``cand`` must have (a_id, b_id, na, nb); ``arrays`` is the per-doc
+    shingle-array table. Intersections are computed with
+    ``array_intersect`` on the two (distinct-element) arrays — per-row
+    map work, no explode and no pair-level aggregate. No join hints:
+    candidates are a tiny fraction of the corpus (that is the point of
+    blocking), and the slim side must be the one broadcast — forcing a
+    broadcast of the array-carrying intermediate ships |cand|·|doc|
+    strings to every executor, measurably slower even locally. AQE picks
+    the candidate side at any scale."""
+    a = arrays.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("shs_a"))
+    b = arrays.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("shs_b"))
+    both = cand.join(a, "a_id").join(b, "b_id")
+    return (
+        both.withColumn(
+            "inter", F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint")
         )
-        .filter(F.col("sh") == F.col("sh_b"))
-        .groupBy("a_id", "b_id", "na", "nb")
-        .agg(F.count("*").alias("inter"))
-    )
-    return inter.withColumn(
-        "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .drop("shs_a", "shs_b")
     )
 
 
@@ -109,43 +112,72 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sub-quadratic candidate generation via *prefix filtering* (Bayardo et
     al., WWW'07 "Scaling Up All Pairs Similarity Search"): order each
-    doc's shingles by a global total order — (md5(sh), sh), computed
-    per-row with array_sort on structs, no shuffle — and index only the
-    first ``n − ceil(τ·n) + 1``. Any pair with J ≥ τ has overlap
-    ≥ ceil(τ·max(|A|,|B|)), so both prefixes must intersect: the filter is
-    lossless. The inverted-index join probes ~20% of the shingle table
-    instead of 100%, and hot shingles outside prefixes never explode a
-    bucket. Length-bound pruning (min ≥ τ·max, also lossless) runs inside
-    the join probe; exact intersection counts verify the survivors."""
-    arrays = _doc_shingle_arrays(spark, sf_dir)
-    prefix = arrays.select(
-        "doc_id",
-        "n_sh",
-        F.explode(
-            F.expr(
-                "slice(transform(array_sort(transform(shs, x -> struct(md5(x) AS k, x AS v))),"
-                " s -> s.v),"
-                f" 1, cast(n_sh - ceil({NEAR_DUP_TAU} * n_sh) + 1 AS int))"
-            )
-        ).alias("sh"),
+    doc's shingles by a global total order and index only the first
+    ``n − ceil(τ·n) + 1``. Any pair with J ≥ τ has overlap
+    ≥ ceil(τ·max(|A|,|B|)), so both prefixes must intersect: the filter
+    is lossless under ANY consistent total order. The order used is
+    frequency-ASCENDING (ties broken by the shingle itself) — the
+    canonical choice: prefixes then hold each doc's *rarest* shingles, so
+    inverted-index buckets stay tiny even though the corpus' hot shingles
+    are shared by thousands of docs (a hash order would sample hot
+    shingles into prefixes and re-create the bucket blowup). The
+    frequency table is a broadcast (distinct shingles ≪ corpus); the only
+    extra shuffle is the per-doc ranking window. Length-bound pruning
+    (min ≥ τ·max, also lossless) runs inside the join probe; exact
+    intersection counts verify the survivors."""
+    from pyspark.sql import Window
+
+    sh = _doc_shingles(spark, sf_dir)
+    freq = F.broadcast(sh.groupBy("sh").agg(F.count("*").alias("f")))
+    w = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(freq, "sh")
+        .select(
+            "doc_id",
+            "sh",
+            F.row_number().over(w.orderBy("f", "sh")).alias("rk"),
+            F.count("*").over(w).alias("n_sh"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(NEAR_DUP_TAU) * F.col("n_sh")) + 1
     )
     a = prefix.select(
-        F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+        F.col("doc_id").alias("a_id"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+        F.col("rk").alias("rk_a"),
     )
     b = prefix.select(
-        F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
+        F.col("doc_id").alias("b_id"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+        F.col("rk").alias("rk_b"),
+    )
+    # positional filter (PPJoin, Xiao et al.): a match at prefix positions
+    # (i, j) bounds the overlap by 1 + min(na−i, nb−j); pairs that cannot
+    # reach the required overlap α = ceil(τ(na+nb)/(1+τ)) die inside the
+    # probe. Lossless: a qualifying pair's FIRST shared token in the
+    # global order carries the loosest bound, which passes. The 1e-9 nudge
+    # keeps float ceil from over-pruning when the bound is an exact int.
+    alpha = F.expr(
+        f"cast(ceil((na + nb) * {NEAR_DUP_TAU} / (1 + {NEAR_DUP_TAU}) - 1e-9) AS int)"
     )
     cand = (
         a.join(
             b,
             (F.col("sh_a") == F.col("sh_b"))
             & (F.col("a_id") < F.col("b_id"))
-            & (F.least("na", "nb") >= NEAR_DUP_TAU * F.greatest("na", "nb")),
+            & (F.least("na", "nb") >= NEAR_DUP_TAU * F.greatest("na", "nb"))
+            & (
+                1 + F.least(F.col("na") - F.col("rk_a"), F.col("nb") - F.col("rk_b"))
+                >= alpha
+            ),
         )
         .select("a_id", "b_id", "na", "nb")
         .distinct()
     )
-    j = _verify_jaccard(cand, _doc_shingles(spark, sf_dir))
+    j = _verify_jaccard(cand, _doc_shingle_arrays(spark, sf_dir))
     return j.filter(F.col("jaccard") >= NEAR_DUP_TAU).select(
         "a_id", "b_id", "inter", F.round("jaccard", 6).alias("jaccard")
     )
@@ -208,7 +240,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    j = _verify_jaccard(cand, _doc_shingles(spark, sf_dir))
+    j = _verify_jaccard(cand, _doc_shingle_arrays(spark, sf_dir))
     return j.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -222,42 +254,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Portable bit plumbing: hex-digit value via locate/strpos into a hex
     alphabet, bit extraction via integer div/mod — byte-identical in both
-    engines. The signature build is explode (shingles × 16 bits) + two
-    groupBys — whole-stage-codegen'd JVM work (a nested higher-order-
-    function formulation is ~20× slower: HOF lambdas evaluate
-    interpreted). The signature table is persisted because both self-join
-    sides reference it; it is n_docs rows — 1/1000th of the corpus at any
-    scale. The pair scan is *banded*, never all-pairs: split the 16 bits
-    into 2 bands of 8; hamming ≤ 1 means the single differing bit lies in
-    one band, so the other band matches exactly — an equi-join on (band,
-    value) finds every qualifying pair (lossless), then exact hamming is
-    the residual filter. Hash-join scaling instead of n² comparisons."""
+    engines. The signature build is ONE codegen'd groupBy pass: 16 per-bit
+    vote sums as aggregate expressions over the shingle rows, then bit
+    assembly from the 16 sums — no shingles×16 explode, one shuffle on
+    doc_id (same single-pass shape as the minhash signature). The
+    n_docs-row signature table is persisted because both self-join sides
+    reference it. The pair scan is *banded*, never all-pairs: split the
+    16 bits into 2 bands of 8; hamming ≤ 1 means the single differing bit
+    lies in one band, so the other band matches exactly — an equi-join on
+    (band, value) finds every qualifying pair (lossless), then exact
+    hamming is the residual filter. Hash-join scaling instead of n²
+    comparisons."""
     sh = _doc_shingles(spark, sf_dir)
-    bits = sh.select(
-        "doc_id",
-        F.explode(F.expr("sequence(0, 15)")).alias("j"),
-        F.col("sh"),
-    ).withColumn(
-        "bit",
-        F.expr(
-            "((locate(substr(md5(sh), 1 + cast(j div 4 AS int), 1), '0123456789abcdef') - 1)"
-            " div (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2"
-        ),
-    )
-    votes = bits.groupBy("doc_id", "j").agg(
-        F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("s")
+    # per-bit vote: hex digit j div 4 of md5(sh), bit j%4 of that digit,
+    # mapped to ±1 — positions precomputed per j, so each sum is a plain
+    # codegen expression over the row's md5
+    vote_sums = [
+        F.sum(
+            F.expr(
+                f"((locate(substr(md5(sh), {1 + j // 4}, 1), '0123456789abcdef') - 1)"
+                f" div {(8, 4, 2, 1)[j % 4]}) % 2 * 2 - 1"
+            )
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    assemble = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
     )
     sig = (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 AS bigint), j)")).otherwise(
-                    F.lit(0)
-                )
-            )
-            .cast("bigint")
-            .alias("simhash")
-        )
+        sh.groupBy("doc_id")
+        .agg(*vote_sums)
+        .select("doc_id", F.expr(f"cast({assemble} AS bigint)").alias("simhash"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     banded = sig.select(

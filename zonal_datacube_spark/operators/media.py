@@ -26,7 +26,11 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The aggregate runs JVM-side on the decoded (small) stats frame; the
     binary payloads never pass through a shuffle — at 100 TB the decode is
     map-only work colocated with the object-store scan."""
-    media = synthetic_media(spark, N_MEDIA)
+    # right-size parallelism to the data: 96 demo rows across the default
+    # 32 partitions would spawn 32 Python workers for 3 rows each — worker
+    # spawn, not decode, would dominate. At real scale the partition count
+    # comes from splittable input files, not from here.
+    media = synthetic_media(spark, N_MEDIA).coalesce(8)
     stats = decode_media_stats(media)
     return (
         stats.groupBy("kind")
