@@ -62,6 +62,28 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_foreach_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming execution as a declared, oracle-checked
+    key: file-source readStream → watermarked 1-day tumbling aggregate →
+    foreachBatch parquet sink (availableNow) → read back the final
+    snapshot. The oracle is q_stream_tumbling's SQL — stream ≡ batch on
+    the finite fixture is exactly the semantics Structured Streaming
+    promises. The sink dir is a fresh temp dir per call, left on disk
+    because the returned DataFrame reads it lazily."""
+    import tempfile
+
+    from zonal_datacube_spark.streaming.demo import (
+        events_stream,
+        read_foreach_batch_result,
+        run_stream_foreach_batch,
+        tumbling_counts,
+    )
+
+    out = tempfile.mkdtemp(prefix="zds_foreach_")
+    run_stream_foreach_batch(tumbling_counts(events_stream(spark, sf_dir)), spark, out)
+    return read_foreach_batch_result(spark, out)
+
+
 TUMBLING_PART_DAYS = ("2024-01-05", "2024-01-14")  # inclusive day range
 
 
@@ -175,6 +197,7 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_tumbling_partitioned": q_stream_tumbling_partitioned,
+    "q_stream_foreach_roundtrip": q_stream_foreach_roundtrip,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
@@ -183,6 +206,14 @@ QUERIES = {
 
 ORACLE = {
     "q_stream_tumbling": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "q_stream_foreach_roundtrip": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
                event_type,
                count(*) AS n_events,
