@@ -244,6 +244,73 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step a real
+    dedup pipeline runs after pair generation: A≈B and B≈C must collapse
+    into ONE cluster even when A≈C wasn't emitted, else two of the three
+    survive dedup.
+
+    Pair source: the MinHash-LSH tier filtered to J ≥ τ — the sub-quadratic
+    production path (its signature caches are shared session-wide); LSH can
+    in principle miss a qualifying pair that shares no band, which is the
+    documented recall trade of LSH-based dedup at scale.
+
+    Algorithm: min-label propagation. Every doc in a pair starts labeled
+    with itself; each round, label := min over neighbors-plus-self of the
+    current labels (self-loop edges make that ONE join + ONE aggregate per
+    round); converged when a round changes nothing. This is the standard
+    distributed connected-components shape — propagation touches only the
+    pair graph, never non-duplicate docs. Rounds are bounded by component
+    diameter; the loop exits on a converged check, not a guess. Output:
+    (doc_id, cluster_id = min doc_id of the component), one row per doc
+    that appears in at least one pair."""
+    # the pair graph is output-sized (dup pairs only) — orders of magnitude
+    # smaller than the corpus. Right-size its partitioning before the loop:
+    # over-partitioned tiny caches make every propagation stage pay 32
+    # tasks + broadcast builds of near-empty partitions (measured ~2× the
+    # whole query). At real scale, size ∝ |pairs| instead of 1.
+    pairs = (
+        q_dedup_minhash(spark, sf_dir)
+        .filter(F.col("jaccard") >= NEAR_DUP_TAU)
+        .select("a_id", "b_id")
+        .repartition(1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = pairs.select(F.col("a_id").alias("doc_id")).union(
+        pairs.select("b_id")
+    ).distinct()
+    edges = (
+        pairs.union(pairs.select(F.col("b_id"), F.col("a_id")))
+        .union(nodes.select("doc_id", "doc_id"))  # self-loops keep own label
+        .toDF("a", "b")
+    )
+    labels = nodes.withColumn("cluster_id", F.col("doc_id"))
+
+    def step(lbl: DataFrame) -> DataFrame:
+        return (
+            edges.join(lbl, edges.b == lbl.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+
+    # two propagation rounds per convergence check: Spark actions (job
+    # submissions) dominate on the tiny edge set, so halve them — the
+    # check only needs "the LAST round changed nothing"
+    while True:
+        r1 = step(labels).persist(StorageLevel.MEMORY_AND_DISK)
+        r2 = step(r1).persist(StorageLevel.MEMORY_AND_DISK)
+        changed = (
+            r2.alias("u")
+            .join(r1.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = r2
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
 SIMHASH_BITS = 16
 SIMHASH_MAX_HAMMING = 1
 
@@ -329,6 +396,7 @@ QUERIES = {
     "q_dedup_near": q_dedup_near,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 ORACLE = {
@@ -353,6 +421,56 @@ ORACLE = {
         JOIN sz sa ON a_id = sa.doc_id
         JOIN sz sb ON b_id = sb.doc_id
         WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {NEAR_DUP_TAU}
+    """,
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE {_SH_CTE},
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+                   min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+                   min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+                   min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7,
+                   min(md5('8|' || sh)) AS h8
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, 0 AS band, h0 || h1 || h2 AS bv FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, h3 || h4 || h5 AS bv FROM sig
+            UNION ALL
+            SELECT doc_id, 2 AS band, h6 || h7 || h8 AS bv FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.a_id, c.b_id, count(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.a_id
+            JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+            GROUP BY 1, 2
+        ),
+        goodpairs AS (
+            SELECT a_id, b_id FROM inter
+            JOIN sz sa ON a_id = sa.doc_id
+            JOIN sz sb ON b_id = sb.doc_id
+            WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
+                  >= {NEAR_DUP_TAU}
+        ),
+        edges AS (
+            SELECT a_id AS a, b_id AS b FROM goodpairs
+            UNION ALL
+            SELECT b_id, a_id FROM goodpairs
+        ),
+        reach(id, label) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+        )
+        SELECT id AS doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY id ORDER BY doc_id
     """,
     "q_dedup_simhash": f"""
         WITH {_SH_CTE},

@@ -62,6 +62,7 @@ KEY_ORDER = (
     "q_agg_percentile_approx",
     "q_stream_tumbling_partitioned",
     "q_stream_foreach_roundtrip",
+    "q_dedup_clusters",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
