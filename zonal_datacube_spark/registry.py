@@ -30,6 +30,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.udf_queries",
     "zonal_datacube_spark.operators.analytics_ext",
     "zonal_datacube_spark.operators.media",
+    "zonal_datacube_spark.operators.scale_ops",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact

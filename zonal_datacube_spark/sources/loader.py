@@ -87,6 +87,13 @@ def load_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def load_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (native reader). Like parquet: footer-only schema read,
+    predicate pushdown into stripe/row-group statistics, column pruning."""
+    ensure_session_confs(spark)
+    return spark.read.orc(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view so ``spark.sql`` queries
     (GROUPING SETS etc.) can reference them by name."""

@@ -30,6 +30,21 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (native ORC writer, zlib). Same layout contract as the
+    parquet sink; ORC carries its own column statistics and bloom-filter
+    support, so downstream reads keep predicate pushdown."""
+    writer = df.write.mode(mode).format("orc")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
