@@ -1,0 +1,59 @@
+"""PQ ANN: codebook/code shapes, compression invariants, and recall of the
+ADC ranking against exact brute-force cosine on the fixture embeddings."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from zonal_datacube_spark.functions.pq import PQ_K, PQ_M, pq_ann, pq_encode, pq_train
+from zonal_datacube_spark.operators.similarity import _dot
+from zonal_datacube_spark.sources.loader import load_table
+
+PROBES = [0, 1, 2, 3, 4]
+K = 5
+
+
+def _brute_topk(emb, k):
+    probes = emb.filter(F.col("vec_id").isin(PROBES)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        probes.crossJoin(emb.select("vec_id", "embedding"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("score", _dot("probe_vec", "embedding"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def test_pq_shapes_and_compression(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codebook = pq_train(emb, iters=2)
+    assert codebook.count() == PQ_M * PQ_K
+    dim = len(emb.select("embedding").first()[0])
+    assert all(len(r.cvec) == dim // PQ_M for r in codebook.collect())
+    codes = pq_encode(emb, codebook)
+    assert codes.count() == emb.count()
+    sample = codes.limit(20).collect()
+    for r in sample:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
+
+
+def test_pq_ann_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.probe_id, r.neighbor_id) for r in _brute_topk(emb, K).collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in pq_ann(emb, PROBES, k=K, iters=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 32x compression (64 floats -> 16 nibble codes) + exact re-rank of a
+    # 10k-deep ADC shortlist; measured 0.88 on the fixture
+    assert recall >= 0.8, f"recall@{K} = {recall}"

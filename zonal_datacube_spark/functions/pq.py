@@ -1,0 +1,214 @@
+"""Product quantization (PQ) — the memory-bound ANN tier under IVF.
+
+At 100 TB scale the raw embedding matrix does not fit anywhere: 10⁹ docs ×
+64 dims × 4 bytes ≈ 256 GB *per replica*. PQ stores each vector as M
+sub-codes (here 8 codes × 4 bits of codebook id = 8 bytes/vector, a 32×
+compression) and scores queries against the codes with an asymmetric
+distance computation (ADC): the query stays exact, the corpus is quantized
+(Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011).
+
+Spark shape — every stage is joins + aggregates, nothing leaves the JVM
+except the M×K codebook (tiny) per training iteration:
+
+- **train**: split each vector into M subvectors (one ``slice`` each);
+  Lloyd iterations run over ALL subspaces at once — assignment is an
+  equi-join on the subspace id against the broadcast M×K codebook followed
+  by a min-struct aggregate; the update is posexplode → per-(sub, code,
+  dim) mean. Driver traffic per iteration = M×K×(dim/M) floats = one
+  codebook.
+- **encode**: one more assignment pass → (vec_id, codes ARRAY<INT>) — the
+  8-byte row that replaces the 256-byte embedding at rest.
+- **score (ADC)**: per probe, a lookup table of M×K partial inner products
+  (inner product decomposes exactly over subspaces; the LUT is a broadcast
+  crossJoin of probes × codebook); scoring the corpus is explode(codes) →
+  equi-join on (sub, code) → sum — a hash join against a few-KB build side,
+  no per-pair vector math at all.
+
+The subspace metric is L2 (standard PQ); scoring uses inner products,
+the MIPS-via-PQ arrangement. Deterministic end-to-end: seeds are the first
+K vectors by vec_id, ties break on the lower code id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.operators.similarity import _dot
+
+# 16 subspaces x 4 dims x 4-bit codes = 8 bytes/vector (32x compression).
+# At a fixed code budget, narrower subspaces quantize better: k-means
+# residual energy scales ~ K^(-2/d), so 16 codes in 4 dims keeps ~75% of
+# the energy where 16 codes in 8 dims keeps only ~50%.
+PQ_M = 16  # subspaces
+PQ_K = 16  # codes per subspace (4 bits)
+
+
+def _l2(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> (cast(x AS double) - y) * (cast(x AS double) - y)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _subvectors(emb: DataFrame, m: int, dim: int) -> DataFrame:
+    """(vec_id, sub, sv) — one row per vector per subspace; sv = dim/m dims."""
+    d = dim // m
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("embedding", s * d + 1, d).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return emb.select("vec_id", F.explode(slices).alias("x")).select(
+        "vec_id", "x.sub", "x.sv"
+    )
+
+
+def _assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest code per (vec_id, sub) under L2 — equi-join on sub against
+    the broadcast codebook, then a min-struct (deterministic tie-break on
+    code id). Returns (vec_id, sub, code)."""
+    return (
+        sv.join(F.broadcast(codebook), "sub")
+        .withColumn("dist", F.round(_l2("sv", "cvec"), 9))
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "code")).alias("best"))
+        .select("vec_id", "sub", F.col("best.code").alias("code"))
+    )
+
+
+def _codebook_df(spark, rows: dict[tuple[int, int], list[float]]) -> DataFrame:
+    data = [(s, c, [float(v) for v in vec]) for (s, c), vec in sorted(rows.items())]
+    return spark.createDataFrame(data, "sub INT, code INT, cvec ARRAY<DOUBLE>")
+
+
+def pq_train(
+    emb: DataFrame, m: int = PQ_M, ksub: int = PQ_K, iters: int = 3
+) -> DataFrame:
+    """Fit per-subspace codebooks; returns (sub, code, cvec ARRAY<DOUBLE>).
+
+    At production scale this runs on a uniform sample (codebooks need
+    ~100×K training points per subspace, not the corpus); the fixture is
+    small enough to train on everything."""
+    spark = emb.sparkSession
+    dim = len(emb.select("embedding").first()[0])
+    sv = _subvectors(emb, m, dim).persist()
+    seed_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(ksub).collect()]
+    seeds = sv.filter(F.col("vec_id").isin(seed_ids)).collect()
+    rank = {v: i for i, v in enumerate(sorted(seed_ids))}
+    current = {(r.sub, rank[r.vec_id]): [float(v) for v in r.sv] for r in seeds}
+    codebook = _codebook_df(spark, current)
+    for _ in range(iters):
+        assigned = _assign(sv, codebook)
+        new_rows = (
+            assigned.join(sv, ["vec_id", "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("mval"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda s: s["mval"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        updated = {(r.sub, r.code): list(r.cvec) for r in new_rows}
+        # empty cells keep their previous centroid (same policy as kmeans_fit)
+        current = {kc: updated.get(kc, vec) for kc, vec in current.items()}
+        codebook = _codebook_df(spark, current)
+    sv.unpersist()
+    return codebook
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(vec_id, codes ARRAY<INT>) — the compressed corpus representation:
+    m small ints instead of dim floats."""
+    dim = len(emb.select("embedding").first()[0])
+    assigned = _assign(_subvectors(emb, m, dim), codebook)
+    return assigned.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+def pq_score(
+    probes: DataFrame, codes: DataFrame, codebook: DataFrame, m: int = PQ_M
+) -> DataFrame:
+    """ADC scoring: approx inner product of each (probe, corpus vector)
+    pair as a sum of M LUT entries. ``probes`` needs (probe_id, probe_vec);
+    returns (probe_id, vec_id, approx_score)."""
+    dim_d = F.size(F.col("cvec"))  # dims per subspace, from the codebook itself
+    lut = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(codebook))
+        .withColumn(
+            "qsub", F.slice("probe_vec", F.col("sub") * dim_d + 1, dim_d)
+        )
+        .withColumn("partial", _dot("qsub", "cvec"))
+        .select("probe_id", "sub", "code", "partial")
+    )
+    exploded = codes.select("vec_id", F.posexplode("codes").alias("sub", "code"))
+    return (
+        exploded.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.round(F.sum("partial"), 6).alias("approx_score"))
+    )
+
+
+def pq_ann(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_K,
+    iters: int = 3,
+    refine: int = 10,
+) -> DataFrame:
+    """Top-k ANN over the PQ-compressed corpus: train → encode → ADC
+    shortlist of ``refine·k`` per probe → exact re-rank of the shortlist
+    against the raw vectors (the standard PQ refinement: the expensive
+    exact dot runs on refine·k rows per probe, not the corpus). Composing
+    with IVF cell pruning (ivf_ann_quantized) bounds the ADC-scored set
+    at scale."""
+    codebook = pq_train(emb, m, ksub, iters)
+    codes = pq_encode(emb, codebook, m)
+    probes = emb.filter(F.col("vec_id").isin(*probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = pq_score(probes, codes, codebook, m).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    aw = Window.partitionBy("probe_id").orderBy(
+        F.col("approx_score").desc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") <= refine * k)
+        .select("probe_id", "vec_id", "approx_score")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        shortlist.join(F.broadcast(probes), "probe_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn("score", F.round(_dot("probe_vec", "embedding"), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_score",
+            "score",
+            "rn",
+        )
+    )
