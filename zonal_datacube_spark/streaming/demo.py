@@ -21,6 +21,8 @@ changes — that is the point of declaring it over the DataFrame API.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -142,6 +144,71 @@ def read_foreach_batch_result(spark: SparkSession, out_dir: str) -> DataFrame:
     batches = [d for d in os.listdir(out_dir) if d.startswith("batch=")]
     last = max(batches, key=lambda d: int(d.split("=", 1)[1]))
     return spark.read.parquet(os.path.join(out_dir, last))
+
+
+def read_versioned_state(
+    spark: SparkSession, state_dir: str, before: int | None = None
+) -> DataFrame | None:
+    """Latest state snapshot (max ``v=`` version), or the latest version
+    strictly below ``before`` (used by a retrying batch to merge against
+    pre-batch state, never its own partial output)."""
+    if not os.path.isdir(state_dir):
+        return None
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("v=")
+    ]
+    eligible = [v for v in versions if before is None or v < before]
+    if not eligible:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v={max(eligible)}"))
+
+
+def upsert_into_versioned_state(
+    batch_df: DataFrame, batch_id: int, state_dir: str, keys: list[str]
+) -> None:
+    """MERGE one update-mode micro-batch into a versioned keyed parquet
+    state: read the newest version *below this batch id*, upsert the
+    batch's rows (last-write-wins per key), write ``v=<batch_id>``.
+
+    Idempotent under same-batch retries by construction — a retry re-reads
+    the same pre-batch version and overwrites the same output dir, so the
+    double-counting trap of unioning snapshot dirs cannot occur. Readers
+    always take max ``v=`` (a consistent snapshot even while the next
+    version is landing). At scale the state table would be partitioned by
+    a key bucket and old versions vacuumed after a retention window."""
+    from zonal_datacube_spark.functions.merge import upsert
+
+    spark = batch_df.sparkSession
+    prev = read_versioned_state(spark, state_dir, before=batch_id)
+    merged = batch_df if prev is None else upsert(prev, batch_df, keys)
+    merged.write.mode("overwrite").parquet(os.path.join(state_dir, f"v={batch_id}"))
+
+
+def run_stream_upsert(
+    stream_df: DataFrame, spark: SparkSession, state_dir: str, keys: list[str]
+) -> DataFrame:
+    """Update-mode foreachBatch upsert: each micro-batch carries only the
+    keys whose aggregate changed since the last trigger (update mode), and
+    the sink merges them into the versioned state table — the streaming
+    shape that scales when the full result no longer fits a complete-mode
+    snapshot (complete mode re-emits EVERY window every batch; update mode
+    is O(changed keys)). Returns the final merged state."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda batch_df, batch_id: upsert_into_versioned_state(
+                batch_df, batch_id, state_dir, keys
+            )
+        )
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    result = read_versioned_state(spark, state_dir)
+    assert result is not None, "stream produced no batches"
+    return result
 
 
 def run_stream_to_memory(
