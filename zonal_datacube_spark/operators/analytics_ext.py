@@ -94,6 +94,78 @@ def q_str_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide per-group measure columns → long (measure, val)
+    rows via ``stack`` — the inverse of q_agg_pivot, and the standard
+    reshape before feeding generic per-measure pipelines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_discount"), 2).alias("disc"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr("stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (measure, val)"),
+    )
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank: quartile bucketing and relative rank per
+    group — the windowed scaffolding of the relational trimmed mean."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def q_explode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode with ordinality: token position survives the explode —
+    required by any positional text pipeline (n-grams, windows over
+    tokens). The oracle enumerates positions with unnest(range())."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
+    )
+
+
+def q_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — Catalyst rewrites it into a left-semi
+    join (same physical plan as q_join_semi; the surface is the point)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("zds_cust_ex")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("zds_orders_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM zds_cust_ex c
+        WHERE EXISTS (
+            SELECT 1 FROM zds_orders_ex o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+        """
+    )
+
+
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and filtered aggregates: bool_and/bool_or and conditional
+    counts per group (count_if ≡ FILTER (WHERE ...))."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("bool_and(value >= 0)").alias("all_nonneg"),
+        F.expr("bool_or(value > 150)").alias("any_large"),
+        F.expr("count_if(value > 100)").alias("n_over_100"),
+        F.count("*").alias("n_total"),
+    )
+
+
 QUERIES = {
     "q_join_cross": q_join_cross,
     "q_subquery_scalar": q_subquery_scalar,
@@ -101,6 +173,11 @@ QUERIES = {
     "q_agg_listagg": q_agg_listagg,
     "q_window_cume_nth": q_window_cume_nth,
     "q_str_split_part": q_str_split_part,
+    "q_agg_unpivot": q_agg_unpivot,
+    "q_window_ntile": q_window_ntile,
+    "q_explode_ordinality": q_explode_ordinality,
+    "q_join_exists": q_join_exists,
+    "q_agg_filtered": q_agg_filtered,
 }
 
 ORACLE = {
@@ -147,5 +224,52 @@ ORACLE = {
                reverse(p_brand) AS brand_rev,
                repeat('*', p_size % 5) AS stars
         FROM part
+    """,
+    "q_agg_unpivot": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2) AS qty,
+                   round(sum(l_extendedprice), 2) AS price,
+                   round(sum(l_discount), 2) AS disc
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag, 'qty' AS measure, qty AS val FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'price', price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'disc', disc FROM wide
+    """,
+    "q_window_ntile": """
+        SELECT o_orderstatus, o_orderkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    "q_explode_ordinality": """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents WHERE lang = 'de'
+        )
+        SELECT doc_id, i - 1 AS pos, t[i] AS token
+        FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    """,
+    "q_join_exists": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+    "q_agg_filtered": """
+        SELECT event_type,
+               bool_and(value >= 0) AS all_nonneg,
+               bool_or(value > 150) AS any_large,
+               count(*) FILTER (WHERE value > 100) AS n_over_100,
+               count(*) AS n_total
+        FROM events GROUP BY 1
     """,
 }
