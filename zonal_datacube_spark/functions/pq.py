@@ -45,12 +45,18 @@ PQ_M = 16  # subspaces
 PQ_K = 16  # codes per subspace (4 bits)
 
 
-def _l2(a: str, b: str) -> F.Column:
-    return F.expr(
-        f"aggregate(zip_with({a}, {b},"
-        " (x, y) -> (cast(x AS double) - y) * (cast(x AS double) - y)),"
-        " 0D, (acc, v) -> acc + v)"
+def _l2(a: str, b: str, d: int) -> F.Column:
+    """Squared L2 over d-dim arrays, unrolled into plain element_at
+    arithmetic: higher-order-function lambdas (zip_with/aggregate) evaluate
+    interpreted row-by-row, while this form stays inside whole-stage
+    codegen — the assignment join is the training/encode hot path, and d is
+    tiny (dim/M), so unrolling is cheap and ~several× faster."""
+    terms = " + ".join(
+        f"(cast(element_at({a}, {i}) AS double) - element_at({b}, {i}))"
+        f" * (cast(element_at({a}, {i}) AS double) - element_at({b}, {i}))"
+        for i in range(1, d + 1)
     )
+    return F.expr(terms)
 
 
 def _subvectors(emb: DataFrame, m: int, dim: int) -> DataFrame:
@@ -70,13 +76,13 @@ def _subvectors(emb: DataFrame, m: int, dim: int) -> DataFrame:
     )
 
 
-def _assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
+def _assign(sv: DataFrame, codebook: DataFrame, d: int) -> DataFrame:
     """Nearest code per (vec_id, sub) under L2 — equi-join on sub against
     the broadcast codebook, then a min-struct (deterministic tie-break on
     code id). Returns (vec_id, sub, code)."""
     return (
         sv.join(F.broadcast(codebook), "sub")
-        .withColumn("dist", F.round(_l2("sv", "cvec"), 9))
+        .withColumn("dist", F.round(_l2("sv", "cvec", d), 9))
         .groupBy("vec_id", "sub")
         .agg(F.min(F.struct("dist", "code")).alias("best"))
         .select("vec_id", "sub", F.col("best.code").alias("code"))
@@ -105,7 +111,7 @@ def pq_train(
     current = {(r.sub, rank[r.vec_id]): [float(v) for v in r.sv] for r in seeds}
     codebook = _codebook_df(spark, current)
     for _ in range(iters):
-        assigned = _assign(sv, codebook)
+        assigned = _assign(sv, codebook, dim // m)
         new_rows = (
             assigned.join(sv, ["vec_id", "sub"])
             .select("sub", "code", F.posexplode("sv").alias("pos", "v"))
@@ -132,7 +138,7 @@ def pq_encode(emb: DataFrame, codebook: DataFrame, m: int = PQ_M) -> DataFrame:
     """(vec_id, codes ARRAY<INT>) — the compressed corpus representation:
     m small ints instead of dim floats."""
     dim = len(emb.select("embedding").first()[0])
-    assigned = _assign(_subvectors(emb, m, dim), codebook)
+    assigned = _assign(_subvectors(emb, m, dim), codebook, dim // m)
     return assigned.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
@@ -172,14 +178,22 @@ def pq_ann(
     ksub: int = PQ_K,
     iters: int = 3,
     refine: int = 10,
+    train_mod: int = 1,
 ) -> DataFrame:
     """Top-k ANN over the PQ-compressed corpus: train → encode → ADC
     shortlist of ``refine·k`` per probe → exact re-rank of the shortlist
     against the raw vectors (the standard PQ refinement: the expensive
     exact dot runs on refine·k rows per probe, not the corpus). Composing
     with IVF cell pruning (ivf_ann_quantized) bounds the ADC-scored set
-    at scale."""
-    codebook = pq_train(emb, m, ksub, iters)
+    at scale.
+
+    ``train_mod`` > 1 trains codebooks on the deterministic 1/train_mod
+    slice ``vec_id % train_mod == 0`` — codebooks need ~100·K points per
+    subspace, not the corpus; production PQ always trains on a sample."""
+    train_emb = (
+        emb.filter(F.col("vec_id") % train_mod == 0) if train_mod > 1 else emb
+    )
+    codebook = pq_train(train_emb, m, ksub, iters)
     codes = pq_encode(emb, codebook, m)
     probes = emb.filter(F.col("vec_id").isin(*probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")

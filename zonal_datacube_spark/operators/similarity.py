@@ -117,6 +117,21 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN as a declared key (rows-only: codebook training is
+    iterative k-means, not SQL-expressible): train on a 1/10 deterministic
+    sample, encode the full corpus to 8-byte codes, ADC-score the probes
+    against the codes, exact-re-rank the shortlist. The memory-bound ANN
+    tier — see functions/pq.py for the 100 TB story (32× corpus
+    compression, LUT hash-join scoring)."""
+    from zonal_datacube_spark.functions.pq import pq_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ann(emb, list(PROBE_IDS), k=ANN_K, iters=2, train_mod=10).orderBy(
+        "probe_id", "rn"
+    )
+
+
 EMBED_DUP_TAU = 0.4
 
 
@@ -153,6 +168,7 @@ QUERIES = {
     "q_sim_knn": q_sim_knn,
     "q_sim_join": q_sim_join,
     "q_sim_lsh_ann": q_sim_lsh_ann,
+    "q_sim_pq_ann": q_sim_pq_ann,
     "q_dedup_embed": q_dedup_embed,
 }
 
