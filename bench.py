@@ -84,6 +84,40 @@ def bench_json_line(timings: dict[str, float], sf: float) -> str:
             separators=(",", ":"),
         )
         if len(line) <= 1850:
+            return line
+    # final tier: the full dict no longer fits at any precision — keep the
+    # BASELINE.md headline keys plus the slowest others (the judged tail),
+    # count the rest in queries_omitted; BENCH_FULL.json has every key.
+    headline = [
+        "q_agg_groupby",
+        "q_join_multiway",
+        "q_window_topk_per_group",
+        "q_zonal_stats",
+        "q_dedup_near",
+        "q_dedup_minhash",
+    ]
+    rest = sorted(
+        (k for k in timings if k not in headline), key=timings.get, reverse=True
+    )
+    for n_rest in range(len(rest), -1, -1):
+        keep = {
+            k: round(timings[k], 1)
+            for k in sorted(headline + rest[:n_rest])
+            if k in timings
+        }
+        line = json.dumps(
+            {
+                "metric": "suite_warm_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": keep,
+                "sf": sf,
+                "queries_omitted": len(timings) - len(keep),
+                **percentiles,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= 1850:
             break
     return line
 
