@@ -59,6 +59,50 @@ def test_sort_limit_is_take_ordered(spark):
     assert checks["TakeOrderedAndProject"]
 
 
+def test_sample_hash_is_map_only(spark):
+    # deterministic hash sampling must be a pure scan→filter→project:
+    # zero exchanges (no shuffle anywhere) and a pruned ReadSchema
+    import re
+
+    from zonal_datacube_spark.operators.scale_ops import q_sample_hash
+
+    df = q_sample_hash(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert not re.findall(r"\+- Exchange", plan), "sampling must not shuffle"
+    assert_read_schema_pruned(df, 3)  # orderkey, linenumber, quantity
+
+
+def test_salted_agg_is_two_phase(spark):
+    # phase 1 groupBy(key, salt) + phase 2 groupBy(key), each partial+final:
+    # >= 4 HashAggregates and exactly 2 shuffles — the skew-spreading shape
+    import re
+
+    from zonal_datacube_spark.operators.scale_ops import q_agg_salted_skew
+
+    plan = formatted_plan(q_agg_salted_skew(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 4
+    assert len(re.findall(r"\+- Exchange", plan)) == 2
+
+
+def test_merge_upsert_shape(spark):
+    # upsert = one anti-join + one union; no nested-loop/cartesian anywhere
+    from zonal_datacube_spark.operators.scale_ops import q_merge_upsert
+
+    plan = formatted_plan(q_merge_upsert(spark, SF_SMOKE))
+    assert "Union" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_orc_roundtrip_reads_orc(spark):
+    from zonal_datacube_spark.operators.scale_ops import q_source_orc_roundtrip
+
+    plan = formatted_plan(q_source_orc_roundtrip(spark, SF_SMOKE))
+    assert "orc" in plan.lower()
+    assert plan.count("HashAggregate") >= 2  # partial+final over the ORC scan
+
+
 def test_dedup_pair_scans_never_all_pairs(spark):
     # the banded simhash / prefix-filtered near / LSH minhash pair scans
     # must be hash equi-joins — any nested-loop or cartesian node here is
