@@ -170,6 +170,103 @@ def pq_score(
     )
 
 
+def _exact_rerank(
+    shortlist: DataFrame, probes: DataFrame, emb: DataFrame, k: int
+) -> DataFrame:
+    """Exact-dot re-rank of an ADC shortlist (probe_id, vec_id,
+    approx_score) against the raw vectors; top-k per probe."""
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        shortlist.join(F.broadcast(probes), "probe_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn("score", F.round(_dot("probe_vec", "embedding"), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_score",
+            "score",
+            "rn",
+        )
+    )
+
+
+def ivf_pq_ann(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    n_probe: int = 2,
+    n_cells: int = 8,
+    m: int = PQ_M,
+    ksub: int = PQ_K,
+    iters: int = 2,
+    refine: int = 10,
+    train_mod: int = 1,
+) -> DataFrame:
+    """The full production ANN stack: IVF cell pruning × PQ compression.
+
+    A k-means coarse quantizer assigns every vector to one of ``n_cells``
+    inverted lists; PQ codes replace the raw vectors at rest. A query
+    ADC-scores ONLY the ``n_probe`` nearest cells' codes (cost
+    n_probe/n_cells of the corpus, on 8-byte codes), then exact-re-ranks
+    the shortlist. This is the FAISS IVFPQ arrangement re-expressed as
+    DataFrame joins: every stage is an equi-join or aggregate; the only
+    broadcast state is centroids + codebook + per-probe LUT (all KB-sized)."""
+    from zonal_datacube_spark.functions.kmeans import assign_cells, kmeans_fit
+
+    quantizer = kmeans_fit(emb, k=n_cells, iters=2)
+    assigned = assign_cells(emb, quantizer).select("vec_id", "cell")
+    train_emb = (
+        emb.filter(F.col("vec_id") % train_mod == 0) if train_mod > 1 else emb
+    )
+    codebook = pq_train(train_emb, m, ksub, iters)
+    codes = pq_encode(emb, codebook, m).join(assigned, "vec_id")
+    probes = emb.filter(F.col("vec_id").isin(*probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    cw = Window.partitionBy("probe_id").orderBy(
+        F.col("c_score").desc(), F.col("cell").asc()
+    )
+    probe_cells = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(quantizer))
+        .withColumn("c_score", F.round(_dot("probe_vec", "centroid"), 9))
+        .withColumn("c_rn", F.row_number().over(cw))
+        .filter(F.col("c_rn") <= n_probe)
+        .select("probe_id", "cell")
+    )
+    dim_d = F.size(F.col("cvec"))
+    lut = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(codebook))
+        .withColumn("qsub", F.slice("probe_vec", F.col("sub") * dim_d + 1, dim_d))
+        .withColumn("partial", _dot("qsub", "cvec"))
+        .select("probe_id", "sub", "code", "partial")
+    )
+    exploded = (
+        codes.join(F.broadcast(probe_cells), "cell")  # cell pruning FIRST
+        .select("probe_id", "vec_id", F.posexplode("codes").alias("sub", "code"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["probe_id", "sub", "code"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.round(F.sum("partial"), 6).alias("approx_score"))
+    )
+    aw = Window.partitionBy("probe_id").orderBy(
+        F.col("approx_score").desc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") <= refine * k)
+        .select("probe_id", "vec_id", "approx_score")
+    )
+    return _exact_rerank(shortlist, probes, emb, k)
+
+
 def pq_ann(
     emb: DataFrame,
     probe_ids: list[int],
@@ -209,20 +306,4 @@ def pq_ann(
         .filter(F.col("arn") <= refine * k)
         .select("probe_id", "vec_id", "approx_score")
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    return (
-        shortlist.join(F.broadcast(probes), "probe_id")
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .withColumn("score", F.round(_dot("probe_vec", "embedding"), 6))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(
-            "probe_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "approx_score",
-            "score",
-            "rn",
-        )
-    )
+    return _exact_rerank(shortlist, probes, emb, k)

@@ -136,12 +136,47 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill / resample: per-type daily rollup where missing
+    days materialize as zero rows. The spine is ``sequence(min_day,
+    max_day)`` per key — generated distributed (one row per key explodes
+    into its own date range; no driver-side calendar), then a left join
+    back to the observed days. At 100 TB the spine is output-sized (keys ×
+    days), orders of magnitude smaller than the event table, and the join
+    key (type, day) is exactly the rollup's grouping key — no extra
+    shuffle beyond the rollup itself."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+    )
+    return (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.round(F.coalesce("sum_value", F.lit(0.0)), 2).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "q_agg_salted_skew": q_agg_salted_skew,
     "q_merge_upsert": q_merge_upsert,
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
     "q_source_orc_roundtrip": q_source_orc_roundtrip,
+    "q_ts_gapfill": q_ts_gapfill,
 }
 
 _BUCKET_SQL = (
@@ -200,6 +235,28 @@ ORACLE = {
         SELECT event_id, event_type, value, rn
         FROM ranked
         WHERE rn <= ceil({STRATIFIED_FRACTION} * n_stratum)
+    """,
+    "q_ts_gapfill": """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+            FROM bounds
+        )
+        SELECT s.event_type,
+               strftime(s.d, '%Y-%m-%d') AS day,
+               coalesce(daily.n_events, 0) AS n_events,
+               round(coalesce(daily.sum_value, 0.0), 2) AS sum_value
+        FROM spine s
+        LEFT JOIN daily ON daily.event_type = s.event_type AND daily.d = s.d
     """,
     "q_source_orc_roundtrip": """
         SELECT o_orderstatus,
