@@ -95,15 +95,21 @@ def _codebook_df(spark, rows: dict[tuple[int, int], list[float]]) -> DataFrame:
 
 
 def pq_train(
-    emb: DataFrame, m: int = PQ_M, ksub: int = PQ_K, iters: int = 3
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_K,
+    iters: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Fit per-subspace codebooks; returns (sub, code, cvec ARRAY<DOUBLE>).
 
     At production scale this runs on a uniform sample (codebooks need
     ~100×K training points per subspace, not the corpus); the fixture is
-    small enough to train on everything."""
+    small enough to train on everything. Pass ``dim`` when known — each
+    discovery is a driver round-trip (a whole Spark job for one row)."""
     spark = emb.sparkSession
-    dim = len(emb.select("embedding").first()[0])
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
     sv = _subvectors(emb, m, dim).persist()
     seed_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(ksub).collect()]
     seeds = sv.filter(F.col("vec_id").isin(seed_ids)).collect()
@@ -134,10 +140,13 @@ def pq_train(
     return codebook
 
 
-def pq_encode(emb: DataFrame, codebook: DataFrame, m: int = PQ_M) -> DataFrame:
+def pq_encode(
+    emb: DataFrame, codebook: DataFrame, m: int = PQ_M, dim: int | None = None
+) -> DataFrame:
     """(vec_id, codes ARRAY<INT>) — the compressed corpus representation:
     m small ints instead of dim floats."""
-    dim = len(emb.select("embedding").first()[0])
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
     assigned = _assign(_subvectors(emb, m, dim), codebook, dim // m)
     return assigned.groupBy("vec_id").agg(
         F.transform(
@@ -222,8 +231,9 @@ def ivf_pq_ann(
     train_emb = (
         emb.filter(F.col("vec_id") % train_mod == 0) if train_mod > 1 else emb
     )
-    codebook = pq_train(train_emb, m, ksub, iters)
-    codes = pq_encode(emb, codebook, m).join(assigned, "vec_id")
+    dim = len(emb.select("embedding").first()[0])
+    codebook = pq_train(train_emb, m, ksub, iters, dim=dim)
+    codes = pq_encode(emb, codebook, m, dim=dim).join(assigned, "vec_id")
     probes = emb.filter(F.col("vec_id").isin(*probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -276,6 +286,7 @@ def pq_ann(
     iters: int = 3,
     refine: int = 10,
     train_mod: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k ANN over the PQ-compressed corpus: train → encode → ADC
     shortlist of ``refine·k`` per probe → exact re-rank of the shortlist
@@ -287,11 +298,13 @@ def pq_ann(
     ``train_mod`` > 1 trains codebooks on the deterministic 1/train_mod
     slice ``vec_id % train_mod == 0`` — codebooks need ~100·K points per
     subspace, not the corpus; production PQ always trains on a sample."""
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
     train_emb = (
         emb.filter(F.col("vec_id") % train_mod == 0) if train_mod > 1 else emb
     )
-    codebook = pq_train(train_emb, m, ksub, iters)
-    codes = pq_encode(emb, codebook, m)
+    codebook = pq_train(train_emb, m, ksub, iters, dim=dim)
+    codes = pq_encode(emb, codebook, m, dim=dim)
     probes = emb.filter(F.col("vec_id").isin(*probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
