@@ -91,6 +91,19 @@ def test_stratified_sample_exact_fraction(spark):
         assert sampled[et] == math.ceil(STRATIFIED_FRACTION * n)
 
 
+def test_salted_join_matches_plain_join(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    from zonal_datacube_spark.functions.salting import salted_join
+
+    plain = li.join(orders, "l_orderkey").collect()
+    salted = salted_join(li, orders, ["l_orderkey"], n_salts=4).collect()
+    key = lambda r: (r.l_orderkey, r.l_quantity, r.o_orderstatus)  # noqa: E731
+    assert sorted(salted, key=key) == sorted(plain, key=key)
+
+
 def test_orc_roundtrip_row_fidelity(spark, tmp_path):
     orders = load_table(spark, SF_SMOKE, "orders")
     path = str(tmp_path / "orders_orc")

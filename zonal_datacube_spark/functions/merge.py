@@ -52,8 +52,13 @@ def merge_accumulate(
     F.col("s.delta"))`` — update when both, keep when target-only, insert
     when source-only."""
     t, s = target.alias("t"), source.alias("s")
-    cond = [t[k].eqNullSafe(s[k]) for k in keys]
+    # string-qualified refs (F.col("t.k")), not DataFrame indexing (t[k]):
+    # target and source often share lineage (state and delta carved from
+    # the same scan), and attribute-id resolution is ambiguous there
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, cond, "full_outer")
-    key_cols = [F.coalesce(t[k], s[k]).alias(k) for k in keys]
+    key_cols = [
+        F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in keys
+    ]
     out_cols = [expr.alias(name) for name, expr in combine.items()]
     return joined.select(*key_cols, *out_cols)

@@ -19,6 +19,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-mitigated inner equi-join: the big (probe) side gets a random
+    salt, the small (build) side is replicated once per salt value, and the
+    join runs on (keys + salt) — a hot key's probe rows now spread over
+    ``n_salts`` tasks instead of one straggler. Row-identical to the plain
+    join (tested); use when AQE's skew splitting isn't available (e.g. the
+    build side is already bucketed) or the skew is in an aggregation-free
+    pipeline. Cost: build side ships n_salts×."""
+    salt_values = F.array(*[F.lit(i) for i in range(n_salts)])
+    big_salted = big.withColumn("_salt", (F.rand(seed=11) * n_salts).cast("int"))
+    small_rep = small.withColumn("_salt", F.explode(salt_values))
+    return big_salted.join(small_rep, [*keys, "_salt"], "inner").drop("_salt")
+
+
 def salted_zonal_stats(
     cells: DataFrame,
     key_col: str = "zone_id",

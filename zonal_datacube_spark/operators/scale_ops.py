@@ -170,6 +170,79 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BIN_WIDTH = 20
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: floor(value/width) binning + per-bin count
+    and mean. One partial+final aggregate on the bin id — the distributed
+    histogram every profiling pass runs before choosing bucket boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "bin", F.floor(F.col("value") / HIST_BIN_WIDTH).cast("bigint")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_in_bin"),
+        )
+    )
+
+
+INCR_CUTOFF = "1998-01-01"
+
+
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a stored per-status rollup built
+    from history (orderdate < cutoff) is advanced by a delta batch
+    (orderdate >= cutoff) with ``merge_accumulate`` — count/sum states add,
+    min/max states combine with least/greatest; unmatched arms coalesce.
+    The oracle aggregates the whole table in one pass: incremental ≡
+    recompute is exactly the invariant a 100 TB nightly pipeline relies on
+    (aggregate the day's partition, merge into the serving table — never
+    rescan history)."""
+    from zonal_datacube_spark.functions.merge import merge_accumulate
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp_ntz")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("sum_total"),
+            F.min("o_totalprice").alias("min_total"),
+            F.max("o_totalprice").alias("max_total"),
+        )
+
+    state = rollup(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = rollup(orders.filter(F.col("o_orderdate") >= cutoff))
+    t, s = F.col("t.n_orders"), F.col("s.n_orders")
+    merged = merge_accumulate(
+        state,
+        delta,
+        ["o_orderstatus"],
+        {
+            "n_orders": F.coalesce(t + s, t, s),
+            "sum_total": F.round(
+                F.coalesce(
+                    F.col("t.sum_total") + F.col("s.sum_total"),
+                    F.col("t.sum_total"),
+                    F.col("s.sum_total"),
+                ),
+                2,
+            ),
+            "min_total": F.round(
+                F.least(F.col("t.min_total"), F.col("s.min_total")), 2
+            ),
+            "max_total": F.round(
+                F.greatest(F.col("t.max_total"), F.col("s.max_total")), 2
+            ),
+        },
+    )
+    return merged
+
+
 QUERIES = {
     "q_agg_salted_skew": q_agg_salted_skew,
     "q_merge_upsert": q_merge_upsert,
@@ -177,6 +250,8 @@ QUERIES = {
     "q_sample_stratified": q_sample_stratified,
     "q_source_orc_roundtrip": q_source_orc_roundtrip,
     "q_ts_gapfill": q_ts_gapfill,
+    "q_agg_incremental": q_agg_incremental,
+    "q_agg_histogram": q_agg_histogram,
 }
 
 _BUCKET_SQL = (
@@ -235,6 +310,20 @@ ORACLE = {
         SELECT event_id, event_type, value, rn
         FROM ranked
         WHERE rn <= ceil({STRATIFIED_FRACTION} * n_stratum)
+    """,
+    "q_agg_histogram": f"""
+        SELECT floor(value / {HIST_BIN_WIDTH})::BIGINT AS bin,
+               count(*) AS n,
+               round(avg(value), 6) AS avg_in_bin
+        FROM events GROUP BY 1
+    """,
+    "q_agg_incremental": """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_total,
+               round(min(o_totalprice), 2) AS min_total,
+               round(max(o_totalprice), 2) AS max_total
+        FROM orders GROUP BY 1
     """,
     "q_ts_gapfill": """
         WITH daily AS (
