@@ -68,7 +68,12 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = refresh.filter(F.col("c_custkey") <= 5).select(
         (F.col("c_custkey") + 10_000_000).alias("c_custkey"), "acctbal", "src"
     )
-    return upsert(cust, refresh.unionByName(synth), ["c_custkey"])
+    # the delta feeds the result twice (rows + anti-join keys): persist the
+    # key-sized aggregate so the orders scan+agg runs once, not three times
+    from pyspark.storagelevel import StorageLevel
+
+    delta = refresh.unionByName(synth).persist(StorageLevel.MEMORY_AND_DISK)
+    return upsert(cust, delta, ["c_custkey"])
 
 
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
