@@ -103,6 +103,35 @@ def test_orc_roundtrip_reads_orc(spark):
     assert plan.count("HashAggregate") >= 2  # partial+final over the ORC scan
 
 
+def test_bucketed_join_has_zero_exchanges(spark):
+    # both sides bucketed+sorted on the join key → SortMergeJoin with NO
+    # shuffle: the co-located storage layout doing its job. The sf0.001
+    # fixtures are small enough to auto-broadcast (which also avoids the
+    # shuffle, but proves nothing about bucketing) — disable the threshold
+    # to see the plan the layout earns at fact×fact scale.
+    import re
+
+    from zonal_datacube_spark.operators.scale_ops import q_join_bucketed
+
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(q_join_bucketed(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert "SortMergeJoin" in plan
+    assert not re.findall(r"\+- Exchange", plan), "bucketed join must not shuffle"
+
+
+def test_range_bucketed_join_is_hash_join(spark):
+    # the rewrite's point: no nested-loop node anywhere in the plan
+    from zonal_datacube_spark.operators.joins import q_join_range_bucketed
+
+    plan = formatted_plan(q_join_range_bucketed(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dedup_pair_scans_never_all_pairs(spark):
     # the banded simhash / prefix-filtered near / LSH minhash pair scans
     # must be hash equi-joins — any nested-loop or cartesian node here is

@@ -225,6 +225,20 @@ _INTERVALS_SQL = """
             (5, TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-04 12:00:00'))
 """
 
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_join_theta_range's semantics through the bucketed equi-join
+    rewrite (functions/range_bucket.py): intervals explode into the integer
+    buckets they overlap, the fact side joins on floor(value/width) — a
+    plain hash join — and the exact range predicate runs as a residual
+    filter. Identical rows to the NLJ formulation (same oracle); this is
+    the 100 TB path when the interval side outgrows a broadcast."""
+    from zonal_datacube_spark.functions.range_bucket import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    joined = bucketed_range_join(ev, zones_df(spark), value_col="value", width=25.0)
+    return joined.select("event_id", "zone_id", F.round("value", 2).alias("value_r"))
+
+
 QUERIES = {
     "q_join_inner_hash": q_join_inner_hash,
     "q_join_broadcast": q_join_broadcast,
@@ -236,6 +250,7 @@ QUERIES = {
     "q_join_theta_range": q_join_theta_range,
     "q_join_asof": q_join_asof,
     "q_join_interval": q_join_interval,
+    "q_join_range_bucketed": q_join_range_bucketed,
 }
 
 ORACLE = {
@@ -293,6 +308,12 @@ ORACLE = {
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
     "q_join_theta_range": f"""
+        WITH zones(zone_id, lo, hi) AS (VALUES {ZONES_SQL_VALUES})
+        SELECT event_id, zone_id, round(value, 2) AS value_r
+        FROM events JOIN zones ON value >= lo AND value < hi
+        WHERE event_type = 'purchase'
+    """,
+    "q_join_range_bucketed": f"""
         WITH zones(zone_id, lo, hi) AS (VALUES {ZONES_SQL_VALUES})
         SELECT event_id, zone_id, round(value, 2) AS value_r
         FROM events JOIN zones ON value >= lo AND value < hi

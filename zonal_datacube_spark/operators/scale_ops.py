@@ -175,6 +175,48 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize (once per sf_dir) orders and lineitem as bucketed+sorted
+    managed tables on the join key — the choose-the-partitioning-once
+    storage layout that every later equi-join/aggregation on that key reads
+    shuffle-free."""
+    import shutil
+
+    from zonal_datacube_spark.sources.bucketing import write_bucketed
+
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    t_orders, t_lineitem = f"zds_bkt_orders_{tag}", f"zds_bkt_lineitem_{tag}"
+    for table, src, key in (
+        (t_orders, "orders", "o_orderkey"),
+        (t_lineitem, "lineitem", "l_orderkey"),
+    ):
+        if not spark.catalog.tableExists(table):
+            # the in-memory catalog forgets managed tables between sessions
+            # but their warehouse directories survive — clear a stale
+            # location (ours by naming convention) before re-creating
+            shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+            write_bucketed(load_table(spark, sf_dir, src), table, key)
+    return t_orders, t_lineitem
+
+
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi-join reading co-located buckets: both sides are
+    bucketed+sorted on the join key at write time, so the SortMergeJoin
+    plans with ZERO Exchange nodes (asserted in tests/test_plans.py) —
+    at 100 TB this is the difference between shuffling both tables and
+    shuffling nothing. Output rows are identical to the plain join (the
+    oracle joins the raw parquet)."""
+    t_orders, t_lineitem = _bucketed_tables(spark, sf_dir)
+    orders = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    return orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity"
+    )
+
+
 HIST_BIN_WIDTH = 20
 
 
@@ -257,6 +299,7 @@ QUERIES = {
     "q_ts_gapfill": q_ts_gapfill,
     "q_agg_incremental": q_agg_incremental,
     "q_agg_histogram": q_agg_histogram,
+    "q_join_bucketed": q_join_bucketed,
 }
 
 _BUCKET_SQL = (
@@ -315,6 +358,10 @@ ORACLE = {
         SELECT event_id, event_type, value, rn
         FROM ranked
         WHERE rn <= ceil({STRATIFIED_FRACTION} * n_stratum)
+    """,
+    "q_join_bucketed": """
+        SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     """,
     "q_agg_histogram": f"""
         SELECT floor(value / {HIST_BIN_WIDTH})::BIGINT AS bin,
