@@ -166,6 +166,89 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.x) building a month spine over the order
+    date span, then a left join for per-month counts — recursive calendar
+    gap-fill (q_ts_gapfill does the same with sequence()).
+
+    The recursion DOUBLES its step each round ((m, step) → (m, 2·step) and
+    (m+step, 2·step)), reaching every month as the binary decomposition of
+    its offset — depth O(log span) instead of one round per month. Spark
+    executes each recursive round as a job, so a naive month-at-a-time
+    spine pays ~80 sequential jobs (measured 26 s); the doubling shape
+    pays 8. The same consideration applies to any long recursive spine at
+    scale; DuckDB's oracle mirrors the doubling exactly."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("zds_orders_rc")
+    return spark.sql(_RECURSIVE_SQL)
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE bounds AS (
+        SELECT date_trunc('month', min(o_orderdate)) AS lo,
+               date_trunc('month', max(o_orderdate)) AS hi
+        FROM zds_orders_rc
+    ),
+    months(m, step) AS (
+        SELECT lo, 1 FROM bounds
+        UNION ALL
+        SELECT new_m, step * 2 FROM (
+            SELECT m AS new_m, step FROM months
+            WHERE (SELECT lo FROM bounds) + make_interval(0, step)
+                  <= (SELECT hi FROM bounds)
+            UNION ALL
+            SELECT m + make_interval(0, step), step FROM months
+            WHERE m + make_interval(0, step) <= (SELECT hi FROM bounds)
+        )
+    ),
+    spine AS (SELECT DISTINCT m FROM months),
+    per_month AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_total
+        FROM zds_orders_rc GROUP BY 1
+    )
+    SELECT date_format(spine.m, 'yyyy-MM') AS month,
+           coalesce(n_orders, 0) AS n_orders,
+           round(coalesce(sum_total, 0.0), 2) AS sum_total
+    FROM spine LEFT JOIN per_month ON spine.m = per_month.m
+"""
+
+
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (per-customer count and max) —
+    Catalyst decorrelates both into left-outer aggregate joins; the
+    count subquery's empty-group-is-zero semantics are the classic
+    decorrelation trap, handled identically by both engines."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("zds_cust_corr")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("zds_orders_corr")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT count(*) FROM zds_orders_corr o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               round((SELECT max(o_totalprice) FROM zds_orders_corr o
+                      WHERE o.o_custkey = c.c_custkey), 2) AS max_price
+        FROM zds_cust_corr c
+        """
+    )
+
+
+def q_str_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: levenshtein of each part's type
+    against a target string, plus a normalized similarity ratio — the
+    cheap tier of fuzzy entity resolution (blocking + edit distance)."""
+    part = load_table(spark, sf_dir, "part")
+    target = F.lit("PROMO BURNISHED COPPER")
+    dist = F.levenshtein("p_type", target)
+    maxlen = F.greatest(F.length("p_type"), F.length(target))
+    return part.select(
+        "p_partkey",
+        "p_type",
+        dist.alias("edit_dist"),
+        F.round(1 - dist / maxlen, 6).alias("similarity"),
+    ).filter(F.col("edit_dist") <= 18)
+
+
 QUERIES = {
     "q_join_cross": q_join_cross,
     "q_subquery_scalar": q_subquery_scalar,
@@ -178,6 +261,9 @@ QUERIES = {
     "q_explode_ordinality": q_explode_ordinality,
     "q_join_exists": q_join_exists,
     "q_agg_filtered": q_agg_filtered,
+    "q_recursive_cte": q_recursive_cte,
+    "q_subquery_correlated": q_subquery_correlated,
+    "q_str_fuzzy": q_str_fuzzy,
 }
 
 ORACLE = {
@@ -271,5 +357,53 @@ ORACLE = {
                count(*) FILTER (WHERE value > 100) AS n_over_100,
                count(*) AS n_total
         FROM events GROUP BY 1
+    """,
+    "q_recursive_cte": """
+        WITH RECURSIVE bounds AS (
+            SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                   date_trunc('month', max(o_orderdate)) AS hi
+            FROM orders
+        ),
+        months(m, step) AS (
+            SELECT lo, 1 FROM bounds
+            UNION ALL
+            SELECT new_m, step * 2 FROM (
+                SELECT m AS new_m, step FROM months
+                WHERE (SELECT lo FROM bounds) + to_months(step)
+                      <= (SELECT hi FROM bounds)
+                UNION ALL
+                SELECT m + to_months(step), step FROM months
+                WHERE m + to_months(step) <= (SELECT hi FROM bounds)
+            )
+        ),
+        spine AS (SELECT DISTINCT m FROM months),
+        per_month AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_total
+            FROM orders GROUP BY 1
+        )
+        SELECT strftime(spine.m, '%Y-%m') AS month,
+               coalesce(n_orders, 0) AS n_orders,
+               round(coalesce(sum_total, 0.0), 2) AS sum_total
+        FROM spine LEFT JOIN per_month ON spine.m = per_month.m
+    """,
+    "q_subquery_correlated": """
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               round((SELECT max(o_totalprice) FROM orders o
+                      WHERE o.o_custkey = c.c_custkey), 2) AS max_price
+        FROM customer c
+    """,
+    "q_str_fuzzy": """
+        SELECT p_partkey, p_type,
+               levenshtein(p_type, 'PROMO BURNISHED COPPER') AS edit_dist,
+               round(1 - levenshtein(p_type, 'PROMO BURNISHED COPPER')
+                     * 1.0 / greatest(length(p_type),
+                                      length('PROMO BURNISHED COPPER')),
+                     6) AS similarity
+        FROM part
+        WHERE levenshtein(p_type, 'PROMO BURNISHED COPPER') <= 18
     """,
 }
