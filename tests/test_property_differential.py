@@ -185,6 +185,101 @@ def test_random_set_ops_agree(p1, p2, setop, spark, duck):
     assert got == want, f"disagreement for {setop} with {p1!r} / {p2!r}"
 
 
+@given(pred=predicates(), a=st.integers(0, 3), b=st.integers(0, 3))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_frames_agree(pred, a, b, spark, duck):
+    """Random ROWS BETWEEN frames under random predicates — frame-boundary
+    semantics (preceding/following row counts) on both engines."""
+    sql = f"""
+        SELECT l_orderkey, l_linenumber,
+               round(sum(l_quantity) OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING), 2) AS s,
+               count(*) OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING) AS n
+        FROM lineitem WHERE {pred}
+    """
+    load_table(spark, SF_ORACLE, "lineitem").createOrReplaceTempView("lineitem")
+    got = {(r.l_orderkey, r.l_linenumber, r.s, r.n) for r in spark.sql(sql).collect()}
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want, f"disagreement for frame [{a} PRECEDING, {b} FOLLOWING]: {pred}"
+
+
+@given(pred=predicates(), cut=st.floats(5, 50), pred2=predicates())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_case_exprs_agree(pred, cut, pred2, spark, duck):
+    """Random CASE ladders built from random predicates — conditional
+    evaluation order and fall-through agree."""
+    c = round(cut, 2)
+    sql = f"""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN {pred} THEN 'p1'
+                    WHEN l_quantity > {c} THEN 'big'
+                    WHEN {pred2} THEN 'p2'
+                    ELSE 'rest' END AS bucket
+        FROM lineitem
+    """
+    load_table(spark, SF_ORACLE, "lineitem").createOrReplaceTempView("lineitem")
+    got = {(r.l_orderkey, r.l_linenumber, r.bucket) for r in spark.sql(sql).collect()}
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want, f"disagreement for CASE with {pred!r} / {pred2!r}"
+
+
+@given(pred=predicates(), shape=st.sampled_from(("ROLLUP", "CUBE")))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_grouping_sets_agree(pred, shape, spark, duck):
+    """ROLLUP/CUBE under random predicates — super-aggregate NULL rows and
+    their values agree. Empty filtered input is excluded: the engines
+    genuinely diverge there (see test_rollup_empty_input_divergence)."""
+    from hypothesis import assume
+
+    n_in = duck.execute(f"SELECT count(*) FROM lineitem WHERE {pred}").fetchone()[0]
+    assume(n_in > 0)
+    sql = f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS s
+        FROM lineitem WHERE {pred}
+        GROUP BY {shape} (l_returnflag, l_linestatus)
+    """
+    load_table(spark, SF_ORACLE, "lineitem").createOrReplaceTempView("lineitem")
+    got = {
+        (r.l_returnflag, r.l_linestatus, r.n, r.s) for r in spark.sql(sql).collect()
+    }
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want, f"disagreement for {shape} with predicate: {pred}"
+
+
+def test_rollup_empty_input_divergence(spark, duck):
+    """Documented engine divergence (found by the property above): on EMPTY
+    input, the SQL standard (and DuckDB) still emit the () grouping set's
+    grand-total row — count 0, NULL aggregates — while Spark's
+    Expand-based grouping sets yield zero rows. None of the declared §2
+    keys can hit this (their inputs are non-empty by fixture construction),
+    but pipeline authors composing ROLLUP over arbitrary filters should
+    coalesce the empty case explicitly."""
+    sql = """
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem WHERE l_returnflag = 'no-such-flag'
+        GROUP BY ROLLUP (l_returnflag)
+    """
+    load_table(spark, SF_ORACLE, "lineitem").createOrReplaceTempView("lineitem")
+    assert spark.sql(sql).count() == 0  # Spark: no groups, no rows
+    assert duck.execute(sql).fetchall() == [(None, 0)]  # DuckDB: grand total
+
+
 @given(pred=predicates(), k=st.integers(1, 4))
 @settings(
     max_examples=15,
