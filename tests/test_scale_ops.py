@@ -104,6 +104,42 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(salted, key=key) == sorted(plain, key=key)
 
 
+def test_upsert_empty_sides(spark):
+    empty = spark.createDataFrame([], "k int, v string")
+    full = spark.createDataFrame([(1, "a")], "k int, v string")
+    # empty source: target passes through untouched
+    assert [tuple(r) for r in upsert(full, empty, ["k"]).collect()] == [(1, "a")]
+    # empty target: source inserted wholesale
+    assert [tuple(r) for r in upsert(empty, full, ["k"]).collect()] == [(1, "a")]
+    # both empty: empty result, schema intact
+    both = upsert(empty, empty, ["k"])
+    assert both.count() == 0 and both.columns == ["k", "v"]
+
+
+def test_merge_accumulate_empty_source(spark):
+    target = spark.createDataFrame([(1, 10.0)], "k int, bal double")
+    empty = spark.createDataFrame([], "k int, delta double")
+    merged = merge_accumulate(
+        target,
+        empty,
+        ["k"],
+        {
+            "bal": F.coalesce(
+                F.col("t.bal") + F.col("s.delta"), F.col("t.bal"), F.col("s.delta")
+            )
+        },
+    )
+    assert [tuple(r) for r in merged.collect()] == [(1, 10.0)]
+
+
+def test_salted_join_empty_small_side(spark):
+    from zonal_datacube_spark.functions.salting import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k int, v string")
+    empty = spark.createDataFrame([], "k int, w string")
+    assert salted_join(big, empty, ["k"]).count() == 0
+
+
 def test_orc_roundtrip_row_fidelity(spark, tmp_path):
     orders = load_table(spark, SF_SMOKE, "orders")
     path = str(tmp_path / "orders_orc")

@@ -84,6 +84,31 @@ def q_stream_foreach_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_foreach_batch_result(spark, out)
 
 
+def q_stream_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming in UPDATE mode as a declared, oracle-
+    checked key: readStream → watermarked tumbling aggregate → foreachBatch
+    MERGE into a versioned keyed parquet state (streaming/demo.py). Update
+    mode emits only the keys whose aggregate changed per trigger, and the
+    upsert sink folds them into serving state — the O(changed keys) shape
+    that survives when complete-mode snapshots stop fitting. Final state ≡
+    the batch tumbling aggregate (same oracle as q_stream_tumbling)."""
+    import tempfile
+
+    from zonal_datacube_spark.streaming.demo import (
+        events_stream,
+        run_stream_upsert,
+        tumbling_counts,
+    )
+
+    out = tempfile.mkdtemp(prefix="zds_upsert_")
+    return run_stream_upsert(
+        tumbling_counts(events_stream(spark, sf_dir)),
+        spark,
+        out,
+        keys=["bucket_start", "event_type"],
+    )
+
+
 TUMBLING_PART_DAYS = ("2024-01-05", "2024-01-14")  # inclusive day range
 
 
@@ -198,6 +223,7 @@ QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_tumbling_partitioned": q_stream_tumbling_partitioned,
     "q_stream_foreach_roundtrip": q_stream_foreach_roundtrip,
+    "q_stream_upsert_roundtrip": q_stream_upsert_roundtrip,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
@@ -214,6 +240,14 @@ ORACLE = {
         GROUP BY 1, 2
     """,
     "q_stream_foreach_roundtrip": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "q_stream_upsert_roundtrip": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
                event_type,
                count(*) AS n_events,
