@@ -185,6 +185,40 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 30-minute sessionization through Spark's NATIVE
+    ``session_window`` operator (one groupBy, merging overlapping gap
+    windows engine-side) instead of the manual lag→flag→running-sum
+    pipeline — same output, same oracle. session_window's end = last event
+    + gap, so duration = end − start − gap; session ids are assigned by
+    start order per user to match the manual key's numbering."""
+    ev = load_table(spark, sf_dir, "events")
+    per_session = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', w.start)"
+            ).alias("start_us"),
+            (
+                F.expr("timestampdiff(MICROSECOND, w.start, w.end)")
+                - F.lit(_GAP_US)
+            ).alias("duration_us"),
+        )
+    )
+    sid_w = Window.partitionBy("user_id").orderBy("start_us")
+    return per_session.select(
+        "user_id",
+        F.row_number().over(sid_w).cast("bigint").alias("session_id"),
+        "n_events",
+        "start_us",
+        "duration_us",
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream dedup restated deterministically: keep the min event_id per
     (user, minute) — ``dropDuplicates`` keeps an arbitrary row, which cannot
@@ -224,6 +258,7 @@ QUERIES = {
     "q_stream_tumbling_partitioned": q_stream_tumbling_partitioned,
     "q_stream_foreach_roundtrip": q_stream_foreach_roundtrip,
     "q_stream_upsert_roundtrip": q_stream_upsert_roundtrip,
+    "q_stream_session_fn": q_stream_session_fn,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
@@ -290,6 +325,31 @@ ORACLE = {
         GROUP BY s
     """,
     "q_stream_session": """
+        WITH t AS (
+            SELECT user_id, event_id,
+                   date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
+            FROM events
+        ), flagged AS (
+            SELECT *,
+                   CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                        WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                        ELSE 0 END AS new_session
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ), sessions AS (
+            SELECT *,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id::BIGINT AS session_id,
+               count(*) AS n_events,
+               min(ts_us) AS start_us,
+               (max(ts_us) - min(ts_us)) AS duration_us
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    "q_stream_session_fn": """
         WITH t AS (
             SELECT user_id, event_id,
                    date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
