@@ -144,6 +144,38 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT for semi-structured data: parse_json → a binary
+    variant column (no schema declared up front), typed variant_get
+    extraction, then a relational aggregate. At 100 TB variant beats
+    per-row string JSON parsing: the encoding is parsed once and fields
+    are extracted positionally. The oracle extracts the same path with
+    DuckDB's JSON operators — value-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("v", F.parse_json("props"))
+        .withColumn("k", F.expr("variant_get(v, '$.k', 'bigint')"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k frequency sketch (rows-only key:
+    sketch output is implementation-defined under ties, same policy as the
+    HLL and quantile-sketch keys). Exploded to one row per hitter."""
+    ev = load_table(spark, sf_dir, "events")
+    top = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return top.select(F.posexplode("tk").alias("rank", "hit")).select(
+        "rank", F.col("hit.item").alias("item"), F.col("hit.count").alias("n")
+    )
+
+
 QUERIES = {
     "q_str_funcs": q_str_funcs,
     "q_str_regexp": q_str_regexp,
@@ -152,6 +184,8 @@ QUERIES = {
     "q_array_funcs": q_array_funcs,
     "q_array_hof": q_array_hof,
     "q_json_funcs": q_json_funcs,
+    "q_json_variant": q_json_variant,
+    "q_agg_approx_topk": q_agg_approx_topk,
     "q_map_funcs": q_map_funcs,
 }
 
@@ -210,6 +244,14 @@ ORACLE = {
                round(list_sum(list_transform(embedding::DOUBLE[], v -> v * v)), 6)
                    AS dot_self
         FROM embeddings
+    """,
+    "q_json_variant": """
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+               round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k,
+               max(json_extract(props, '$.k')::BIGINT) AS max_k
+        FROM events GROUP BY 1
     """,
     "q_json_funcs": """
         SELECT json_extract(props, '$.k')::BIGINT AS k,
