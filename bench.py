@@ -45,6 +45,7 @@ def main() -> int:
     # the measured run reads warm layouts
     queries["q_join_bucketed"](spark, sf_dir).count()
     queries["q_source_orc_roundtrip"](spark, sf_dir).count()
+    queries["q_source_zorder_roundtrip"](spark, sf_dir).count()
     queries["q_stream_tumbling_partitioned"](spark, sf_dir).count()
 
     # Materialize via Arrow (toPandas): full result transfer at columnar

@@ -128,6 +128,49 @@ def orc_orders_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_ZORDER_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "zds_zorder_cache")
+
+
+def zorder_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir) events laid out in Morton order over
+    (user bucket, value bucket) — the multi-dimensional data-skipping
+    layout (functions/zorder.py); filters on EITHER dimension prune files
+    by footer statistics (proven in tests/test_zorder.py)."""
+    from zonal_datacube_spark.functions.zorder import write_zordered
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(_ZORDER_CACHE_ROOT, tag, "events_zorder")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .withColumn("ub", F.pmod("user_id", F.lit(64)).cast("int"))
+            .withColumn(
+                "vb",
+                F.greatest(
+                    F.lit(0), F.least(F.lit(63), F.floor(F.col("value") * 64 / 200))
+                ).cast("int"),
+            )
+        )
+        write_zordered(ev, path, "ub", "vb", bits=6, n_files=8)
+    return path
+
+
+def q_source_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a value band read from the z-ordered events layout;
+    the oracle runs the same band over the raw parquet — hash-equality
+    proves the Morton rewrite is content-preserving while the layout prunes
+    files on either filter dimension."""
+    ev = spark.read.parquet(zorder_events_path(spark, sf_dir))
+    return (
+        ev.filter(F.col("value").between(50, 100))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over the ORC copy of orders; the oracle aggregates the
     parquet original — a hash-equal result proves the ORC write/read path
@@ -296,6 +339,7 @@ QUERIES = {
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
     "q_source_orc_roundtrip": q_source_orc_roundtrip,
+    "q_source_zorder_roundtrip": q_source_zorder_roundtrip,
     "q_ts_gapfill": q_ts_gapfill,
     "q_agg_incremental": q_agg_incremental,
     "q_agg_histogram": q_agg_histogram,
@@ -398,6 +442,14 @@ ORACLE = {
                round(coalesce(daily.sum_value, 0.0), 2) AS sum_value
         FROM spine s
         LEFT JOIN daily ON daily.event_type = s.event_type AND daily.d = s.d
+    """,
+    "q_source_zorder_roundtrip": """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE value BETWEEN 50 AND 100
+        GROUP BY 1
     """,
     "q_source_orc_roundtrip": """
         SELECT o_orderstatus,
