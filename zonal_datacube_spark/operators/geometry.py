@@ -1,0 +1,145 @@
+"""True polygon zonal statistics — ray-casting containment, relationally.
+
+The reference's domain is zonal stats over real zone *polygons*; round 1
+stood in bbox containment because no geo stack (GEOS/shapely) exists in
+the container. This module closes that gap without one: even-odd
+ray casting is a per-(point, edge) predicate plus a parity count, which is
+plain relational algebra —
+
+1. polygons decompose into an EDGES dimension table (zone_id, x1,y1,x2,y2)
+   — tiny, broadcast;
+2. a point is inside iff an eastward ray crosses an ODD number of edges:
+   edge straddles the ray's y ((y1>py) <> (y2>py)) AND the intersection
+   lies east of the point (px < x1 + (x2-x1)·(py-y1)/(y2-y1));
+3. crossings count per (point, zone) via groupBy; parity filter; zonal
+   aggregate.
+
+No UDF, no HOF: every step is a broadcast join + codegen'd arithmetic +
+hash aggregate, so the 100 TB plan is the zonal-stats plan. Handles
+CONCAVE polygons (parity, not convex membership). Degeneracy policy:
+polygons are authored with .5-offset vertices and no horizontal edges, so
+fixture points (integer-grid y, arbitrary-double x) never land on a
+vertex/edge and the nullif-guarded division never divides by zero.
+
+The DuckDB oracle runs the SAME algorithm from the same VALUES edge list —
+the whole pipeline is hash-verified, which a GEOS-backed implementation
+could never be in this container.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.sources.loader import load_table
+
+# (x: 0-200, y: 0-200) point space: px = events.value, py = event_id % 200.
+# P0 pentagon, P1 triangle, P2 concave hexagon; .5 offsets keep every
+# vertex/edge off the fixture's point lattice, and no edge is horizontal.
+POLYGONS: dict[int, list[tuple[float, float]]] = {
+    0: [(10.5, 5.5), (80.5, 15.5), (95.5, 90.5), (40.5, 120.5), (5.5, 60.5)],
+    1: [(100.5, 20.5), (180.5, 40.5), (140.5, 110.5)],
+    2: [
+        (20.5, 130.5),
+        (90.5, 125.5),
+        (95.5, 185.5),
+        (60.5, 180.5),
+        (55.5, 150.5),
+        (25.5, 155.5),
+    ],
+}
+
+
+def polygon_edges() -> list[tuple[int, float, float, float, float]]:
+    """(zone_id, x1, y1, x2, y2) per edge, closing each ring."""
+    rows = []
+    for zid, ring in POLYGONS.items():
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            rows.append((zid, x1, y1, x2, y2))
+    return rows
+
+
+def edges_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        polygon_edges(),
+        "zone_id INT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE",
+    )
+
+
+_CROSSING = (
+    "((y1 > py) <> (y2 > py))"
+    " AND px < x1 + (x2 - x1) * (py - y1) / nullif(y2 - y1, 0.0D)"
+)
+
+
+def points_in_polygons(points: DataFrame, edges: DataFrame) -> DataFrame:
+    """(point columns…, zone_id) for every point strictly inside a polygon.
+    ``points`` needs (pid, px, py); broadcast the edge table and count ray
+    crossings per (point, zone) — odd parity = inside."""
+    crossings = (
+        points.crossJoin(F.broadcast(edges))
+        .filter(F.expr(_CROSSING))
+        .groupBy("pid", "zone_id")
+        .agg(F.count("*").alias("n_cross"))
+        .filter(F.col("n_cross") % 2 == 1)
+        .select("pid", "zone_id")
+    )
+    return points.join(crossings, "pid")
+
+
+def q_zonal_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon count/sum/mean of event values under TRUE polygon
+    containment (concave-capable ray casting) — the reference's actual
+    zonal-statistics semantics, scan → broadcast edge join → parity →
+    partial+final aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("pid"),
+        F.col("value").alias("px"),
+        (F.col("event_id") % 200).cast("double").alias("py"),
+        "value",
+    )
+    inside = points_in_polygons(pts, edges_df(spark))
+    return inside.groupBy("zone_id").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
+_EDGES_SQL_VALUES = ", ".join(
+    f"({z}, {x1}, {y1}, {x2}, {y2})" for z, x1, y1, x2, y2 in polygon_edges()
+)
+
+QUERIES = {
+    "q_zonal_polygon": q_zonal_polygon,
+}
+
+ORACLE = {
+    "q_zonal_polygon": f"""
+        WITH edges(zone_id, x1, y1, x2, y2) AS (VALUES {_EDGES_SQL_VALUES}),
+        pts AS (
+            SELECT event_id AS pid, value AS px,
+                   (event_id % 200)::DOUBLE AS py, value
+            FROM events
+        ),
+        crossings AS (
+            SELECT pid, zone_id, count(*) AS n_cross
+            FROM pts JOIN edges
+              ON ((y1 > py) <> (y2 > py))
+             AND px < x1 + (x2 - x1) * (py - y1) / nullif(y2 - y1, 0.0)
+            GROUP BY pid, zone_id
+        ),
+        inside AS (
+            SELECT pts.pid, zone_id, value
+            FROM pts JOIN crossings ON pts.pid = crossings.pid
+            WHERE n_cross % 2 = 1
+        )
+        SELECT zone_id, count(*) AS n_points,
+               round(sum(value), 2) AS sum_value,
+               round(avg(value), 6) AS mean_value
+        FROM inside
+        GROUP BY zone_id
+    """,
+}

@@ -31,6 +31,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.analytics_ext",
     "zonal_datacube_spark.operators.media",
     "zonal_datacube_spark.operators.scale_ops",
+    "zonal_datacube_spark.operators.geometry",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
