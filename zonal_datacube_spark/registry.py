@@ -68,6 +68,7 @@ KEY_ORDER = (
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
+    "q_zonal_polygon",  # true polygon ray-casting zonal (round-2)
     "q_join_inner_hash",
     "q_join_broadcast",
     "q_join_multiway",
@@ -99,8 +100,8 @@ KEY_ORDER = (
     "q_stream_dedup",
     "q_str_regexp",
     "q_date_funcs",
-    "q_array_hof",
     # ---- 50-entry window boundary (round-1 driver behavior) ----
+    "q_array_hof",
     "q_scan_filter_pushdown",
     "q_scan_project",
     "q_filter_predicates",
