@@ -108,15 +108,62 @@ def q_zonal_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon geometry metrics from the edge table alone: shoelace area
+    (|Σ (x1·y2 − x2·y1)| / 2), perimeter (Σ edge lengths), and the
+    area-weighted centroid — one aggregate over the tiny edge relation.
+    The same aggregations run per-zone over billions of polygons unchanged;
+    nothing here depends on the fixture's scale."""
+    edges = edges_df(spark)
+    cross = F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")
+    return (
+        edges.groupBy("zone_id")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.round(F.abs(F.sum(cross)) / 2, 4).alias("area"),
+            F.round(
+                F.sum(
+                    F.sqrt(
+                        (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+                        + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+                    )
+                ),
+                4,
+            ).alias("perimeter"),
+            F.round(
+                F.sum((F.col("x1") + F.col("x2")) * cross) / (3 * F.sum(cross)), 4
+            ).alias("centroid_x"),
+            F.round(
+                F.sum((F.col("y1") + F.col("y2")) * cross) / (3 * F.sum(cross)), 4
+            ).alias("centroid_y"),
+        )
+    )
+
+
 _EDGES_SQL_VALUES = ", ".join(
     f"({z}, {x1}, {y1}, {x2}, {y2})" for z, x1, y1, x2, y2 in polygon_edges()
 )
 
 QUERIES = {
     "q_zonal_polygon": q_zonal_polygon,
+    "q_geo_polygon_metrics": q_geo_polygon_metrics,
 }
 
 ORACLE = {
+    "q_geo_polygon_metrics": f"""
+        WITH edges(zone_id, x1, y1, x2, y2) AS (VALUES {_EDGES_SQL_VALUES})
+        SELECT zone_id,
+               count(*) AS n_edges,
+               round(abs(sum(x1 * y2 - x2 * y1)) / 2, 4) AS area,
+               round(sum(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))),
+                     4) AS perimeter,
+               round(sum((x1 + x2) * (x1 * y2 - x2 * y1))
+                     / (3 * sum(x1 * y2 - x2 * y1)), 4) AS centroid_x,
+               round(sum((y1 + y2) * (x1 * y2 - x2 * y1))
+                     / (3 * sum(x1 * y2 - x2 * y1)), 4) AS centroid_y
+        FROM edges
+        GROUP BY zone_id
+    """,
     "q_zonal_polygon": f"""
         WITH edges(zone_id, x1, y1, x2, y2) AS (VALUES {_EDGES_SQL_VALUES}),
         pts AS (
