@@ -5,9 +5,11 @@
 Data model (SURVEY.md §1.1 layout (a)): the **long pixel table**
 ``(tile_id, y, x, layer columns...)`` partitioned by tile_id — every zonal
 operation becomes relational and Catalyst-optimizable. The fishnet is the
-regular tile grid; zones are rectangles (bbox geometries — the container
-has no GEOS, and bbox containment is the relational core of the real
-thing; polygon rasterization would slot into the same join as a UDF).
+regular tile grid; zones here are rectangles (bbox containment, the
+relational core of the real thing). TRUE polygon containment — concave-
+capable ray casting as a broadcast edge join + parity count, no GEOS
+needed — lives in ``operators/geometry.py`` (q_zonal_polygon) and slots
+into this same pipeline wherever zones are real polygons.
 
 Pipeline (the Raptor decomposition, PAPERS.md:9):
 1. fishnet prune: only tiles intersecting any zone bbox are scanned

@@ -108,6 +108,23 @@ def q_zonal_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_polygon_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical zonal histogram under true polygon containment: per
+    (polygon zone, event_type) counts — the classed-raster variant of
+    q_zonal_polygon, same broadcast-parity plan with a two-key aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("pid"),
+        F.col("value").alias("px"),
+        (F.col("event_id") % 200).cast("double").alias("py"),
+        "event_type",
+    )
+    inside = points_in_polygons(pts, edges_df(spark))
+    return inside.groupBy("zone_id", "event_type").agg(
+        F.count("*").alias("n_points")
+    )
+
+
 def q_geo_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon geometry metrics from the edge table alone: shoelace area
     (|Σ (x1·y2 − x2·y1)| / 2), perimeter (Σ edge lengths), and the
@@ -146,6 +163,7 @@ _EDGES_SQL_VALUES = ", ".join(
 
 QUERIES = {
     "q_zonal_polygon": q_zonal_polygon,
+    "q_zonal_polygon_categorical": q_zonal_polygon_categorical,
     "q_geo_polygon_metrics": q_geo_polygon_metrics,
 }
 
@@ -163,6 +181,25 @@ ORACLE = {
                      / (3 * sum(x1 * y2 - x2 * y1)), 4) AS centroid_y
         FROM edges
         GROUP BY zone_id
+    """,
+    "q_zonal_polygon_categorical": f"""
+        WITH edges(zone_id, x1, y1, x2, y2) AS (VALUES {_EDGES_SQL_VALUES}),
+        pts AS (
+            SELECT event_id AS pid, value AS px,
+                   (event_id % 200)::DOUBLE AS py, event_type
+            FROM events
+        ),
+        crossings AS (
+            SELECT pid, zone_id, count(*) AS n_cross
+            FROM pts JOIN edges
+              ON ((y1 > py) <> (y2 > py))
+             AND px < x1 + (x2 - x1) * (py - y1) / nullif(y2 - y1, 0.0)
+            GROUP BY pid, zone_id
+        )
+        SELECT zone_id, event_type, count(*) AS n_points
+        FROM pts JOIN crossings ON pts.pid = crossings.pid
+        WHERE n_cross % 2 = 1
+        GROUP BY zone_id, event_type
     """,
     "q_zonal_polygon": f"""
         WITH edges(zone_id, x1, y1, x2, y2) AS (VALUES {_EDGES_SQL_VALUES}),
