@@ -45,8 +45,46 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_EVERY_N = 30
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan over fixture-derived metadata: treat each
+    document as a video of ``n_chars % 300 + 30`` frames and emit every
+    30th frame index — the metadata-only arithmetic a decoder consumes
+    (functions/multimodal.py frame_sample_plan), JVM-side sequence+explode.
+    Unlike the decode kernel this is fully relational, so it carries a real
+    oracle: frame selection at 100 TB must be plan-side (which byte ranges
+    to fetch), never decode-side (fetch everything, drop most)."""
+    from zonal_datacube_spark.sources.loader import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vids = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 300 + 30).cast("int").alias("n_frames"),
+    )
+    return vids.select(
+        "media_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(FRAME_EVERY_N))
+        ).alias("frame_idx"),
+    )
+
+
 QUERIES = {
     "q_media_decode_stats": q_media_decode_stats,
+    "q_media_frame_sample": q_media_frame_sample,
 }
 
-ORACLE: dict[str, str] = {}  # Python decode kernel — rows-only by design
+ORACLE: dict[str, str] = {
+    # q_media_decode_stats: Python decode kernel — rows-only by design
+    "q_media_frame_sample": f"""
+        WITH vids AS (
+            SELECT doc_id AS media_id, (n_chars % 300 + 30)::INT AS n_frames
+            FROM documents
+        )
+        SELECT media_id, n_frames, unnest(range(0, n_frames, {FRAME_EVERY_N})) AS frame_idx
+        FROM vids
+    """,
+}
