@@ -1,0 +1,178 @@
+"""Behavioral analytics — ordered funnel conversion and cohort retention
+over the events stream. These are the product-analytics workloads every
+warehouse engine ships (funnel, retention) expressed as pure relational
+plans: no UDFs, no driver loops, one shuffle on ``user_id`` for the heavy
+step in each.
+
+Scale notes (100 TB events):
+- The funnel chains four stage timestamps per user. All four are window
+  aggregates over the SAME ``partitionBy(user_id)`` window, so Catalyst
+  plans ONE Exchange on user_id and stacks the Window operators on top of
+  it — stage count never adds shuffles.
+- Retention's heavy step is the distinct (user, week) activity set — a
+  single shuffle keyed by the same user_id; the cohort dimension (one row
+  per user) joins back on that key, and the final rollup is output-sized
+  (cohorts x weeks).
+- Ratios are emitted as parts-per-million via truncating integer division
+  (`div` / `//`), not floats — identical across engines by construction
+  (SURVEY.md §5.4 rounding-tie rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.sources.loader import load_table
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 4-stage funnel (signup → view → click → purchase): a user
+    counts for stage k only if an event of that type happened STRICTLY
+    AFTER their stage-(k-1) time. Chained min-over-user windows share one
+    partitioning; the funnel table is a 4-row unpivot of a single-row
+    aggregate with truncating ppm conversion rates."""
+    w = Window.partitionBy("user_id")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t_prev = None
+    for i, stage in enumerate(FUNNEL_STAGES):
+        cond = F.col("event_type") == stage
+        if t_prev is not None:
+            cond = cond & (F.col("ts") > F.col(t_prev))
+        ev = ev.withColumn(f"t{i + 1}", F.min(F.when(cond, F.col("ts"))).over(w))
+        t_prev = f"t{i + 1}"
+    per_user = ev.groupBy("user_id").agg(
+        *[F.max(f"t{i + 1}").alias(f"t{i + 1}") for i in range(4)]
+    )
+    counts = per_user.agg(
+        *[F.count(f"t{i + 1}").alias(f"n{i + 1}") for i in range(4)]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', n{i + 1}" for i, s in enumerate(FUNNEL_STAGES)
+    )
+    return counts.selectExpr(
+        f"stack(4, {stack_args}) AS (stage_no, stage, n_users)", "n1"
+    ).select(
+        F.col("stage_no").cast("int").alias("stage_no"),
+        "stage",
+        "n_users",
+        F.expr("n_users * 1000000L div n1").alias("conv_ppm"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = Monday-truncated week of a user's
+    first event; a cohort member is retained in week k if they have ANY
+    event in cohort_week + k weeks. Emits cohort size and ppm retention
+    per (cohort, week-offset) cell."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # ONE shuffle on user_id computes both the cohort assignment (week of
+    # first event) and the distinct-weeks activity set; collect_set is
+    # bounded by the retention horizon in weeks, not by event count.
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", "ts")).alias("weeks"),
+    )
+    cells = (
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("active_week")
+        )
+        .withColumn(
+            "week_k",
+            (F.datediff("active_week", "cohort_week") / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_k")
+        .agg(F.count("*").alias("n_active"))
+    )
+    # every user is active in their own cohort week, so the k=0 cell IS the
+    # cohort size — a window over the (output-sized) cells table replaces
+    # a join against a separately aggregated sizes dimension
+    size_w = Window.partitionBy("cohort_week")
+    return cells.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_k",
+        F.max(F.when(F.col("week_k") == 0, F.col("n_active")))
+        .over(size_w)
+        .alias("cohort_size"),
+        "n_active",
+    ).withColumn(
+        "retained_ppm", F.expr("n_active * 1000000L div cohort_size")
+    )
+
+
+QUERIES = {
+    "q_funnel_conversion": q_funnel_conversion,
+    "q_cohort_retention": q_cohort_retention,
+}
+
+ORACLE = {
+    "q_funnel_conversion": """
+        WITH e1 AS (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'signup' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t1
+            FROM events
+        ),
+        e2 AS (
+            SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+                          OVER (PARTITION BY user_id) AS t2
+            FROM e1
+        ),
+        e3 AS (
+            SELECT *, min(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END)
+                          OVER (PARTITION BY user_id) AS t3
+            FROM e2
+        ),
+        e4 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END)
+                          OVER (PARTITION BY user_id) AS t4
+            FROM e3
+        ),
+        pu AS (
+            SELECT user_id, max(t1) AS t1, max(t2) AS t2,
+                   max(t3) AS t3, max(t4) AS t4
+            FROM e4 GROUP BY user_id
+        ),
+        c AS (
+            SELECT count(t1)::BIGINT AS n1, count(t2)::BIGINT AS n2,
+                   count(t3)::BIGINT AS n3, count(t4)::BIGINT AS n4
+            FROM pu
+        )
+        SELECT stage_no::INT AS stage_no, stage, n_users,
+               (n_users * 1000000) // n1 AS conv_ppm
+        FROM (
+            SELECT 1 AS stage_no, 'signup' AS stage, n1 AS n_users, n1 FROM c
+            UNION ALL SELECT 2, 'view', n2, n1 FROM c
+            UNION ALL SELECT 3, 'click', n3, n1 FROM c
+            UNION ALL SELECT 4, 'purchase', n4, n1 FROM c
+        )
+    """,
+    "q_cohort_retention": """
+        WITH first_ev AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+            FROM events
+        ),
+        sizes AS (
+            SELECT cohort_week, count(*)::BIGINT AS cohort_size
+            FROM first_ev GROUP BY cohort_week
+        ),
+        cells AS (
+            SELECT f.cohort_week,
+                   (date_diff('day', f.cohort_week, a.active_week) // 7)::INT
+                       AS week_k,
+                   count(DISTINCT a.user_id)::BIGINT AS n_active
+            FROM activity a JOIN first_ev f USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+               c.week_k, s.cohort_size, c.n_active,
+               (c.n_active * 1000000) // s.cohort_size AS retained_ppm
+        FROM cells c JOIN sizes s USING (cohort_week)
+    """,
+}

@@ -32,6 +32,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.media",
     "zonal_datacube_spark.operators.scale_ops",
     "zonal_datacube_spark.operators.geometry",
+    "zonal_datacube_spark.operators.behavior",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
