@@ -1,0 +1,33 @@
+"""Source-format tests: the partitioned layout must prune at planning
+time (PartitionFilters, not PushedFilters), and the CSV/JSONL caches must
+land where the keys expect them."""
+
+from __future__ import annotations
+
+import os
+
+from tests.conftest import SF_SMOKE
+from zonal_datacube_spark.operators.sources_ext import (
+    PRUNE_EVENT_TYPE,
+    partitioned_events_by_type_path,
+    q_source_partitioned_pruning,
+)
+from zonal_datacube_spark.plans.diagnostics import formatted_plan
+
+
+def test_partition_filter_is_metadata_time(spark):
+    plan = formatted_plan(q_source_partitioned_pruning(spark, SF_SMOKE))
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan, "scan has no PartitionFilters section:\n" + plan[:1500]
+    assert f"= {PRUNE_EVENT_TYPE}" in scan[0], scan[0]
+    # the predicate must NOT fall through to read-time row filtering —
+    # partition-column filters are resolved against directory names
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert all("event_type" not in l for l in pushed), pushed
+
+
+def test_partitioned_layout_one_dir_per_type(spark):
+    path = partitioned_events_by_type_path(spark, SF_SMOKE)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("event_type="))
+    assert f"event_type={PRUNE_EVENT_TYPE}" in dirs
+    assert len(dirs) == 5  # click, error, purchase, signup, view

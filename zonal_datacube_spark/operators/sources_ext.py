@@ -1,0 +1,152 @@
+"""Source-format keys beyond parquet/ORC: CSV and JSON-lines roundtrips,
+and Hive-style partitioned layout with observable partition pruning.
+
+Each key writes a cached copy of a fixture table in the target format
+(once per sf_dir, under the system temp dir), reads it back, and
+aggregates; the oracle runs the SAME aggregate over the parquet original,
+so the hash-compare proves the format roundtrip is lossless — including
+text through JSON escaping (checksummed via md5, bit-identical across
+engines) and date/double columns through CSV serialization.
+
+Scale notes (100 TB):
+- CSV/JSON reads use EXPLICIT schemas (sources/loader.py): schema
+  inference scans the data twice and guesses types — unacceptable at any
+  scale, wrong at 100 TB.
+- The partitioned layout turns the `event_type = ...` predicate into
+  directory pruning: the scan lists one partition directory instead of
+  reading-and-discarding 4/5 of the table. The plan-lock test asserts the
+  predicate lands in PartitionFilters (metadata-time), not PushedFilters
+  (read-time).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.sources.loader import load_csv, load_json, load_table
+from zonal_datacube_spark.sources.sinks import write_csv, write_json, write_parquet
+
+_SRC_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "zds_sources_cache")
+
+ORDERS_CSV_SCHEMA = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+    " o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING"
+)
+DOCS_JSON_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def _cache_path(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_SRC_CACHE_ROOT, tag, name)
+
+
+def csv_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    path = _cache_path(sf_dir, "orders_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_csv(load_table(spark, sf_dir, "orders"), path)
+    return path
+
+
+def jsonl_documents_path(spark: SparkSession, sf_dir: str) -> str:
+    path = _cache_path(sf_dir, "documents_jsonl")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_json(load_table(spark, sf_dir, "documents"), path)
+    return path
+
+
+def partitioned_events_by_type_path(spark: SparkSession, sf_dir: str) -> str:
+    path = _cache_path(sf_dir, "events_by_type")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_parquet(
+            load_table(spark, sf_dir, "events"), path, partition_by=["event_type"]
+        )
+    return path
+
+
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header, no schema in-band) → explicit-schema read →
+    aggregate. Doubles survive via shortest-roundtrip formatting; dates via
+    ISO strings; hash-equality against the parquet original proves it."""
+    orders = load_csv(spark, csv_orders_path(spark, sf_dir), ORDERS_CSV_SCHEMA)
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        F.sum(F.col("o_orderkey") % 997).alias("key_checksum"),
+    )
+
+
+def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSON-lines → explicit-schema read → per-lang aggregate
+    with an md5 text checksum: free text (quotes, unicode, newlines) must
+    survive JSON escaping bit-exactly or the min/max digests drift."""
+    docs = load_json(spark, jsonl_documents_path(spark, sf_dir), DOCS_JSON_SCHEMA)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_digest"),
+        F.max(F.md5(F.col("text").cast("binary"))).alias("max_digest"),
+    )
+
+
+PRUNE_EVENT_TYPE = "purchase"
+
+
+def q_source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup of one event type read from the type-partitioned
+    layout: the filter prunes to a single partition directory at planning
+    time (asserted in tests/test_sources_ext.py). The oracle scans the
+    flat original — identical results, 1/5th the I/O here, 1/k at scale."""
+    ev = spark.read.parquet(partitioned_events_by_type_path(spark, sf_dir))
+    return (
+        ev.filter(F.col("event_type") == PRUNE_EVENT_TYPE)
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+QUERIES = {
+    "q_source_csv_roundtrip": q_source_csv_roundtrip,
+    "q_source_jsonl_roundtrip": q_source_jsonl_roundtrip,
+    "q_source_partitioned_pruning": q_source_partitioned_pruning,
+}
+
+ORACLE = {
+    "q_source_csv_roundtrip": """
+        SELECT o_orderpriority,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_total,
+               strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+               sum(o_orderkey % 997)::BIGINT AS key_checksum
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "q_source_jsonl_roundtrip": """
+        SELECT lang,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars,
+               min(md5(text)) AS min_digest,
+               max(md5(text)) AS max_digest
+        FROM documents
+        GROUP BY lang
+    """,
+    "q_source_partitioned_pruning": f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM events
+        WHERE event_type = '{PRUNE_EVENT_TYPE}'
+        GROUP BY 1
+    """,
+}

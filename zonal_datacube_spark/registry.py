@@ -33,6 +33,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.scale_ops",
     "zonal_datacube_spark.operators.geometry",
     "zonal_datacube_spark.operators.behavior",
+    "zonal_datacube_spark.operators.sources_ext",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
