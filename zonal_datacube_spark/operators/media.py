@@ -72,9 +72,43 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_MS = 2000
+HOP_MS = 1000
+
+
+def q_media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plan (overlapping windows: 2 s chunks, 1 s hop) over
+    fixture-derived durations — the byte-range schedule an audio feature
+    extractor consumes. Same plan-side principle as frame sampling: the
+    chunk table is metadata-sized arithmetic (sequence+explode, map-only);
+    only the scheduled ranges are ever fetched/decoded. Every clip yields
+    at least the [0, chunk) window even when shorter than one chunk."""
+    from zonal_datacube_spark.sources.loader import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    clips = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 7 + 1000).cast("bigint").alias("dur_ms"),
+    )
+    last_start = F.greatest(F.col("dur_ms") - CHUNK_MS, F.lit(0)).cast("bigint")
+    return clips.select(
+        "media_id",
+        "dur_ms",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), last_start, F.lit(HOP_MS).cast("bigint"))
+        ).alias("chunk_start"),
+    ).select(
+        "media_id",
+        "dur_ms",
+        "chunk_start",
+        F.least(F.col("chunk_start") + CHUNK_MS, F.col("dur_ms")).alias("chunk_end"),
+    )
+
+
 QUERIES = {
     "q_media_decode_stats": q_media_decode_stats,
     "q_media_frame_sample": q_media_frame_sample,
+    "q_media_audio_chunks": q_media_audio_chunks,
 }
 
 ORACLE: dict[str, str] = {
@@ -86,5 +120,20 @@ ORACLE: dict[str, str] = {
         )
         SELECT media_id, n_frames, unnest(range(0, n_frames, {FRAME_EVERY_N})) AS frame_idx
         FROM vids
+    """,
+    "q_media_audio_chunks": f"""
+        WITH clips AS (
+            SELECT doc_id AS media_id, (n_chars * 7 + 1000)::BIGINT AS dur_ms
+            FROM documents
+        ),
+        starts AS (
+            SELECT media_id, dur_ms,
+                   unnest(range(0, greatest(dur_ms - {CHUNK_MS}, 0) + 1,
+                                {HOP_MS}))::BIGINT AS chunk_start
+            FROM clips
+        )
+        SELECT media_id, dur_ms, chunk_start,
+               least(chunk_start + {CHUNK_MS}, dur_ms) AS chunk_end
+        FROM starts
     """,
 }

@@ -132,8 +132,30 @@ def q_text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REDACT_RE = r"\b(customer|supplier|order)\b"
+_REDACT_WITH = "[REDACTED]"
+
+
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style term scrubbing: word-boundary regex redaction with a
+    per-doc match count and an md5 digest of the scrubbed text. Pure
+    regexp_replace/extract_all — map-only, no shuffle; at 100 TB this is
+    the shape of a redaction pass over a training corpus (the word list
+    stands in for PII patterns; the digest makes the rewrite auditable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace("text", _REDACT_RE, _REDACT_WITH)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_REDACT_RE), 0))
+        .cast("bigint")
+        .alias("n_redacted"),
+        F.md5(redacted.cast("binary")).alias("redacted_digest"),
+    )
+
+
 QUERIES = {
     "q_text_tokens": q_text_tokens,
+    "q_text_redact": q_text_redact,
     "q_text_tfidf": q_text_tfidf,
     "q_text_stats": q_text_stats,
     "q_text_langid": q_text_langid,
@@ -145,6 +167,13 @@ QUERIES = {
 _TOKS = "string_split(lower(text), ' ')"
 
 ORACLE = {
+    "q_text_redact": rf"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_REDACT_RE}'))::BIGINT AS n_redacted,
+               md5(regexp_replace(text, '{_REDACT_RE}', '{_REDACT_WITH}', 'g'))
+                   AS redacted_digest
+        FROM documents
+    """,
     "q_text_tokens": f"""
         SELECT token, count(*) AS n_occurrences
         FROM (SELECT unnest({_TOKS}) AS token FROM documents)

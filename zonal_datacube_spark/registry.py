@@ -34,6 +34,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.geometry",
     "zonal_datacube_spark.operators.behavior",
     "zonal_datacube_spark.operators.sources_ext",
+    "zonal_datacube_spark.operators.graph",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
