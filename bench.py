@@ -47,6 +47,10 @@ def main() -> int:
     queries["q_source_orc_roundtrip"](spark, sf_dir).count()
     queries["q_source_zorder_roundtrip"](spark, sf_dir).count()
     queries["q_stream_tumbling_partitioned"](spark, sf_dir).count()
+    queries["q_source_csv_roundtrip"](spark, sf_dir).count()
+    queries["q_source_jsonl_roundtrip"](spark, sf_dir).count()
+    queries["q_source_partitioned_pruning"](spark, sf_dir).count()
+    queries["q_source_schema_evolution"](spark, sf_dir).count()
 
     # Materialize via Arrow (toPandas): full result transfer at columnar
     # speed — collect()'s per-Row Python object construction would bench

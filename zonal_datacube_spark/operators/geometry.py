@@ -161,13 +161,84 @@ _EDGES_SQL_VALUES = ", ".join(
     f"({z}, {x1}, {y1}, {x2}, {y2})" for z, x1, y1, x2, y2 in polygon_edges()
 )
 
+RADIUS = 0.05
+RADIUS_SQ = 0.0025  # same literal on both engines — no recomputed product
+
+
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points-within-radius self-join via GRID BUCKETING — the spatial
+    analogue of LSH banding: never all-pairs. Each point lands in one
+    cell of side RADIUS; a probe row per 3×3 neighbor cell equi-joins on
+    the cell id, and only candidates sharing a neighborhood pay the exact
+    squared-distance check. At 100 TB the shuffle key is the cell id
+    (spatially local, naturally balanced for non-pathological data), and
+    comparisons scale with local density, not n². Coordinates are the
+    first two embedding dims cast to double; strict `<` on dist² with the
+    identical literal bound keeps the two engines' boundaries aligned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    ).select(
+        "vec_id", "x", "y",
+        F.floor(F.col("x") / RADIUS).alias("cx"),
+        F.floor(F.col("y") / RADIUS).alias("cy"),
+    )
+    probes = (
+        pts.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            "cx", "cy",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx"),
+        )
+        .select(
+            "a_id", "ax", "ay", "cx", "cy", "dx",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy"),
+        )
+        .select(
+            "a_id", "ax", "ay",
+            (F.col("cx") + F.col("dx")).alias("tcx"),
+            (F.col("cy") + F.col("dy")).alias("tcy"),
+        )
+    )
+    cand = probes.join(
+        pts.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            "cx", "cy",
+        ),
+        (F.col("tcx") == F.col("cx")) & (F.col("tcy") == F.col("cy")),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        cand.filter((F.col("a_id") < F.col("b_id")) & (d2 < RADIUS_SQ))
+        .select("a_id", "b_id")
+    )
+
+
 QUERIES = {
     "q_zonal_polygon": q_zonal_polygon,
     "q_zonal_polygon_categorical": q_zonal_polygon_categorical,
     "q_geo_polygon_metrics": q_geo_polygon_metrics,
+    "q_geo_radius_join": q_geo_radius_join,
 }
 
 ORACLE = {
+    "q_geo_radius_join": f"""
+        WITH pts AS (
+            SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+            FROM embeddings
+        )
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              < {RADIUS_SQ}
+    """,
     "q_geo_polygon_metrics": f"""
         WITH edges(zone_id, x1, y1, x2, y2) AS (VALUES {_EDGES_SQL_VALUES})
         SELECT zone_id,

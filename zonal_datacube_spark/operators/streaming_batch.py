@@ -253,8 +253,55 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming stream-static enrichment: readStream events join the
+    broadcast customer dimension, aggregate per market segment, complete-
+    mode memory sink (availableNow). The oracle is the plain batch join —
+    stream-static joins re-resolve the static side per micro-batch, so on
+    a finite source the result must equal the batch plan exactly."""
+    from zonal_datacube_spark.streaming.demo import (
+        enriched_segment_counts,
+        events_stream,
+    )
+
+    result = enriched_segment_counts(
+        events_stream(spark, sf_dir), load_table(spark, sf_dir, "customer")
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName("zds_stream_enrich")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("zds_stream_enrich")
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream interval join: watermarked view and purchase
+    streams (both derived from the events file source) joined on user
+    within [view_ts, view_ts + 1h), append-mode foreachBatch sink. The
+    time-bound join condition is what lets each side's state store evict
+    — unbounded stream-stream joins are rejected by Spark outright. The
+    oracle is the equivalent batch self-join."""
+    import tempfile
+
+    from zonal_datacube_spark.streaming.demo import (
+        events_stream,
+        run_stream_append,
+        view_purchase_join,
+    )
+
+    out = tempfile.mkdtemp(prefix="zds_ssjoin_")
+    run_stream_append(view_purchase_join(events_stream(spark, sf_dir)), spark, out)
+    return spark.read.parquet(out)
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_enrich_join": q_stream_enrich_join,
+    "q_stream_stream_join": q_stream_stream_join,
     "q_stream_tumbling_partitioned": q_stream_tumbling_partitioned,
     "q_stream_foreach_roundtrip": q_stream_foreach_roundtrip,
     "q_stream_upsert_roundtrip": q_stream_upsert_roundtrip,
@@ -266,6 +313,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_stream_enrich_join": """
+        SELECT c.c_mktsegment,
+               count(*)::BIGINT AS n_events,
+               round(sum(e.value), 2) AS sum_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+        GROUP BY 1
+    """,
+    "q_stream_stream_join": """
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               date_diff('microsecond', v.ts, p.ts)::BIGINT AS gap_us
+        FROM events v
+        JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts < v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
     "q_stream_tumbling": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
                event_type,

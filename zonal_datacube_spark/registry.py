@@ -35,6 +35,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.behavior",
     "zonal_datacube_spark.operators.sources_ext",
     "zonal_datacube_spark.operators.graph",
+    "zonal_datacube_spark.operators.profiling",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact

@@ -239,3 +239,83 @@ def run_tumbling_demo(spark: SparkSession, sf_dir: str, table: str = "zds_stream
     )
     q.awaitTermination(120)
     return spark.table(table)
+
+
+def enriched_segment_counts(stream: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + aggregate: each micro-batch joins
+    against the (planning-time-resolved, broadcastable) customer dimension
+    — the canonical streaming feature-lookup shape. No watermark is needed
+    for the join itself (the static side has no event time); the
+    downstream aggregate runs in complete mode here, update mode + upsert
+    sink at scale."""
+    dim = customer.select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
+    )
+    return (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def view_purchase_join(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: purchases within one hour AFTER a view
+    by the same user. Both sides carry event-time watermarks and the join
+    condition bounds the time skew, so each side's state store evicts rows
+    older than (watermark + interval) — the bounded-state form Structured
+    Streaming requires of stream-stream joins."""
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts AND p_ts < v_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.expr(
+            "date_diff(MICROSECOND, v_ts, p_ts)"
+        ).cast("bigint").alias("gap_us"),
+    )
+
+
+def run_stream_append(
+    stream_result: DataFrame, spark: SparkSession, out_dir: str
+) -> None:
+    """foreachBatch sink for APPEND-mode results: each micro-batch holds
+    only newly-final rows, so batches append into ONE directory and the
+    union IS the result (unlike complete-mode snapshots, where only the
+    last batch counts — see run_stream_foreach_batch)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_result.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
