@@ -157,7 +157,32 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct counting via MERGEABLE HLL sketches: per
+    (event_type, day) sketches of user_id are unioned up to event_type —
+    the pre-aggregation pattern exact distincts cannot use (distincts
+    don't compose; sketches do). At 100 TB the daily sketch table is the
+    stored rollup; any time-range distinct is a sketch union over it,
+    never a rescan. Rows-only: sketch estimates are implementation-
+    defined (tests pin ≤5% error vs exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
+                "approx_users"
+            ),
+            F.count("*").alias("n_daily_sketches"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "q_agg_hll_rollup": q_agg_hll_rollup,
     "q_agg_global": q_agg_global,
     "q_agg_groupby": q_agg_groupby,
     "q_agg_distinct": q_agg_distinct,

@@ -249,7 +249,57 @@ def q_str_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("edit_dist") <= 18)
 
 
+REPORT_TOPN = 3
+
+
+def q_report_segment_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite reporting query — the end-to-end shape a BI layer emits:
+    4-table join (facts shuffled, dims broadcast) → revenue rollup →
+    dense_rank window → top-3 nations per market segment. One fact
+    shuffle for the join, one for the rollup, one output-sized window:
+    the plan a 100 TB reporting tier actually wants."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_mktsegment"
+        )
+    )
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue").desc(), F.col("n_name").asc()
+    )
+    return (
+        rev.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= REPORT_TOPN)
+        .select(
+            "c_mktsegment",
+            F.col("rk").cast("int").alias("rk"),
+            "n_name",
+            "revenue",
+            "n_items",
+        )
+    )
+
+
 QUERIES = {
+    "q_report_segment_topn": q_report_segment_topn,
     "q_join_cross": q_join_cross,
     "q_subquery_scalar": q_subquery_scalar,
     "q_agg_percentile": q_agg_percentile,
@@ -267,6 +317,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_report_segment_topn": f"""
+        WITH rev AS (
+            SELECT c.c_mktsegment, n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *, dense_rank() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY revenue DESC, n_name ASC) AS rk
+            FROM rev
+        )
+        SELECT c_mktsegment, rk::INT AS rk, n_name, revenue, n_items
+        FROM ranked WHERE rk <= {REPORT_TOPN}
+    """,
     "q_join_cross": """
         SELECT r_regionkey, n_nationkey, r_name || '/' || n_name AS pair_name
         FROM region CROSS JOIN nation

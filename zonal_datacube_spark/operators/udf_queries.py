@@ -73,12 +73,43 @@ def q_udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through a LATERAL join, oracle-checked: the tokenizer
+    table function (functions/udtf_demo.py) fans each document into
+    (pos, token, is_stop) rows. UDTFs are row-at-a-time Python — the slow
+    path by design (operators/text.py does this JVM-side); the declared
+    key keeps the input to a deterministic 1-in-20 document slice so the
+    surface is proven without putting Python on a hot path."""
+    from zonal_datacube_spark.functions.udtf_demo import register
+
+    register(spark)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    ).createOrReplaceTempView("zds_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.is_stop
+        FROM zds_udtf_docs d, LATERAL zds_tokenize(d.doc_id, d.text) t
+        """
+    )
+
+
 QUERIES = {
+    "q_udtf_tokenize": q_udtf_tokenize,
     "q_udaf_zonal_trimmed_mean": q_udaf_zonal_trimmed_mean,
     "q_udf_grouped_zscore": q_udf_grouped_zscore,
 }
 
 ORACLE = {
+    "q_udtf_tokenize": """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents WHERE doc_id % 20 = 0
+        )
+        SELECT doc_id, (i - 1)::INT AS pos, t[i] AS token,
+               t[i] IN ('the', 'a') AS is_stop
+        FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    """,
     "q_udaf_zonal_trimmed_mean": f"""
         WITH zones(zone_id, lo, hi) AS (VALUES {ZONES_SQL_VALUES}),
         assigned AS (
