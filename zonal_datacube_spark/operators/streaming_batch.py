@@ -294,7 +294,18 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = tempfile.mkdtemp(prefix="zds_ssjoin_")
-    run_stream_append(view_purchase_join(events_stream(spark, sf_dir)), spark, out)
+    # each shuffle partition materializes one state store PER JOIN SIDE per
+    # micro-batch — at fixture scale 32 partitions are pure setup overhead
+    # (~4s); 8 keeps the same plan shape. At 100 TB this knob goes UP with
+    # the key cardinality, it is pinned by the first run's checkpoint.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_append(
+            view_purchase_join(events_stream(spark, sf_dir)), spark, out
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out)
 
 
