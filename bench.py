@@ -51,6 +51,8 @@ def main() -> int:
     queries["q_source_jsonl_roundtrip"](spark, sf_dir).count()
     queries["q_source_partitioned_pruning"](spark, sf_dir).count()
     queries["q_source_schema_evolution"](spark, sf_dir).count()
+    queries["q_source_csv_corrupt"](spark, sf_dir).count()
+    queries["q_source_compaction"](spark, sf_dir).count()
 
     # Materialize via Arrow (toPandas): full result transfer at columnar
     # speed — collect()'s per-Row Python object construction would bench

@@ -26,6 +26,32 @@ def test_partition_filter_is_metadata_time(spark):
     assert all("event_type" not in l for l in pushed), pushed
 
 
+def test_compaction_produces_n_files(spark):
+    import glob
+
+    from zonal_datacube_spark.operators.sources_ext import (
+        COMPACT_FILES,
+        q_source_compaction,
+    )
+
+    q_source_compaction(spark, SF_SMOKE).collect()  # builds the cache
+    from zonal_datacube_spark.operators.sources_ext import _cache_path
+
+    files = glob.glob(os.path.join(_cache_path(SF_SMOKE, "events_compacted"), "part-*"))
+    assert len(files) == COMPACT_FILES
+
+
+def test_corrupt_rows_are_quarantined_not_dropped(spark):
+    from zonal_datacube_spark.operators.sources_ext import (
+        N_CORRUPT,
+        q_source_csv_corrupt,
+    )
+
+    row = q_source_csv_corrupt(spark, SF_SMOKE).collect()[0]
+    assert row["n_corrupt"] == N_CORRUPT
+    assert row["n_good"] > 0
+
+
 def test_partitioned_layout_one_dir_per_type(spark):
     path = partitioned_events_by_type_path(spark, SF_SMOKE)
     dirs = sorted(d for d in os.listdir(path) if d.startswith("event_type="))

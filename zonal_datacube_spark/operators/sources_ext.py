@@ -115,13 +115,110 @@ def q_source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CORRUPT = 3
+COMPACT_FILES = 4
+
+
+def corrupt_csv_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """The CSV orders copy plus one extra part file holding N_CORRUPT
+    deliberately malformed lines — wrong arity / unparseable types, the
+    rows every real ingest meets."""
+    base = csv_orders_path(spark, sf_dir)
+    path = _cache_path(sf_dir, "orders_csv_corrupt")
+    if not os.path.exists(os.path.join(path, "_marker")):
+        import shutil
+
+        os.makedirs(path, exist_ok=True)
+        for f in os.listdir(base):
+            if f.endswith(".csv"):
+                shutil.copy(os.path.join(base, f), os.path.join(path, f))
+        bad = [
+            "not-a-number,1,O,oops,2024-13-99,1-URGENT",
+            "only,three,fields",
+            ",,,,,,too,many,fields,here,extra",
+        ]
+        with open(os.path.join(path, "part-corrupt.csv"), "w") as fh:
+            # header=true consumes the first line of EVERY file — lead
+            # with a sacrificial header so all N_CORRUPT rows are parsed
+            fh.write("o_orderkey,o_custkey,o_orderstatus,o_totalprice,"
+                     "o_orderdate,o_orderpriority\n")
+            fh.write("\n".join(bad[:N_CORRUPT]) + "\n")
+        with open(os.path.join(path, "_marker"), "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def q_source_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest over a CSV dir containing malformed lines:
+    bad rows null-fill and land in _corrupt_record instead of failing the
+    job (FAILFAST) or vanishing silently (DROPMALFORMED). The key counts
+    clean vs quarantined rows and checksums the clean side — the
+    quarantine-don't-crash contract a 100 TB ingest needs, since at that
+    scale SOME corrupt records are a certainty."""
+    schema = ORDERS_CSV_SCHEMA + ", _corrupt_record STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(corrupt_csv_orders_path(spark, sf_dir))
+    )
+    # caching before splitting on _corrupt_record is the documented Spark
+    # requirement: the column is only populated during the physical parse
+    df = df.cache()
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("o_orderkey") % 997)
+        ).alias("key_checksum"),
+    )
+
+
+def q_source_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: rewrite the (many-file) events table into
+    COMPACT_FILES parquet files and prove content equality through the
+    rewrite. Small-files is THE silent killer of 100 TB scans (one task +
+    one footer fetch per file); compaction is a repartition-write whose
+    only observable change is the file count (asserted in tests)."""
+    path = _cache_path(sf_dir, "events_compacted")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # repartition (not coalesce): exact file-count control with
+        # round-robin balancing — the one shuffle is the compaction's price
+        write_parquet(
+            load_table(spark, sf_dir, "events").repartition(COMPACT_FILES), path
+        )
+    ev = spark.read.parquet(path)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("event_id") % 9973).alias("id_checksum"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 QUERIES = {
     "q_source_csv_roundtrip": q_source_csv_roundtrip,
+    "q_source_csv_corrupt": q_source_csv_corrupt,
+    "q_source_compaction": q_source_compaction,
     "q_source_jsonl_roundtrip": q_source_jsonl_roundtrip,
     "q_source_partitioned_pruning": q_source_partitioned_pruning,
 }
 
 ORACLE = {
+    "q_source_csv_corrupt": f"""
+        SELECT count(*)::BIGINT AS n_good,
+               {N_CORRUPT}::BIGINT AS n_corrupt,
+               sum(o_orderkey % 997)::BIGINT AS key_checksum
+        FROM orders
+    """,
+    "q_source_compaction": """
+        SELECT event_type,
+               count(*)::BIGINT AS n_events,
+               sum(event_id % 9973)::BIGINT AS id_checksum,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
     "q_source_csv_roundtrip": """
         SELECT o_orderpriority,
                count(*)::BIGINT AS n_orders,
