@@ -309,8 +309,32 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE custom stateful streaming (applyInPandasWithState) as an
+    oracle-checked key: per-user profiles (count, sum, last-seen µs)
+    evolved in GroupState, update-mode memory sink. The sink holds one
+    update row per user per micro-batch; max_by on the strictly-growing
+    event count selects each user's FINAL state however availableNow
+    splits the input. Final state ≡ the batch per-user aggregate — the
+    exactly-once contract for custom stateful operators."""
+    from zonal_datacube_spark.streaming.stateful import run_stateful_demo
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sink = run_stateful_demo(spark, sf_dir, table="zds_stateful_key")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.expr("max_by(sum_value, n_events)").alias("sum_value"),
+        F.expr("max_by(last_us, n_events)").alias("last_us"),
+    )
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_stateful_profile": q_stream_stateful_profile,
     "q_stream_enrich_join": q_stream_enrich_join,
     "q_stream_stream_join": q_stream_stream_join,
     "q_stream_tumbling_partitioned": q_stream_tumbling_partitioned,
@@ -324,6 +348,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_stream_stateful_profile": """
+        SELECT user_id,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 2) AS sum_value,
+               max(date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts))::BIGINT
+                   AS last_us
+        FROM events
+        GROUP BY user_id
+    """,
     "q_stream_enrich_join": """
         SELECT c.c_mktsegment,
                count(*)::BIGINT AS n_events,
