@@ -52,6 +52,24 @@ def test_corrupt_rows_are_quarantined_not_dropped(spark):
     assert row["n_good"] > 0
 
 
+def test_dpp_join_prunes_at_runtime(spark):
+    from zonal_datacube_spark.operators.sources_ext import q_join_dpp
+
+    plan = formatted_plan(q_join_dpp(spark, SF_SMOKE))
+    # the partition filter must come from the joined dim at runtime — a
+    # dynamicpruning subquery, not a static literal filter
+    assert "dynamicpruningexpression" in plan, plan[:1500]
+
+
+def test_cache_scan_is_in_memory(spark):
+    from zonal_datacube_spark.operators.joins import q_cache_inmemory
+    from zonal_datacube_spark.plans.diagnostics import formatted_plan as fp
+
+    df = q_cache_inmemory(spark, SF_SMOKE)
+    df.collect()  # populate the cache, then the re-plan must hit it
+    assert "InMemoryTableScan" in fp(q_cache_inmemory(spark, SF_SMOKE))
+
+
 def test_partitioned_layout_one_dir_per_type(spark):
     path = partitioned_events_by_type_path(spark, SF_SMOKE)
     dirs = sorted(d for d in os.listdir(path) if d.startswith("event_type="))

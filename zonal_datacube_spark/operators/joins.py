@@ -239,7 +239,56 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "zone_id", F.round("value", 2).alias("value_r"))
 
 
+NULLSAFE_DIM = (
+    ("2-HIGH", "high"),
+    ("3-MEDIUM", "medium"),
+    ("4-NOT SPECIFIED", "unspecified"),
+    ("5-LOW", "low"),
+    (None, "urgent-or-missing"),
+)
+
+
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics CDC and
+    sentinel-key pipelines need. Urgent orders are nulled into the
+    sentinel and still land in the 'urgent-or-missing' dim row; a plain
+    equi-join would lose a fifth of the table here (and whole key ranges
+    at 100 TB)."""
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    dim = spark.createDataFrame(list(NULLSAFE_DIM), "dk string, label string")
+    return (
+        counts.join(F.broadcast(dim), counts.pk.eqNullSafe(dim.dk))
+        .select("label", "n_orders")
+    )
+
+
+def q_cache_inmemory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-memory columnar cache tier: a projected lineitem slice is
+    `.cache()`d and aggregated — the scan becomes InMemoryTableScan
+    (plan-locked) with per-batch stats pruning. At 100 TB this tier holds
+    hot dimensions and iteration working sets (the k-means/PageRank
+    pattern), never whole fact tables; results are identical by contract,
+    which is exactly what the oracle hash checks."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .cache()
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 QUERIES = {
+    "q_join_null_safe": q_join_null_safe,
+    "q_cache_inmemory": q_cache_inmemory,
     "q_join_inner_hash": q_join_inner_hash,
     "q_join_broadcast": q_join_broadcast,
     "q_join_multiway": q_join_multiway,
@@ -253,7 +302,28 @@ QUERIES = {
     "q_join_range_bucketed": q_join_range_bucketed,
 }
 
+_NULLSAFE_VALUES = ", ".join(
+    f"({'NULL' if k is None else repr(k)}, '{v}')" for k, v in NULLSAFE_DIM
+)
+
 ORACLE = {
+    "q_join_null_safe": f"""
+        WITH counts AS (
+            SELECT nullif(o_orderpriority, '1-URGENT') AS pk,
+                   count(*)::BIGINT AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        dim(dk, label) AS (VALUES {_NULLSAFE_VALUES})
+        SELECT d.label, c.n_orders
+        FROM counts c JOIN dim d ON c.pk IS NOT DISTINCT FROM d.dk
+    """,
+    "q_cache_inmemory": """
+        SELECT l_returnflag, l_linestatus,
+               count(*)::BIGINT AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY 1, 2
+    """,
     "q_join_inner_hash": """
         SELECT o_orderkey, o_orderstatus, l_linenumber,
                round(l_extendedprice * (1 - l_discount), 4) AS net_price

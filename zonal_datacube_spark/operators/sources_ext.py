@@ -196,15 +196,93 @@ def q_source_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_lines_path(spark: SparkSession, sf_dir: str) -> str:
+    """documents.text exported one line per document (fixture text is
+    single-line), the raw-corpus form text pipelines start from."""
+    path = _cache_path(sf_dir, "documents_txt")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents").select("text")
+        docs.write.mode("overwrite").text(path)
+    return path
+
+
+def q_source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-file source: read the exported corpus with ``read.text``
+    (one row per line, single `value` column) and profile it. Line
+    identity is order-free (md5 min/max + length sum), so the key is
+    layout-independent — exactly how a 100 TB crawl dump is first
+    touched: no schema, no delimiters, line-split only."""
+    lines = spark.read.text(text_lines_path(spark, sf_dir))
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.md5(F.col("value").cast("binary"))).alias("min_digest"),
+        F.max(F.md5(F.col("value").cast("binary"))).alias("max_digest"),
+    )
+
+
+EVENT_CATEGORIES = (
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("signup", "conversion"),
+    ("purchase", "conversion"),
+    ("error", "ops"),
+)
+DPP_CATEGORY = "conversion"
+
+
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact side is the type-partitioned
+    events layout; the filter lives on a tiny category dimension, so the
+    partition list is only known at RUNTIME — Catalyst broadcasts the
+    dim, builds the pruning predicate from it, and the fact scan skips
+    3/5 partition directories without a static filter ever existing
+    (plan-locked in tests). This is the join-shaped twin of
+    q_source_partitioned_pruning's static pruning — at 100 TB, star-join
+    dashboards live or die by DPP."""
+    ev = spark.read.parquet(partitioned_events_by_type_path(spark, sf_dir))
+    cats = spark.createDataFrame(
+        list(EVENT_CATEGORIES), "event_type string, category string"
+    ).filter(F.col("category") == DPP_CATEGORY)
+    return (
+        ev.join(F.broadcast(cats), "event_type")
+        .groupBy("category", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "q_source_csv_roundtrip": q_source_csv_roundtrip,
     "q_source_csv_corrupt": q_source_csv_corrupt,
     "q_source_compaction": q_source_compaction,
+    "q_source_text_lines": q_source_text_lines,
+    "q_join_dpp": q_join_dpp,
     "q_source_jsonl_roundtrip": q_source_jsonl_roundtrip,
     "q_source_partitioned_pruning": q_source_partitioned_pruning,
 }
 
+_CATS_VALUES = ", ".join(f"('{t}', '{c}')" for t, c in EVENT_CATEGORIES)
+
 ORACLE = {
+    "q_source_text_lines": """
+        SELECT count(*)::BIGINT AS n_lines,
+               sum(length(text))::BIGINT AS total_chars,
+               min(md5(text)) AS min_digest,
+               max(md5(text)) AS max_digest
+        FROM documents
+    """,
+    "q_join_dpp": f"""
+        WITH cats(event_type, category) AS (VALUES {_CATS_VALUES})
+        SELECT c.category, e.event_type,
+               count(*)::BIGINT AS n_events,
+               round(sum(e.value), 2) AS sum_value
+        FROM events e JOIN cats c USING (event_type)
+        WHERE c.category = '{DPP_CATEGORY}'
+        GROUP BY 1, 2
+    """,
     "q_source_csv_corrupt": f"""
         SELECT count(*)::BIGINT AS n_good,
                {N_CORRUPT}::BIGINT AS n_corrupt,
