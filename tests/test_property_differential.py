@@ -193,14 +193,21 @@ def test_random_set_ops_agree(p1, p2, setop, spark, duck):
 )
 def test_random_window_frames_agree(pred, a, b, spark, duck):
     """Random ROWS BETWEEN frames under random predicates — frame-boundary
-    semantics (preceding/following row counts) on both engines."""
+    semantics (preceding/following row counts) on both engines.
+
+    The ORDER BY must be a TOTAL order for ROWS frames to be well-defined:
+    the fixture has ~12k duplicate (l_orderkey, l_linenumber) pairs with
+    differing quantities (found by this test, 2026-08-13), so l_linenumber
+    alone leaves the frame contents engine-dependent. Adding l_quantity
+    makes any remaining ties interchangeable for sum(l_quantity)/count(*),
+    pinning the output without constraining either engine's sort."""
     sql = f"""
         SELECT l_orderkey, l_linenumber,
                round(sum(l_quantity) OVER (
-                   PARTITION BY l_orderkey ORDER BY l_linenumber
+                   PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                    ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING), 2) AS s,
                count(*) OVER (
-                   PARTITION BY l_orderkey ORDER BY l_linenumber
+                   PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                    ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING) AS n
         FROM lineitem WHERE {pred}
     """

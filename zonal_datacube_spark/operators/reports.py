@@ -1,0 +1,291 @@
+"""Composite TPC-H-shaped reports (SURVEY.md §2.13 realistic workloads).
+
+Each key is a full end-to-end decision-support query — multi-table join +
+grouped aggregate + window/having + ordered limit — the shapes the TPC-H
+suite standardized (Q3, Q4, Q5, Q10, Q18), adapted to the fixture schema
+(FIXTURES.md: no commitdate/receiptdate/partsupp, o_orderpriority instead
+of o_shippriority). Unlike the single-operator keys these exercise operator
+*composition*: Catalyst's join reordering, semi-join rewrite of EXISTS,
+aggregate-then-join, and TopK (sort + limit pushed into a single
+TakeOrderedAndProject) all in one plan.
+
+Scale notes (100 TB): every plan here keeps exactly ONE fact-table shuffle
+(the first fact join or the first rollup); all dimension sides are
+broadcast-hinted. The ordered-limit heads are TakeOrderedAndProject —
+per-partition top-N then a driver merge of N×partitions rows, never a
+global sort. Q18's having-filter runs on the aggregate output (tiny),
+not the fact rows.
+
+FP parity: revenue sums round to 4 decimals (same grain as
+q_report_segment_topn, proven stable on this fixture); ordered limits
+tie-break on a unique key so LIMIT is deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.sources.loader import load_table
+
+Q3_CUTOFF = "1997-03-15"
+Q3_TOPN = 10
+Q5_YEARS = (1996, 1997)
+Q10_QUARTER_START = "1996-01-01"
+Q10_QUARTER_END = "1996-04-01"
+Q10_TOPN = 20
+Q18_QTY_THRESHOLD = 150.0
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q_report_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue per order for one market segment.
+
+    customer(broadcast) ⋈ orders ⋈ lineitem, date-banded on both fact
+    tables (predicates push to the parquet scans), per-order revenue
+    rollup, top-10 by revenue. One shuffle on o_orderkey/l_orderkey."""
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp_ntz"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(Q3_TOPN)
+    )
+
+
+def q_report_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority where at least one line
+    item shipped after the order date (the fixture's 'late' predicate —
+    no commit/receipt dates). The EXISTS is a left-semi join: lineitem
+    never multiplies the orders rows, and the aggregate runs on orders
+    only. Spark plans it as shuffled semi-join + partial/final count."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_report_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per (region, nation) where the supplier and
+    the ordering customer share a nation ("local" supply), over a 2-year
+    order window. Six-table join: lineitem (fact, shuffled once) against
+    orders (fact) and four broadcast dims — supplier, customer, nation,
+    region. The c_nationkey = s_nationkey equality is the join's extra
+    non-key predicate; Catalyst folds it into the customer join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").between(*Q5_YEARS))
+        .select("o_orderkey", "o_custkey")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+    )
+    reg = F.broadcast(
+        load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(_revenue()), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_report_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    (l_returnflag = 'R') for one order quarter. Fact⋈fact on orderkey
+    (one shuffle), customer+nation broadcast, rollup keyed by the
+    customer attributes, TakeOrderedAndProject head."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q10_QUARTER_START).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(Q10_QUARTER_END).cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+        )
+    )
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(_revenue()), 4).alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(Q10_TOPN)
+    )
+
+
+def q_report_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with the ordering customer. Aggregate-THEN-join: the
+    having-filter runs on the per-order aggregate (tiny), and only
+    qualifying orderkeys join back to orders/customer — the fact table
+    is shuffled once for the aggregate and never again."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+    )
+
+
+QUERIES = {
+    "q_report_shipping_priority": q_report_shipping_priority,
+    "q_report_order_priority": q_report_order_priority,
+    "q_report_local_supplier_volume": q_report_local_supplier_volume,
+    "q_report_returned_items": q_report_returned_items,
+    "q_report_big_orders": q_report_big_orders,
+}
+
+ORACLE = {
+    "q_report_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+          AND l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT {Q3_TOPN}
+    """,
+    "q_report_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q_report_local_supplier_volume": f"""
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE year(o_orderdate) BETWEEN {Q5_YEARS[0]} AND {Q5_YEARS[1]}
+        GROUP BY r_name, n_name
+    """,
+    "q_report_returned_items": f"""
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               round(max(c_acctbal), 2) AS acctbal
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '{Q10_QUARTER_START} 00:00:00'
+          AND o_orderdate < TIMESTAMP '{Q10_QUARTER_END} 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT {Q10_TOPN}
+    """,
+    "q_report_big_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING round(sum(l_quantity), 2) > {Q18_QTY_THRESHOLD}
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey ASC
+    """,
+}

@@ -137,6 +137,23 @@ def q_sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rn")
 
 
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed ANN as a declared key (rows-only: both the coarse
+    k-means quantizer and the PQ codebooks are iterative training, not
+    SQL-expressible). The full production stack from functions/pq.py's
+    ``ivf_pq_ann``: k-means cells prune the corpus to n_probe/n_cells,
+    PQ codes (8 bytes/vector) replace raw embeddings for ADC scoring,
+    exact re-rank pins the final ranking. Small iteration counts keep the
+    fixture run job-bound, not data-bound — at scale the training cost
+    amortizes over the corpus."""
+    from zonal_datacube_spark.functions.pq import ivf_pq_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_ann(
+        emb, list(PROBE_IDS), k=ANN_K, n_probe=3, n_cells=8, iters=1, train_mod=8
+    ).orderBy("probe_id", "rn")
+
+
 EMBED_DUP_TAU = 0.4
 
 
@@ -174,6 +191,7 @@ QUERIES = {
     "q_sim_join": q_sim_join,
     "q_sim_lsh_ann": q_sim_lsh_ann,
     "q_sim_pq_ann": q_sim_pq_ann,
+    "q_sim_ivfpq": q_sim_ivfpq,
     "q_dedup_embed": q_dedup_embed,
 }
 

@@ -36,6 +36,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.sources_ext",
     "zonal_datacube_spark.operators.graph",
     "zonal_datacube_spark.operators.profiling",
+    "zonal_datacube_spark.operators.reports",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
