@@ -153,8 +153,89 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per doc,
+    the fraction of tokens claimed by the most frequent token and the
+    fraction of bigrams claimed by the most frequent bigram — the two
+    cheapest repetition signals a training-data pipeline thresholds on.
+    All JVM-side: bigrams are a higher-order transform over the token
+    array (no explode of the corpus until the per-doc count, which
+    shuffles on doc_id — high cardinality, skew-free)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t", tokens())
+        .filter(F.size("t") >= 2)  # bigram sequence needs >= 2 tokens
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    per_tok = (
+        docs.select("doc_id", F.size("t").alias("n_tok"), F.explode("t").alias("g"))
+        .groupBy("doc_id", "n_tok", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.first("n_tok"), 6).alias("top_token_frac")
+        )
+    )
+    per_bi = (
+        docs.select(
+            "doc_id",
+            (F.size("t") - 1).alias("n_bi"),
+            F.explode(bigrams).alias("g"),
+        )
+        .groupBy("doc_id", "n_bi", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.first("n_bi"), 6).alias("top_bigram_frac"))
+    )
+    return per_tok.join(per_bi, "doc_id")
+
+
+PREP_MIN_TOKENS = 10
+PREP_MIN_QUALITY = 0.15
+
+
+def q_text_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep composite — the full pass a corpus
+    takes before tokenizer training: language filter → length/quality
+    gates → exact dedup keeping the lowest doc_id per content digest.
+    One map-only scoring pass over the corpus, then ONE shuffle (window
+    over the content digest) for canonical-doc selection; survivors carry
+    their features out. The quality gate compares 6-decimal-rounded
+    values so the threshold itself can never straddle an FP divergence."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens())
+    n_tok = F.size("t").cast("double")
+    ttr = F.size(F.array_distinct("t")) / n_tok
+    stop_ratio = stopword_count("t") / n_tok
+    quality = F.round(
+        F.least(F.lit(1.0), n_tok / 101.0) * (1.0 - stop_ratio) * ttr, 6
+    )
+    scored = (
+        docs.filter(F.col("lang") == "en")
+        .withColumn("n_tokens", F.size("t").cast("bigint"))
+        .withColumn("quality", quality)
+        .withColumn("digest", F.md5(F.col("text").cast("binary")))
+        .filter(
+            (F.col("n_tokens") >= PREP_MIN_TOKENS)
+            & (F.col("quality") >= PREP_MIN_QUALITY)
+        )
+    )
+    w = Window.partitionBy("digest").orderBy(F.col("doc_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens", "quality", "digest")
+    )
+
+
 QUERIES = {
     "q_text_tokens": q_text_tokens,
+    "q_text_repetition": q_text_repetition,
+    "q_text_prep_pipeline": q_text_prep_pipeline,
     "q_text_redact": q_text_redact,
     "q_text_tfidf": q_text_tfidf,
     "q_text_stats": q_text_stats,
@@ -178,6 +259,55 @@ ORACLE = {
         SELECT token, count(*) AS n_occurrences
         FROM (SELECT unnest({_TOKS}) AS token FROM documents)
         GROUP BY token
+    """,
+    "q_text_repetition": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+            WHERE len({_TOKS}) >= 2
+        ),
+        tokc AS (
+            SELECT doc_id, n_tok, g, count(*) AS c
+            FROM (SELECT doc_id, len(toks) AS n_tok, unnest(toks) AS g FROM t)
+            GROUP BY 1, 2, 3
+        ),
+        toka AS (
+            SELECT doc_id, round(max(c) * 1.0 / any_value(n_tok), 6) AS top_token_frac
+            FROM tokc GROUP BY doc_id
+        ),
+        bic AS (
+            SELECT doc_id, n_bi, g, count(*) AS c
+            FROM (
+                SELECT doc_id, len(toks) - 1 AS n_bi,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i + 1])) AS g
+                FROM t
+            )
+            GROUP BY 1, 2, 3
+        ),
+        bia AS (
+            SELECT doc_id, round(max(c) * 1.0 / any_value(n_bi), 6) AS top_bigram_frac
+            FROM bic GROUP BY doc_id
+        )
+        SELECT doc_id, top_token_frac, top_bigram_frac
+        FROM toka JOIN bia USING (doc_id)
+    """,
+    "q_text_prep_pipeline": f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   len({_TOKS})::BIGINT AS n_tokens,
+                   round(least(1.0, len({_TOKS}) / 101.0)
+                         * (1.0 - len(list_filter({_TOKS}, x -> x = 'the' OR x = 'a'))
+                                  * 1.0 / len({_TOKS}))
+                         * (len(list_distinct({_TOKS})) * 1.0 / len({_TOKS})), 6)
+                       AS quality,
+                   md5(text) AS digest
+            FROM documents
+            WHERE lang = 'en'
+        )
+        SELECT doc_id, source, n_tokens, quality, digest
+        FROM scored
+        WHERE n_tokens >= {PREP_MIN_TOKENS} AND quality >= {PREP_MIN_QUALITY}
+        QUALIFY row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1
     """,
     "q_text_tfidf": f"""
         WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
