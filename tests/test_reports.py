@@ -65,3 +65,12 @@ def test_big_orders_threshold_respected(spark):
     # descending by total_qty with orderkey tie-break
     qtys = [r.total_qty for r in rows]
     assert qtys == sorted(qtys, reverse=True)
+
+
+def test_text_repetition_single_corpus_pass(spark):
+    # unigrams + bigrams union into one tagged gram stream: exactly two
+    # shuffles (gram counts, then per-doc max) — never two scan chains
+    from zonal_datacube_spark.operators.text import q_text_repetition
+
+    plan = formatted_plan(q_text_repetition(spark, SF_SMOKE))
+    assert len(re.findall(r"\+- Exchange", plan)) <= 2

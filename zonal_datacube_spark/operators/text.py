@@ -166,31 +166,36 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("t", tokens())
         .filter(F.size("t") >= 2)  # bigram sequence needs >= 2 tokens
     )
-    bigrams = F.expr(
-        "transform(sequence(1, size(t) - 1),"
-        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    # ONE corpus pass: unigrams and bigrams union into a single tagged
+    # gram stream (bigrams can never collide with unigrams — they contain
+    # a space), so one explode + two doc_id-keyed aggregates replace two
+    # full scan+shuffle chains.
+    grams = F.expr(
+        "concat("
+        " transform(t, x -> named_struct('typ', 'tok', 'g', x)),"
+        " transform(sequence(1, size(t) - 1),"
+        "  i -> named_struct('typ', 'bi',"
+        "   'g', concat(element_at(t, i), ' ', element_at(t, i + 1)))))"
     )
-    per_tok = (
-        docs.select("doc_id", F.size("t").alias("n_tok"), F.explode("t").alias("g"))
-        .groupBy("doc_id", "n_tok", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.max("c") / F.first("n_tok"), 6).alias("top_token_frac")
-        )
-    )
-    per_bi = (
+    counts = (
         docs.select(
             "doc_id",
-            (F.size("t") - 1).alias("n_bi"),
-            F.explode(bigrams).alias("g"),
+            F.size("t").alias("n_tok"),
+            F.explode(grams).alias("x"),
         )
-        .groupBy("doc_id", "n_bi", "g")
+        .groupBy("doc_id", "n_tok", F.col("x.typ").alias("typ"), F.col("x.g").alias("g"))
         .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.round(F.max("c") / F.first("n_bi"), 6).alias("top_bigram_frac"))
     )
-    return per_tok.join(per_bi, "doc_id")
+    return counts.groupBy("doc_id").agg(
+        F.round(
+            F.max(F.when(F.col("typ") == "tok", F.col("c"))) / F.first("n_tok"), 6
+        ).alias("top_token_frac"),
+        F.round(
+            F.max(F.when(F.col("typ") == "bi", F.col("c")))
+            / (F.first("n_tok") - 1),
+            6,
+        ).alias("top_bigram_frac"),
+    )
 
 
 PREP_MIN_TOKENS = 10
