@@ -382,6 +382,63 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMANTIC_COS_TAU = 0.4
+SEMANTIC_JACCARD_TAU = 0.5
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier cross-modal dedup — the shape production semantic dedup
+    takes (e.g. SemDeDup, Abbas et al. 2023): a cheap embedding-space
+    candidate tier with high recall, then a lexical verification tier for
+    precision. Candidates come from the sign-bit-LSH bucketed cosine pairs
+    (never all-pairs — same blocking as q_dedup_embed); each candidate
+    pair then joins the documents table on id and is scored with exact
+    token-set Jaccard, JVM-side via array_intersect on pre-distinct token
+    arrays.
+
+    Scale: the pair set is output-sized (dup candidates only), so the two
+    verification joins are pair⋈doc equi-joins on the doc key — the corpus
+    token table shuffles once per side at most and the expensive lexical
+    compare runs only on candidates, not on n² pairs."""
+    from zonal_datacube_spark.operators.similarity import _dot, _sign_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket("embedding")
+    )
+    a = emb.select(
+        F.col("bucket").alias("bk"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("bucket").alias("bk"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")
+    )
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", F.round(_dot("va", "vb"), 6))
+        .filter(F.col("cos") >= SEMANTIC_COS_TAU)
+        .select("a_id", "b_id", "cos")
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens()).alias("ts")
+    )
+    ta = toks.select(F.col("doc_id").alias("a_id"), F.col("ts").alias("ts_a"))
+    tb = toks.select(F.col("doc_id").alias("b_id"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    return (
+        pairs.join(ta, "a_id")
+        .join(tb, "b_id")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .select(
+            "a_id",
+            "b_id",
+            "cos",
+            "jaccard",
+            (F.col("jaccard") >= SEMANTIC_JACCARD_TAU).alias("confirmed"),
+        )
+    )
+
+
 _SH_CTE = """
         toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
@@ -397,6 +454,7 @@ QUERIES = {
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_semantic": q_dedup_semantic,
 }
 
 ORACLE = {
@@ -531,3 +589,40 @@ ORACLE = {
         JOIN sz sb ON b_id = sb.doc_id
     """,
 }
+
+
+def _semantic_oracle() -> str:
+    # the bucket expression lives with the similarity family; importing it
+    # keeps the two engines' LSH definitions in one place
+    from zonal_datacube_spark.operators.similarity import _BUCKET_SQL
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   ({_BUCKET_SQL})::BIGINT AS bucket
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_inner_product(a.v, b.v), 6) AS cos
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_inner_product(a.v, b.v), 6) >= {SEMANTIC_COS_TAU}
+        ),
+        t AS (
+            SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+            FROM documents
+        )
+        SELECT a_id, b_id, cos,
+               round(len(list_intersect(ta.ts, tb.ts)) * 1.0
+                     / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))),
+                     6) AS jaccard,
+               round(len(list_intersect(ta.ts, tb.ts)) * 1.0
+                     / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))),
+                     6) >= {SEMANTIC_JACCARD_TAU} AS confirmed
+        FROM p
+        JOIN t ta ON a_id = ta.doc_id
+        JOIN t tb ON b_id = tb.doc_id
+    """
+
+
+ORACLE["q_dedup_semantic"] = _semantic_oracle()
