@@ -74,3 +74,25 @@ def test_text_repetition_single_corpus_pass(spark):
 
     plan = formatted_plan(q_text_repetition(spark, SF_SMOKE))
     assert len(re.findall(r"\+- Exchange", plan)) <= 2
+
+
+def test_revenue_change_is_map_only_scan(spark):
+    from zonal_datacube_spark.operators.reports import q_report_revenue_change
+
+    df = q_report_revenue_change(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    # single-row global agg: one exchange for the final combine, all three
+    # predicates pushed to the parquet scan
+    assert len(re.findall(r"\+- Exchange", plan)) == 1
+    assert "PushedFilters" in plan and "l_discount" in plan
+
+
+def test_special_revenue_keeps_hash_join(spark):
+    from zonal_datacube_spark.operators.reports import q_report_special_revenue
+
+    plan = formatted_plan(q_report_special_revenue(spark, SF_SMOKE))
+    # the disjunctive residual must ride the partkey equi-join, not force
+    # a nested-loop fallback
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -214,15 +214,142 @@ def q_report_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q6_YEAR = 1997
+Q6_DISC_LO, Q6_DISC_HI = 0.02, 0.04
+Q6_QTY_MAX = 24.0
+
+
+def q_report_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue delta — a pure filter+global-agg
+    over the fact table. The whole query is one map-only pass plus a
+    single-row combine; every predicate (year band, discount band, qty
+    cap) reaches the parquet scan as a pushed filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == Q6_YEAR)
+            & (F.col("l_discount").between(Q6_DISC_LO, Q6_DISC_HI))
+            & (F.col("l_quantity") < Q6_QTY_MAX)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q14_MONTH_START = "1997-03-01"
+Q14_MONTH_END = "1997-04-01"
+
+
+def q_report_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month —
+    conditional aggregation over a fact⋈broadcast-dim join, producing a
+    ratio of two sums in a single partial+final aggregate (never two
+    passes). Rounded at 4 decimals: the ratio of ~1e7-magnitude sums keeps
+    partial-sum FP noise two orders below the rounding grain."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q14_MONTH_START).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(Q14_MONTH_END).cast("timestamp_ntz"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = _revenue()
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q19_ARMS = (
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#34", 1, 15, 20.0, 30.0),
+)
+
+
+def q_report_special_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute join predicate (three
+    OR'd brand/size/quantity arms) over lineitem⋈part. The equi-key
+    (partkey) still drives a broadcast hash join; the OR ladder evaluates
+    as a post-join filter on the joined row — the planner must NOT fall
+    back to a nested-loop join just because the residual is disjunctive."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    arm = None
+    for brand, size_lo, size_hi, qty_lo, qty_hi in _Q19_ARMS:
+        clause = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(size_lo, size_hi))
+            & (F.col("l_quantity").between(qty_lo, qty_hi))
+        )
+        arm = clause if arm is None else (arm | clause)
+    return (
+        li.join(part, (li.l_partkey == part.p_partkey) & arm)
+        .agg(
+            F.round(F.sum(_revenue()), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 QUERIES = {
     "q_report_shipping_priority": q_report_shipping_priority,
+    "q_report_revenue_change": q_report_revenue_change,
+    "q_report_promo_revenue": q_report_promo_revenue,
+    "q_report_special_revenue": q_report_special_revenue,
     "q_report_order_priority": q_report_order_priority,
     "q_report_local_supplier_volume": q_report_local_supplier_volume,
     "q_report_returned_items": q_report_returned_items,
     "q_report_big_orders": q_report_big_orders,
 }
 
+_Q19_ARMS_SQL = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+    f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in _Q19_ARMS
+)
+
 ORACLE = {
+    "q_report_revenue_change": f"""
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE year(l_shipdate) = {Q6_YEAR}
+          AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+          AND l_quantity < {Q6_QTY_MAX}
+    """,
+    "q_report_promo_revenue": f"""
+        SELECT round(100.0
+                     * sum(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '{Q14_MONTH_START} 00:00:00'
+          AND l_shipdate < TIMESTAMP '{Q14_MONTH_END} 00:00:00'
+    """,
+    "q_report_special_revenue": f"""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE {_Q19_ARMS_SQL}
+    """,
     "q_report_shipping_priority": f"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
