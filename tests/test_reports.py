@@ -96,3 +96,13 @@ def test_special_revenue_keeps_hash_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nation_volume_double_role_dims_broadcast(spark):
+    from zonal_datacube_spark.operators.reports import q_report_nation_volume
+
+    plan = formatted_plan(q_report_nation_volume(spark, SF_SMOKE))
+    # supplier, customer, and BOTH nation roles broadcast — only the
+    # lineitem⋈orders fact join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan

@@ -307,8 +307,59 @@ def q_report_special_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q7_NATION_A = 1
+Q7_NATION_B = 2
+
+
+def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations by year, with the
+    nation dimension joined TWICE under different roles (supplier's nation
+    vs customer's nation) — the self-role-dim pattern. Both nation copies
+    broadcast; the symmetric either-direction pair filter applies to the
+    joined row. Nations are selected by key, not name, so the query is
+    fixture-name-agnostic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = F.broadcast(
+        nat.select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nat.select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("s_nationkey") == Q7_NATION_A) & (F.col("c_nationkey") == Q7_NATION_B)
+    ) | ((F.col("s_nationkey") == Q7_NATION_B) & (F.col("c_nationkey") == Q7_NATION_A))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(pair)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(_revenue()), 4).alias("volume"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 QUERIES = {
     "q_report_shipping_priority": q_report_shipping_priority,
+    "q_report_nation_volume": q_report_nation_volume,
     "q_report_revenue_change": q_report_revenue_change,
     "q_report_promo_revenue": q_report_promo_revenue,
     "q_report_special_revenue": q_report_special_revenue,
@@ -325,6 +376,21 @@ _Q19_ARMS_SQL = " OR ".join(
 )
 
 ORACLE = {
+    "q_report_nation_volume": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (s_nationkey = {Q7_NATION_A} AND c_nationkey = {Q7_NATION_B})
+           OR (s_nationkey = {Q7_NATION_B} AND c_nationkey = {Q7_NATION_A})
+        GROUP BY 1, 2, 3
+    """,
     "q_report_revenue_change": f"""
         SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
                count(*) AS n_items
