@@ -37,6 +37,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.graph",
     "zonal_datacube_spark.operators.profiling",
     "zonal_datacube_spark.operators.reports",
+    "zonal_datacube_spark.operators.reports_subq",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
