@@ -180,6 +180,45 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DIM = 64
+
+
+def q_sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid analytics: mean embedding per label, then each
+    vector's cosine to its own label centroid, rolled up per label (count,
+    avg, min cosine) — the cluster-cohesion report an embedding pipeline
+    runs after assignment.
+
+    Scale shape: the centroid is ONE groupBy pass with 64 avg aggregates
+    (partial+final, JVM codegen — no explode, no per-element shuffle);
+    the 10-row centroid table broadcasts back, and scoring is zip_with
+    arithmetic per row. Two shuffles total regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        emb.groupBy("label").agg(
+            F.array(
+                *[
+                    F.avg(F.element_at("embedding", i + 1).cast("double"))
+                    for i in range(EMBED_DIM)
+                ]
+            ).alias("centroid")
+        )
+    )
+    scored = (
+        emb.join(cent, "label")
+        .withColumn(
+            "cos_c",
+            _dot("embedding", "centroid")
+            / F.sqrt(_dot("centroid", "centroid")),
+        )
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("cos_c"), 6).alias("avg_cos"),
+        F.round(F.min("cos_c"), 6).alias("min_cos"),
+    )
+
+
 _PROBES_SQL = ", ".join(str(p) for p in PROBE_IDS)
 
 _BUCKET_SQL = " + ".join(
@@ -193,9 +232,29 @@ QUERIES = {
     "q_sim_pq_ann": q_sim_pq_ann,
     "q_sim_ivfpq": q_sim_ivfpq,
     "q_dedup_embed": q_dedup_embed,
+    "q_sim_label_centroid": q_sim_label_centroid,
 }
 
 ORACLE = {
+    "q_sim_label_centroid": f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (
+            SELECT label, idx, avg(v[idx]) AS cval
+            FROM e, generate_series(1, {EMBED_DIM}) AS t(idx)
+            GROUP BY label, idx
+        ),
+        carr AS (SELECT label, list(cval ORDER BY idx) AS c FROM cent GROUP BY label),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   list_inner_product(e.v, c.c)
+                   / sqrt(list_inner_product(c.c, c.c)) AS cos_c
+            FROM e JOIN carr c ON e.label = c.label
+        )
+        SELECT label, count(*) AS n_vecs,
+               round(avg(cos_c), 6) AS avg_cos,
+               round(min(cos_c), 6) AS min_cos
+        FROM scored GROUP BY label
+    """,
     "q_sim_knn": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         scored AS (

@@ -1,0 +1,158 @@
+"""Warehouse-maintenance operators (SURVEY.md §2.13): SCD type-2 interval
+builds and declarative data-quality constraint checks — the ops that run
+around an analytics engine's tables rather than inside a single report.
+
+Scale notes (100 TB):
+- `q_scd2_build` is one window pass partitioned by the entity key — the
+  same single shuffle a dimension-history rebuild needs at any scale; no
+  self-join (the naive SCD2 formulation joins each row to its successor).
+- `q_dq_checks` fuses each table's constraint battery into ONE scan +
+  aggregate per table (conditional counts), and the referential check is
+  a left join + null count, not a per-row lookup. Adding a constraint to
+  an existing table costs zero extra scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.sources.loader import load_table
+
+EVENT_TYPES = ("signup", "click", "error", "view", "purchase")
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: treat each order as a state change for its
+    customer and derive validity intervals — valid_from = the change's
+    timestamp, valid_to = the next change's (NULL on the open/current
+    row). One window shuffle on the entity key; ties broken on the unique
+    order key so the interval chain is total-ordered and deterministic."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.when(F.lead("o_orderdate").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_current"),
+        F.round("o_totalprice", 2).alias("state_price"),
+    )
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality battery: one row per constraint with its
+    violation count and pass flag. Constraints are fused per table —
+    orders runs pk-uniqueness and customer-FK integrity in one join+agg,
+    lineitem runs all range checks in one conditional aggregate, events
+    runs the enum/null checks in another. A clean fixture yields all
+    zeros; the *shape* (scan count, join strategy) is what must survive
+    scale-up."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders_checked = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
+        .agg(
+            (F.count("*") - F.countDistinct("o_orderkey")).alias("pk_dup"),
+            F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("fk_orphan"),
+        )
+        .select(
+            F.explode(
+                F.create_map(
+                    F.lit("orders_pk_unique"), F.col("pk_dup"),
+                    F.lit("orders_fk_customer"), F.col("fk_orphan"),
+                )
+            ).alias("check_name", "n_violations")
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li_checked = li.agg(
+        F.count(
+            F.when(~F.col("l_discount").between(0.0, 1.0), 1)
+        ).alias("bad_discount"),
+        F.count(F.when(~F.col("l_tax").between(0.0, 1.0), 1)).alias("bad_tax"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("bad_qty"),
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("lineitem_discount_range"), F.col("bad_discount"),
+                F.lit("lineitem_tax_range"), F.col("bad_tax"),
+                F.lit("lineitem_qty_positive"), F.col("bad_qty"),
+            )
+        ).alias("check_name", "n_violations")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    ev_checked = ev.agg(
+        F.count(F.when(~F.col("event_type").isin(*EVENT_TYPES), 1)).alias("bad_enum"),
+        F.count(F.when(F.col("props").isNull(), 1)).alias("null_props"),
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("events_type_enum"), F.col("bad_enum"),
+                F.lit("events_props_not_null"), F.col("null_props"),
+            )
+        ).alias("check_name", "n_violations")
+    )
+    return (
+        orders_checked.unionByName(li_checked)
+        .unionByName(ev_checked)
+        .withColumn("passed", F.when(F.col("n_violations") == 0, 1).otherwise(0))
+    )
+
+
+QUERIES = {
+    "q_scd2_build": q_scd2_build,
+    "q_dq_checks": q_dq_checks,
+}
+
+_EVENT_TYPES_SQL = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+
+ORACLE = {
+    "q_scd2_build": """
+        SELECT o_custkey, o_orderkey,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to,
+               CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0
+               END AS is_current,
+               round(o_totalprice, 2) AS state_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q_dq_checks": f"""
+        WITH checks AS (
+            SELECT 'orders_pk_unique' AS check_name,
+                   (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+                   AS n_violations
+            UNION ALL
+            SELECT 'orders_fk_customer',
+                   (SELECT count(*) FROM orders
+                    LEFT JOIN customer ON o_custkey = c_custkey
+                    WHERE c_custkey IS NULL)
+            UNION ALL
+            SELECT 'lineitem_discount_range',
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_discount NOT BETWEEN 0.0 AND 1.0)
+            UNION ALL
+            SELECT 'lineitem_tax_range',
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_tax NOT BETWEEN 0.0 AND 1.0)
+            UNION ALL
+            SELECT 'lineitem_qty_positive',
+                   (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+            UNION ALL
+            SELECT 'events_type_enum',
+                   (SELECT count(*) FROM events
+                    WHERE event_type NOT IN ({_EVENT_TYPES_SQL}))
+            UNION ALL
+            SELECT 'events_props_not_null',
+                   (SELECT count(*) FROM events WHERE props IS NULL)
+        )
+        SELECT check_name, n_violations,
+               CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+        FROM checks
+    """,
+}
