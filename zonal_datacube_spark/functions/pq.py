@@ -111,23 +111,29 @@ def pq_train(
     if dim is None:
         dim = len(emb.select("embedding").first()[0])
     sv = _subvectors(emb, m, dim).persist()
-    seed_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(ksub).collect()]
-    seeds = sv.filter(F.col("vec_id").isin(seed_ids)).collect()
-    rank = {v: i for i, v in enumerate(sorted(seed_ids))}
-    current = {(r.sub, rank[r.vec_id]): [float(v) for v in r.sv] for r in seeds}
+    # seed in ONE driver job: pull the first ksub vectors and slice the
+    # subspaces driver-side (ksub × dim floats — KB-sized)
+    d = dim // m
+    seed_rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(ksub).collect()
+    current = {
+        (s, i): [float(v) for v in r.embedding[s * d : (s + 1) * d]]
+        for i, r in enumerate(seed_rows)
+        for s in range(m)
+    }
     codebook = _codebook_df(spark, current)
     for _ in range(iters):
-        assigned = _assign(sv, codebook, dim // m)
+        assigned = _assign(sv, codebook, d)
+        # update = d avg aggregates per (sub, code) in ONE groupBy pass —
+        # no posexplode, no second shuffle
         new_rows = (
             assigned.join(sv, ["vec_id", "sub"])
-            .select("sub", "code", F.posexplode("sv").alias("pos", "v"))
-            .groupBy("sub", "code", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("mval"))
             .groupBy("sub", "code")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
-                    lambda s: s["mval"],
+                F.array(
+                    *[
+                        F.avg(F.element_at("sv", i + 1).cast("double"))
+                        for i in range(d)
+                    ]
                 ).alias("cvec")
             )
             .collect()
@@ -203,6 +209,16 @@ def _exact_rerank(
     )
 
 
+# Trained-index cache: build-once / serve-many — the FAISS index
+# lifecycle. An ANN index (coarse centroids, PQ codebooks, encoded code
+# table) is constructed offline and amortized over queries; re-training
+# per query would misstate the serving cost. Keyed by a caller-provided
+# corpus key + every training parameter; entries hold KB-sized local
+# relations plus the persisted code table, all bound to the building
+# SparkSession (callers in a fresh session must use a fresh key or None).
+_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
 def ivf_pq_ann(
     emb: DataFrame,
     probe_ids: list[int],
@@ -214,6 +230,9 @@ def ivf_pq_ann(
     iters: int = 2,
     refine: int = 10,
     train_mod: int = 1,
+    dim: int | None = None,
+    kmeans_iters: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """The full production ANN stack: IVF cell pruning × PQ compression.
 
@@ -223,17 +242,31 @@ def ivf_pq_ann(
     n_probe/n_cells of the corpus, on 8-byte codes), then exact-re-ranks
     the shortlist. This is the FAISS IVFPQ arrangement re-expressed as
     DataFrame joins: every stage is an equi-join or aggregate; the only
-    broadcast state is centroids + codebook + per-probe LUT (all KB-sized)."""
+    broadcast state is centroids + codebook + per-probe LUT (all KB-sized).
+
+    ``cache_key`` (e.g. the corpus path) enables the build/serve split:
+    training + encoding run once per (key, params) and later calls serve
+    from the cached index — the offline-build lifecycle every production
+    ANN deployment uses."""
     from zonal_datacube_spark.functions.kmeans import assign_cells, kmeans_fit
 
-    quantizer = kmeans_fit(emb, k=n_cells, iters=2)
-    assigned = assign_cells(emb, quantizer).select("vec_id", "cell")
-    train_emb = (
-        emb.filter(F.col("vec_id") % train_mod == 0) if train_mod > 1 else emb
-    )
-    dim = len(emb.select("embedding").first()[0])
-    codebook = pq_train(train_emb, m, ksub, iters, dim=dim)
-    codes = pq_encode(emb, codebook, m, dim=dim).join(assigned, "vec_id")
+    ckey = ("ivfpq", cache_key, n_cells, m, ksub, iters, train_mod, kmeans_iters)
+    cached = _INDEX_CACHE.get(ckey) if cache_key is not None else None
+    if cached is not None:
+        quantizer, codebook, codes = cached
+    else:
+        if dim is None:
+            dim = len(emb.select("embedding").first()[0])
+        quantizer = kmeans_fit(emb, k=n_cells, iters=kmeans_iters)
+        assigned = assign_cells(emb, quantizer, dim=dim).select("vec_id", "cell")
+        train_emb = (
+            emb.filter(F.col("vec_id") % train_mod == 0) if train_mod > 1 else emb
+        )
+        codebook = pq_train(train_emb, m, ksub, iters, dim=dim)
+        codes = pq_encode(emb, codebook, m, dim=dim).join(assigned, "vec_id")
+        if cache_key is not None:
+            codes = codes.persist()
+            _INDEX_CACHE[ckey] = (quantizer, codebook, codes)
     probes = emb.filter(F.col("vec_id").isin(*probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -287,6 +320,7 @@ def pq_ann(
     refine: int = 10,
     train_mod: int = 1,
     dim: int | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Top-k ANN over the PQ-compressed corpus: train → encode → ADC
     shortlist of ``refine·k`` per probe → exact re-rank of the shortlist
@@ -298,13 +332,21 @@ def pq_ann(
     ``train_mod`` > 1 trains codebooks on the deterministic 1/train_mod
     slice ``vec_id % train_mod == 0`` — codebooks need ~100·K points per
     subspace, not the corpus; production PQ always trains on a sample."""
-    if dim is None:
-        dim = len(emb.select("embedding").first()[0])
-    train_emb = (
-        emb.filter(F.col("vec_id") % train_mod == 0) if train_mod > 1 else emb
-    )
-    codebook = pq_train(train_emb, m, ksub, iters, dim=dim)
-    codes = pq_encode(emb, codebook, m, dim=dim)
+    ckey = ("pq", cache_key, m, ksub, iters, train_mod)
+    cached = _INDEX_CACHE.get(ckey) if cache_key is not None else None
+    if cached is not None:
+        codebook, codes = cached
+    else:
+        if dim is None:
+            dim = len(emb.select("embedding").first()[0])
+        train_emb = (
+            emb.filter(F.col("vec_id") % train_mod == 0) if train_mod > 1 else emb
+        )
+        codebook = pq_train(train_emb, m, ksub, iters, dim=dim)
+        codes = pq_encode(emb, codebook, m, dim=dim)
+        if cache_key is not None:
+            codes = codes.persist()
+            _INDEX_CACHE[ckey] = (codebook, codes)
     probes = emb.filter(F.col("vec_id").isin(*probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
