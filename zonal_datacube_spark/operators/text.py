@@ -10,7 +10,7 @@ both high-cardinality keys; no driver-side loops anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zonal_datacube_spark.functions.text_funcs import (
@@ -237,6 +237,82 @@ def q_text_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 10
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage quality gate: fraction of each doc's tokens
+    that fall in the corpus top-K vocabulary — the cheap OOV-rate filter
+    a training-data pipeline thresholds on before tokenizer work.
+
+    Two-phase: corpus token counts pick the top-K set (deterministic
+    tie-break: count desc, token asc), which broadcasts back into a
+    per-doc coverage aggregate. The corpus never shuffles twice — tokens
+    explode once; the count and coverage aggregates key on token and
+    doc_id respectively (both high-cardinality, skew-free)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens()).alias("tok"))
+        .persist()
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    top = F.broadcast(
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("vrank", F.row_number().over(w))
+        .filter(F.col("vrank") <= VOCAB_TOP_K)
+        .select("tok", F.lit(1).alias("in_top"))
+    )
+    return (
+        toks.join(top, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.coalesce(F.col("in_top"), F.lit(0))), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+def q_text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model build: P(next | word) over the corpus, keeping
+    each word's argmax next-word — the count-based conditional-probability
+    table (the n-gram LM construction, and the shape of any co-occurrence
+    model build). Bigrams form JVM-side from the token array (no corpus
+    explode before the pair count); the conditioning total reuses the
+    bigram counts via a window sum, so the corpus is scanned and
+    aggregated exactly once."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t", tokens())
+        .filter(F.size("t") >= 2)
+    )
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> named_struct('w1', element_at(t, i),"
+                "                   'w2', element_at(t, i + 1)))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cw = Window.partitionBy("w1")
+    rw = Window.partitionBy("w1").orderBy(F.col("c12").desc(), F.col("w2").asc())
+    return (
+        bi.withColumn("c1", F.sum("c12").over(cw))
+        .withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "w1",
+            F.col("w2").alias("next_w"),
+            F.round(F.col("c12") / F.col("c1"), 6).alias("p_next"),
+            "c1",
+        )
+    )
+
+
 QUERIES = {
     "q_text_tokens": q_text_tokens,
     "q_text_repetition": q_text_repetition,
@@ -248,11 +324,42 @@ QUERIES = {
     "q_text_quality": q_text_quality,
     "q_text_fingerprint": q_text_fingerprint,
     "q_text_token_regex": q_text_token_regex,
+    "q_text_vocab_coverage": q_text_vocab_coverage,
+    "q_text_ngram_lm": q_text_ngram_lm,
 }
 
 _TOKS = "string_split(lower(text), ' ')"
 
 ORACLE = {
+    "q_text_vocab_coverage": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        top AS (
+            SELECT tok FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+            QUALIFY row_number() OVER (ORDER BY c DESC, tok ASC) <= {VOCAB_TOP_K}
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(CASE WHEN tok IN (SELECT tok FROM top)
+                              THEN 1.0 ELSE 0.0 END), 6) AS coverage
+        FROM toks GROUP BY doc_id
+    """,
+    "q_text_ngram_lm": f"""
+        WITH t AS (
+            SELECT {_TOKS} AS toks FROM documents WHERE len({_TOKS}) >= 2
+        ),
+        pairs AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM t, unnest(range(1, len(toks))) AS u(i)
+        ),
+        bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2)
+        SELECT w1, w2 AS next_w,
+               round(c12 * 1.0 / sum(c12) OVER (PARTITION BY w1), 6) AS p_next,
+               (sum(c12) OVER (PARTITION BY w1))::BIGINT AS c1
+        FROM bi
+        QUALIFY row_number() OVER (PARTITION BY w1
+                                   ORDER BY c12 DESC, w2 ASC) = 1
+    """,
     "q_text_redact": rf"""
         SELECT doc_id,
                len(regexp_extract_all(text, '{_REDACT_RE}'))::BIGINT AS n_redacted,

@@ -86,12 +86,88 @@ def q_zonal_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("zone_id").agg(*aggs).orderBy("zone_id")
 
 
+def q_zonal_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics × time — the actual DATACUBE operation: per-zone
+    per-day aggregates over the cell stream (the reference's zonal stats
+    applied along the cube's time axis). Same broadcast range join as the
+    flagship; the grouping key widens to (zone, day), which stays
+    high-cardinality and skew-free at any scale."""
+    cells = load_table(spark, sf_dir, "events")
+    zones = F.broadcast(zones_df(spark))
+    joined = cells.join(
+        zones, (cells.value >= zones.lo) & (cells.value < zones.hi), "inner"
+    )
+    return joined.groupBy(
+        "zone_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+RASTER_N = 512  # synthetic raster edge (cells); 512² = 262,144 cells
+RASTER_FACTOR = 8  # downsample factor per axis
+
+
+def q_raster_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datacube resolution pyramid: downsample a raster by 8× per axis
+    (mean + count per coarse cell) — the overview/pyramid-build every
+    raster store runs. The raster is generated distributed
+    (``spark.range``, integer-arithmetic values — no data files, exactly
+    reproducible in the oracle), and the downsample is ONE partial+final
+    aggregate keyed by the coarse cell; at 100 TB the same plan streams
+    tiles through executors once."""
+    n, f = RASTER_N, RASTER_FACTOR
+    cells = spark.range(0, n * n).select(
+        (F.col("id") % n).alias("x"),
+        F.floor(F.col("id") / n).alias("y"),
+        ((F.col("id") % n) * 31 + F.floor(F.col("id") / n) * 17).cast("long")
+        .alias("_v"),
+    ).select("x", "y", (F.col("_v") % 97).alias("val"))
+    return (
+        cells.groupBy(
+            F.floor(F.col("x") / f).alias("tile_x"),
+            F.floor(F.col("y") / f).alias("tile_y"),
+        )
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.max("val").alias("max_val"),
+        )
+    )
+
+
 QUERIES = {
     "q_zonal_stats": q_zonal_stats,
     "q_zonal_categorical": q_zonal_categorical,
+    "q_zonal_timeseries": q_zonal_timeseries,
+    "q_raster_downsample": q_raster_downsample,
 }
 
 ORACLE = {
+    "q_zonal_timeseries": f"""
+        WITH zones(zone_id, lo, hi) AS (VALUES {ZONES_SQL_VALUES})
+        SELECT zone_id, date_trunc('day', ts) AS day,
+               count(*) AS n_cells,
+               round(avg(value), 6) AS mean_value,
+               round(max(value), 2) AS max_value
+        FROM events JOIN zones ON value >= lo AND value < hi
+        GROUP BY zone_id, day
+    """,
+    "q_raster_downsample": f"""
+        WITH cells AS (
+            SELECT (i % {RASTER_N}) AS x, (i // {RASTER_N}) AS y,
+                   ((i % {RASTER_N}) * 31 + (i // {RASTER_N}) * 17) % 97 AS val
+            FROM generate_series(0, {RASTER_N * RASTER_N - 1}) AS t(i)
+        )
+        SELECT (x // {RASTER_FACTOR})::BIGINT AS tile_x,
+               (y // {RASTER_FACTOR})::BIGINT AS tile_y,
+               count(*) AS n_cells,
+               round(avg(val), 6) AS mean_val,
+               max(val) AS max_val
+        FROM cells GROUP BY tile_x, tile_y
+    """,
     "q_zonal_stats": f"""
         WITH zones(zone_id, lo, hi) AS (VALUES {ZONES_SQL_VALUES})
         SELECT zone_id,

@@ -38,6 +38,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.profiling",
     "zonal_datacube_spark.operators.reports",
     "zonal_datacube_spark.operators.reports_subq",
+    "zonal_datacube_spark.operators.reports_supply",
     "zonal_datacube_spark.operators.warehouse",
 )
 
