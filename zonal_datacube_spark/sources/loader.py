@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -53,9 +54,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # int64 nanos → µs (integer floor-div, matching DuckDB's ns→µs
-        # truncation) → TIMESTAMP_NTZ built TZ-independently.
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) fixtures surface as raw int64 under the
+        # nanosAsLong conf: floor-div nanos → µs (matching DuckDB's ns→µs
+        # truncation) and rebuild a TIMESTAMP_NTZ TZ-independently.
+        # µs-precision fixtures (current driver output) read natively as
+        # TIMESTAMP_NTZ and skip this.
         df = df.withColumn(
             "ts",
             F.expr(

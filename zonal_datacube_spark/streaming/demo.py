@@ -6,8 +6,9 @@ for the tumbling case, asserted batch≡stream in tests/test_streaming.py.
 
 Design:
 - file source (parquet) with an explicit schema — a streaming source cannot
-  infer schemas; ``ts`` arrives as int64 nanos (see sources/loader.py) and
-  is rebuilt into TIMESTAMP_NTZ with the same TZ-independent expression;
+  infer schemas; the schema is probed from the fixture's parquet footer so
+  ``ts`` tracks the driver's generation (int64 nanos or native µs), then
+  rebuilt into the watermarkable TIMESTAMP type (see sources/loader.py);
 - event-time watermark bounds state: windows older than the watermark are
   finalized and their state evicted — this is what makes the aggregation
   runnable over an unbounded stream;
@@ -25,42 +26,35 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StructType
 
 from zonal_datacube_spark.sources.loader import ensure_session_confs
 
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # int64 nanos (nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-# Watermarks require TIMESTAMP (LTZ) — TIMESTAMP_NTZ is rejected by
-# EventTimeWatermark. The engine session pins timeZone=UTC, so LTZ wall
-# times render identically to the batch side's NTZ values.
-_TS_EXPR = "timestamp_micros(ts div 1000)"
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Streaming sources cannot infer schemas; probe the fixture's footer
+    with a batch read (metadata-only) so the stream schema always matches
+    the on-disk generation: TIMESTAMP(NANOS) fixtures arrive as int64 under
+    the nanosAsLong conf, µs-precision fixtures as TIMESTAMP_NTZ."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream (file source over the fixture dir)."""
     ensure_session_confs(spark)
+    schema = _events_raw_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr(_TS_EXPR))
+    # Watermarks require TIMESTAMP (LTZ) — TIMESTAMP_NTZ is rejected by
+    # EventTimeWatermark. The engine session pins timeZone=UTC, so LTZ wall
+    # times render identically to the batch side's NTZ values.
+    if isinstance(schema["ts"].dataType, LongType):
+        ts_expr = "timestamp_micros(ts div 1000)"  # int64 nanos → µs
+    else:
+        ts_expr = "cast(ts AS timestamp)"  # NTZ → LTZ at UTC, same wall time
+    return raw.withColumn("ts", F.expr(ts_expr))
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
