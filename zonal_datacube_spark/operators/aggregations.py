@@ -78,12 +78,15 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever shuffles, never raw values. Rows-only key like
     ``q_agg_approx_distinct`` (approx values are implementation-defined;
     the exact-percentile twin ``q_agg_percentile`` is the oracle-checked
-    surface)."""
+    surface). Scalar columns only: the driver's rows-only canonicalizer
+    sorts every column, and array cells are unhashable there — one sketch
+    per output column keeps the check runnable."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("price_p25"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("price_p75"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("price_p99"),
         F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
     )
 

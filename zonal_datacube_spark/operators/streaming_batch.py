@@ -16,6 +16,7 @@ Spark's 1-day/6-hour windows are epoch-aligned, so window starts equal
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -25,6 +26,22 @@ from pyspark.sql import functions as F
 from zonal_datacube_spark.sources.loader import load_table
 
 _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap in microseconds
+
+
+@contextlib.contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Pin shuffle partitions for a TRUE-streaming run. Each shuffle
+    partition materializes one state-store instance per stateful operator
+    per micro-batch — at fixture scale 32 instances are pure setup
+    overhead (~2-4s/query); 8 keeps the identical plan shape. At 100 TB
+    this knob goes UP with key cardinality, and is pinned thereafter by
+    the first run's checkpoint."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 _PART_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "zds_partitioned_events")
 
@@ -80,7 +97,10 @@ def q_stream_foreach_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = tempfile.mkdtemp(prefix="zds_foreach_")
-    run_stream_foreach_batch(tumbling_counts(events_stream(spark, sf_dir)), spark, out)
+    with _stream_shuffle_partitions(spark):
+        run_stream_foreach_batch(
+            tumbling_counts(events_stream(spark, sf_dir)), spark, out
+        )
     return read_foreach_batch_result(spark, out)
 
 
@@ -101,12 +121,13 @@ def q_stream_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = tempfile.mkdtemp(prefix="zds_upsert_")
-    return run_stream_upsert(
-        tumbling_counts(events_stream(spark, sf_dir)),
-        spark,
-        out,
-        keys=["bucket_start", "event_type"],
-    )
+    with _stream_shuffle_partitions(spark):
+        return run_stream_upsert(
+            tumbling_counts(events_stream(spark, sf_dir)),
+            spark,
+            out,
+            keys=["bucket_start", "event_type"],
+        )
 
 
 TUMBLING_PART_DAYS = ("2024-01-05", "2024-01-14")  # inclusive day range
@@ -267,14 +288,15 @@ def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = enriched_segment_counts(
         events_stream(spark, sf_dir), load_table(spark, sf_dir, "customer")
     )
-    q = (
-        result.writeStream.format("memory")
-        .queryName("zds_stream_enrich")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_shuffle_partitions(spark):
+        q = (
+            result.writeStream.format("memory")
+            .queryName("zds_stream_enrich")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table("zds_stream_enrich")
 
 
@@ -294,18 +316,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = tempfile.mkdtemp(prefix="zds_ssjoin_")
-    # each shuffle partition materializes one state store PER JOIN SIDE per
-    # micro-batch — at fixture scale 32 partitions are pure setup overhead
-    # (~4s); 8 keeps the same plan shape. At 100 TB this knob goes UP with
-    # the key cardinality, it is pinned by the first run's checkpoint.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # stream-stream joins keep one state store PER JOIN SIDE per partition
+    # — the shared 8-partition pin matters double here
+    with _stream_shuffle_partitions(spark):
         run_stream_append(
             view_purchase_join(events_stream(spark, sf_dir)), spark, out
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out)
 
 
@@ -319,12 +335,8 @@ def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once contract for custom stateful operators."""
     from zonal_datacube_spark.streaming.stateful import run_stateful_demo
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _stream_shuffle_partitions(spark):
         sink = run_stateful_demo(spark, sf_dir, table="zds_stateful_key")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.expr("max_by(sum_value, n_events)").alias("sum_value"),

@@ -34,7 +34,10 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """Streaming sources cannot infer schemas; probe the fixture's footer
     with a batch read (metadata-only) so the stream schema always matches
     the on-disk generation: TIMESTAMP(NANOS) fixtures arrive as int64 under
-    the nanosAsLong conf, µs-precision fixtures as TIMESTAMP_NTZ."""
+    the nanosAsLong conf, µs-precision fixtures as TIMESTAMP_NTZ. Applies
+    the session confs itself so the probe is self-contained — without
+    them Spark 4 rejects TIMESTAMP(NANOS) footers outright."""
+    ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
