@@ -38,6 +38,8 @@ def main() -> int:
     # dedup key happens to run first.
     queries["q_zonal_stats"](spark, sf_dir).toPandas()
     queries["q_dedup_minhash"](spark, sf_dir).toPandas()
+    queries["q_dedup_span"](spark, sf_dir).count()  # span-hash cache build
+    queries["q_mv_rewrite"](spark, sf_dir).count()  # daily-MV layout build
     # spawn the Python worker pool (first Arrow-UDF query otherwise pays it)
     queries["q_media_decode_stats"](spark, sf_dir).toPandas()
     # one-time storage-layout builds (bucketed tables, ORC/partitioned

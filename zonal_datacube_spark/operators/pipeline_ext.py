@@ -1,0 +1,340 @@
+"""Training-data-pipeline operators, round 3 (SURVEY.md §2.13 cont.):
+span-level dedup, benchmark decontamination, mixture sampling, sequence
+packing, and embedding quantization — the ops between "raw corpus" and
+"training batches" that SURVEY's LLM-pipeline mandate (BASELINE.json:6)
+calls for beyond doc-level dedup.
+
+Scale notes (100 TB): every shape here is explode → equi-join/groupBy on a
+high-cardinality key (gram, doc_id, lang×seq) — never all-pairs; the only
+broadcast sides are genuinely tiny dimensions (benchmark gram list, mixture
+weight table). No Python on any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from zonal_datacube_spark.functions.text_funcs import tokens
+from zonal_datacube_spark.sources.loader import load_table
+
+_TOKS = "string_split(lower(text), ' ')"  # DuckDB-side tokenizer (≡ tokens())
+
+SPAN_N = 5  # n-gram span width for cross-doc span dedup
+
+
+def _doc_span_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, ghs: array<bigint>) — each doc's 5-token spans as
+    xxhash64 values, ONE compact row per doc. Both consumers (the span-
+    frequency aggregate and the join-back) explode from this cache, so the
+    corpus is tokenized once; and every downstream shuffle carries 8-byte
+    longs instead of ~30-byte span strings. The hash is engine-internal
+    only (never compared to the oracle), so xxhash64 is safe; a collision
+    would need ~2^32 distinct spans per corpus to matter. CacheManager
+    dedupes by analyzed plan → one cached copy per sf_dir per session."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t", tokens())
+        .filter(F.size("t") >= SPAN_N)
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(t) - {SPAN_N - 1}),"
+            f" i -> xxhash64(concat_ws(' ', slice(t, i, {SPAN_N}))))"
+        ).alias("ghs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SPAN dedup (the C4/CCNet line-dedup shape): for each
+    doc, the fraction of its 5-token spans that also occur in at least one
+    other document. Docs above a threshold are boilerplate/mirror
+    candidates; the span table itself is what a line-level dedup pass
+    would rewrite.
+
+    Plan: explode the persisted per-doc span-hash arrays, aggregate
+    cross-doc span frequency on the hash (count distinct docs per span —
+    partial aggs shuffle only distinct pairs), equi-join back on the hash,
+    then a doc-keyed aggregate. All keys high-cardinality; no broadcast
+    needed and none assumed — at 100 TB both sides of the span join are
+    huge and sort-merge is the right physical plan."""
+    grams = _doc_span_hashes(spark, sf_dir).select(
+        "doc_id", F.explode("ghs").alias("gh")
+    )
+    span_docs = grams.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        grams.join(span_docs, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("nd") > 1).cast("bigint")).alias("n_dup_spans"),
+            F.round(F.avg((F.col("nd") > 1).cast("double")), 6).alias(
+                "dup_span_frac"
+            ),
+        )
+    )
+
+
+# Fixed decontamination list: trigram "benchmark" phrases. In production
+# this table is the n-gram index of an eval set (MMLU/GSM8K-style); here a
+# pinned list over the fixture vocabulary keeps the check deterministic.
+BENCH_GRAMS = (
+    "part filter scan",
+    "row column sort",
+    "stream table hash",
+    "window fast query",
+    "big data merge",
+)
+BENCH_N = 3
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: find documents whose text contains
+    any benchmark n-gram (the overlap test run before training to keep
+    eval sets out of the corpus). Returns one row per contaminated doc
+    with hit counts — the delete-list a prep pipeline anti-joins against.
+
+    The benchmark gram set broadcasts (it is KB-sized even for real eval
+    suites); the corpus explodes to gram positions once and probes the
+    broadcast hash map map-side, so the only shuffle is the final doc_id
+    aggregate."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t", tokens())
+        .filter(F.size("t") >= BENCH_N)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {BENCH_N - 1}),"
+                f" i -> concat_ws(' ', slice(t, i, {BENCH_N})))"
+            )
+        ).alias("g"),
+    )
+    bench = F.broadcast(
+        spark.createDataFrame([(g,) for g in BENCH_GRAMS], "g STRING")
+    )
+    return (
+        grams.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("g").alias("n_bench_grams"),
+        )
+    )
+
+
+# Target mixture: per-lang keep-rate out of 256 md5 buckets. The shape of
+# a data-mixing pass: upsample/downsample sources to hit a target blend.
+MIX_BUCKETS = {"en": 128, "de": 77, "zh": 51, "fr": 26, "es": 13}
+
+_DOC_BUCKET_SPARK = (
+    "(locate(substr(md5(cast(doc_id AS string)), 1, 1), '0123456789abcdef') - 1)"
+    " * 16 + locate(substr(md5(cast(doc_id AS string)), 2, 1),"
+    " '0123456789abcdef') - 1"
+)
+_DOC_BUCKET_SQL = (
+    "(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1"
+)
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: each language keeps a configured
+    fraction of its docs (md5 bucket < per-lang threshold) — the
+    data-mixing op that rebalances a corpus toward a target blend.
+    Hash-based selection is reproducible across engines, runs, and
+    repartitions, unlike rand(); the weight table is a broadcast dim and
+    the filter is map-side, so the only shuffle is the report aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = F.broadcast(
+        spark.createDataFrame(
+            list(MIX_BUCKETS.items()), "lang STRING, keep_buckets INT"
+        )
+    )
+    bucketed = docs.join(weights, "lang").withColumn(
+        "bucket", F.expr(_DOC_BUCKET_SPARK).cast("int")
+    )
+    return bucketed.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum((F.col("bucket") < F.col("keep_buckets")).cast("bigint")).alias(
+            "n_kept"
+        ),
+        F.round(
+            F.avg((F.col("bucket") < F.col("keep_buckets")).cast("double")), 6
+        ).alias("realized_rate"),
+    )
+
+
+PACK_CAP = 256  # tokens per packed training sequence
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-and-chop form: per language, documents are
+    concatenated in doc_id order and chopped into fixed 256-token training
+    sequences; each doc's start offset (running token total minus its own
+    length) assigns it a sequence id. Exactly the GPT-style packing a
+    training pipeline runs before batching — and it is ONE window cumsum
+    per language partition, no stateful loop.
+
+    At 100 TB the partition key would widen to (lang, shard) so no single
+    language serializes through one window partition; the arithmetic is
+    unchanged."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(tokens()).cast("bigint")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    placed = docs.select(
+        "lang",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("offset"),
+    ).select(
+        "lang",
+        "n_tok",
+        F.floor(F.col("offset") / PACK_CAP).alias("seq_id"),
+        # doc spills into the next sequence if its span crosses a boundary
+        (
+            F.floor((F.col("offset") + F.col("n_tok") - 1) / PACK_CAP)
+            != F.floor(F.col("offset") / PACK_CAP)
+        )
+        .cast("bigint")
+        .alias("crosses"),
+    )
+    return placed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("crosses").alias("n_boundary_docs"),
+    )
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding column (the serving-
+    tier compression next to PQ: 4× smaller than float32, SIMD-friendly):
+    per vector, scale = max|v|/127, codes = floor(v/s + 0.5); report
+    per-label reconstruction error. floor(x + 0.5) is used instead of
+    round() because Spark rounds HALF_UP and DuckDB half-to-even — floor
+    arithmetic is bit-identical in both. All JVM-side higher-order array
+    functions; one groupBy(label) shuffle."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("ed", F.expr("transform(embedding, v -> cast(v AS double))"))
+        .withColumn(
+            "s", F.expr("array_max(transform(ed, v -> abs(v))) / 127.0")
+        )
+        .withColumn(
+            "mse",
+            F.expr(
+                "aggregate(ed, 0D,"
+                " (acc, v) -> acc + pow(v - floor(v / s + 0.5) * s, 2))"
+                " / size(ed)"
+            ),
+        )
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("s"), 6).alias("avg_scale"),
+        F.round(F.avg(F.col("mse") * 1_000_000), 4).alias("mse_e6"),
+    )
+
+
+QUERIES = {
+    "q_dedup_span": q_dedup_span,
+    "q_text_contamination": q_text_contamination,
+    "q_sample_weighted": q_sample_weighted,
+    "q_pack_sequences": q_pack_sequences,
+    "q_embed_quantize": q_embed_quantize,
+}
+
+_BENCH_VALUES = ", ".join(f"('{g}')" for g in BENCH_GRAMS)
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in MIX_BUCKETS.items())
+
+ORACLE = {
+    "q_dedup_span": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+            WHERE len({_TOKS}) >= {SPAN_N}
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - {SPAN_N - 2}),
+                          i -> array_to_string(
+                              list_slice(toks, i, i + {SPAN_N - 1}), ' '))) AS g
+            FROM t
+        ),
+        gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+        SELECT doc_id,
+               count(*) AS n_spans,
+               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+               round(avg(CASE WHEN nd > 1 THEN 1.0 ELSE 0.0 END), 6)
+                   AS dup_span_frac
+        FROM g JOIN gd USING (g)
+        GROUP BY doc_id
+    """,
+    "q_text_contamination": f"""
+        WITH bench(g) AS (VALUES {_BENCH_VALUES}),
+        t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+            WHERE len({_TOKS}) >= {BENCH_N}
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - {BENCH_N - 2}),
+                          i -> array_to_string(
+                              list_slice(toks, i, i + {BENCH_N - 1}), ' '))) AS g
+            FROM t
+        )
+        SELECT doc_id, count(*) AS n_hits,
+               count(DISTINCT g) AS n_bench_grams
+        FROM g JOIN bench USING (g)
+        GROUP BY doc_id
+    """,
+    "q_sample_weighted": f"""
+        WITH weights(lang, keep_buckets) AS (VALUES {_MIX_VALUES}),
+        b AS (
+            SELECT d.lang, w.keep_buckets,
+                   ({_DOC_BUCKET_SQL}) AS bucket
+            FROM documents d JOIN weights w USING (lang)
+        )
+        SELECT lang, count(*) AS n_total,
+               sum(CASE WHEN bucket < keep_buckets THEN 1 ELSE 0 END)::BIGINT
+                   AS n_kept,
+               round(avg(CASE WHEN bucket < keep_buckets THEN 1.0 ELSE 0.0 END),
+                     6) AS realized_rate
+        FROM b GROUP BY lang
+    """,
+    "q_pack_sequences": f"""
+        WITH placed AS (
+            SELECT lang,
+                   len({_TOKS})::BIGINT AS n_tok,
+                   sum(len({_TOKS})) OVER (PARTITION BY lang ORDER BY doc_id)
+                       - len({_TOKS}) AS o
+            FROM documents
+        )
+        SELECT lang,
+               (o // {PACK_CAP})::BIGINT AS seq_id,
+               count(*) AS n_docs,
+               sum(n_tok)::BIGINT AS n_tokens,
+               sum(CASE WHEN (o + n_tok - 1) // {PACK_CAP} != o // {PACK_CAP}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_boundary_docs
+        FROM placed
+        GROUP BY lang, seq_id
+    """,
+    "q_embed_quantize": """
+        WITH q AS (
+            SELECT label,
+                   embedding::DOUBLE[] AS e,
+                   list_max(list_transform(embedding::DOUBLE[], v -> abs(v)))
+                       / 127.0 AS s
+            FROM embeddings
+        )
+        SELECT label, count(*) AS n_vecs,
+               round(avg(s), 6) AS avg_scale,
+               round(avg(list_sum(list_transform(e,
+                         v -> pow(v - floor(v / s + 0.5) * s, 2)))
+                         / len(e) * 1000000), 4) AS mse_e6
+        FROM q GROUP BY label
+    """,
+}

@@ -14,12 +14,59 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zonal_datacube_spark.sources.loader import load_table
 
 EVENT_TYPES = ("signup", "click", "error", "view", "purchase")
+
+_MV_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "zds_mv_daily_events")
+
+
+def daily_events_mv_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir) the daily-grain continuous aggregate
+    of events — the materialized view every warehouse keeps under its
+    time-series tables. Unrounded partial sums/counts are stored so any
+    coarser rollup can be answered from the MV exactly."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(_MV_CACHE_ROOT, tag)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.groupBy(
+                F.date_trunc("day", "ts").alias("day"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("sv"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def q_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view rollup answering: the monthly report is computed
+    from the DAILY continuous aggregate, never rescanning the base table
+    — sums re-sum and counts re-sum, the average is derived as sum/count
+    (avg-of-avgs would be wrong). The oracle computes the same report
+    directly over base events, proving the MV path exact. At 100 TB the
+    MV is ~3 orders of magnitude smaller than the fact table, which is
+    the entire point of a continuous aggregate."""
+    mv = spark.read.parquet(daily_events_mv_path(spark, sf_dir))
+    return mv.groupBy(
+        F.date_format(F.date_trunc("month", "day"), "yyyy-MM").alias("month"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("sv"), 2).alias("sum_value"),
+        F.round(F.sum("sv") / F.sum("n"), 6).alias("avg_value"),
+    )
 
 
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,11 +154,21 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_scd2_build": q_scd2_build,
     "q_dq_checks": q_dq_checks,
+    "q_mv_rewrite": q_mv_rewrite,
 }
 
 _EVENT_TYPES_SQL = ", ".join(f"'{t}'" for t in EVENT_TYPES)
 
 ORACLE = {
+    "q_mv_rewrite": """
+        SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(sum(value) / count(*), 6) AS avg_value
+        FROM events
+        GROUP BY month, event_type
+    """,
     "q_scd2_build": """
         SELECT o_custkey, o_orderkey,
                o_orderdate AS valid_from,

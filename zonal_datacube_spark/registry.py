@@ -40,6 +40,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.reports_subq",
     "zonal_datacube_spark.operators.reports_supply",
     "zonal_datacube_spark.operators.warehouse",
+    "zonal_datacube_spark.operators.pipeline_ext",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
@@ -67,12 +68,21 @@ KEY_ORDER = (
     # §2.12 surface, upgraded from rows-only to oracle-checked
     "q_udaf_zonal_trimmed_mean",
     "q_udf_grouped_zscore",
-    # newly declared keys
+    # newly declared keys (round 2)
     "q_media_decode_stats",
     "q_agg_percentile_approx",
     "q_stream_tumbling_partitioned",
     "q_stream_foreach_roundtrip",
     "q_dedup_clusters",
+    # newly declared keys (round 3) — in the window so the artifact shows
+    # their first driver-green rows; the displaced tail keys already have
+    # green rows in CORRECTNESS_r01/r02
+    "q_dedup_span",
+    "q_text_contamination",
+    "q_sample_weighted",
+    "q_pack_sequences",
+    "q_embed_quantize",
+    "q_mv_rewrite",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
