@@ -1,0 +1,72 @@
+"""Behavior + plan locks for the round-3 analytics/scale keys: blocked
+fuzzy entity resolution, running-distinct emulation, salted join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from zonal_datacube_spark.operators.analytics_ext import (
+    ER_MAX_DIST,
+    q_er_fuzzy_block,
+    q_window_running_distinct,
+)
+from zonal_datacube_spark.operators.scale_ops import q_join_salted
+from zonal_datacube_spark.plans.diagnostics import formatted_plan
+from zonal_datacube_spark.sources.loader import load_table
+
+
+def test_er_fuzzy_is_blocked_not_all_pairs(spark):
+    plan = formatted_plan(q_er_fuzzy_block(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_er_fuzzy_dist_bounds(spark):
+    rows = q_er_fuzzy_block(spark, SF_SMOKE).collect()
+    assert rows, "fixture part names repeat within brands — pairs must exist"
+    for r in rows:
+        assert 0 <= r.dist <= ER_MAX_DIST
+        assert r.n_pairs >= r.n_left_entities >= 1
+
+
+def test_running_distinct_monotone_and_totals(spark):
+    rows = sorted(
+        q_window_running_distinct(spark, SF_SMOKE).collect(), key=lambda r: r.day
+    )
+    total_users = (
+        load_table(spark, SF_SMOKE, "events")
+        .agg(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert rows[-1].cum_distinct_users == total_users
+    prev = 0
+    total_new = 0
+    for r in rows:
+        assert r.cum_distinct_users >= prev  # cumulative is monotone
+        assert r.n_active >= r.n_new  # new users were active that day
+        prev = r.cum_distinct_users
+        total_new += r.n_new
+    assert total_new == total_users  # each user first-appears exactly once
+
+
+def test_salted_join_equals_plain_join(spark):
+    got = {
+        r.p_brand: (r.n_items, r.revenue)
+        for r in q_join_salted(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    parts = load_table(spark, SF_SMOKE, "part")
+    plain = {
+        r.p_brand: (r.n_items, r.revenue)
+        for r in li.join(parts, li.l_partkey == parts.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == plain  # the salt routes rows, never changes the result

@@ -298,8 +298,86 @@ def q_report_segment_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ER_MAX_DIST = 2
+
+
+def q_er_fuzzy_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution (record linkage): candidate part
+    pairs within a (brand, first-letter) block whose names are within
+    levenshtein distance 2 — the catalog-dedup shape. Blocking makes the
+    self-join an EQUI join on the block key (per-block n², never global
+    n²: the spatial-LSH argument applied to strings); the edit distance
+    runs as a JVM residual filter on block-colocated pairs. Returned
+    aggregated per (brand, dist) so the report stays compact at any
+    scale."""
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.substring("p_name", 1, 1).alias("blk"),
+    )
+    a = parts.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_brand").alias("p_brand"),
+        F.col("blk").alias("blk"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_brand").alias("b_brand"),
+        F.col("blk").alias("b_blk"),
+        F.col("p_name").alias("b_name"),
+    )
+    pairs = a.join(
+        b,
+        (a.p_brand == b.b_brand)
+        & (a.blk == b.b_blk)
+        & (a.a_key < b.b_key),
+    ).withColumn("dist", F.levenshtein("a_name", "b_name"))
+    return (
+        pairs.filter(F.col("dist") <= ER_MAX_DIST)
+        .groupBy("p_brand", "dist")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("a_key").alias("n_left_entities"),
+        )
+    )
+
+
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT users per day — COUNT(DISTINCT) OVER, which
+    neither engine supports directly, rewritten exactly: a user counts on
+    the day of their FIRST event, and the cumulative distinct total is the
+    running sum of first-appearance counts. The heavy work (per-user min)
+    shuffles on user_id; the final running sum runs over the tiny day
+    spine (post-aggregation — a ~10³-row frame even for years of days, so
+    the single-partition window is driver-safe at any corpus scale)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    daily = ev.groupBy("day").agg(F.countDistinct("user_id").alias("n_active"))
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+        .groupBy("first_day")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(firsts, daily.day == firsts.first_day, "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_distinct_users", F.sum("n_new").over(w))
+    )
+
+
 QUERIES = {
     "q_report_segment_topn": q_report_segment_topn,
+    "q_er_fuzzy_block": q_er_fuzzy_block,
+    "q_window_running_distinct": q_window_running_distinct,
     "q_join_cross": q_join_cross,
     "q_subquery_scalar": q_subquery_scalar,
     "q_agg_percentile": q_agg_percentile,
@@ -317,6 +395,40 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_er_fuzzy_block": f"""
+        WITH p AS (
+            SELECT p_partkey, p_brand, p_name, substr(p_name, 1, 1) AS blk
+            FROM part
+        )
+        SELECT a.p_brand,
+               levenshtein(a.p_name, b.p_name)::INT AS dist,
+               count(*) AS n_pairs,
+               count(DISTINCT a.p_partkey) AS n_left_entities
+        FROM p a JOIN p b
+          ON a.p_brand = b.p_brand AND a.blk = b.blk
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= {ER_MAX_DIST}
+        GROUP BY 1, 2
+    """,
+    "q_window_running_distinct": """
+        WITH ev AS (SELECT date_trunc('day', ts) AS day, user_id FROM events),
+        daily AS (
+            SELECT day, count(DISTINCT user_id) AS n_active FROM ev GROUP BY day
+        ),
+        firsts AS (
+            SELECT first_day, count(*) AS n_new
+            FROM (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id)
+            GROUP BY first_day
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               n_active,
+               coalesce(n_new, 0)::BIGINT AS n_new,
+               (sum(coalesce(n_new, 0)) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                   AS cum_distinct_users
+        FROM daily LEFT JOIN firsts ON day = first_day
+    """,
     "q_report_segment_topn": f"""
         WITH rev AS (
             SELECT c.c_mktsegment, n.n_name,

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zonal_datacube_spark.functions.merge import upsert
-from zonal_datacube_spark.functions.salting import salted_zonal_stats
+from zonal_datacube_spark.functions.salting import salted_join, salted_zonal_stats
 from zonal_datacube_spark.sources.loader import load_orc, load_table
 from zonal_datacube_spark.sources.sinks import write_orc
 
@@ -46,6 +46,29 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows at sf0.1 — the structurally-skewed shape salting exists for)."""
     li = load_table(spark, sf_dir, "lineitem")
     return salted_zonal_stats(li, key_col="l_returnflag", value_col="l_quantity")
+
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (functions/salting.py): the probe side gets a
+    random salt, the build side replicates once per salt, and the join
+    runs on (key, salt) — a hot part key's rows spread over n_salts tasks
+    instead of one straggler. The salt only ROUTES rows (dropped before
+    output), so the result — and the oracle — is the plain join + brand
+    rollup; what changes at 100 TB is the absence of a straggler task when
+    AQE skew splitting is unavailable (bucketed build side, non-shuffle
+    pipelines)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li, parts.withColumnRenamed("p_partkey", "l_partkey"), ["l_partkey"]
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("revenue"),
+    )
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,6 +358,7 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_agg_salted_skew": q_agg_salted_skew,
+    "q_join_salted": q_join_salted,
     "q_merge_upsert": q_merge_upsert,
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
@@ -354,6 +378,13 @@ _BUCKET_SQL = (
 )
 
 ORACLE = {
+    "q_join_salted": """
+        SELECT p_brand,
+               count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
     "q_agg_salted_skew": """
         SELECT l_returnflag,
                count(l_quantity) AS n_cells,

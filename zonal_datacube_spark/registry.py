@@ -83,6 +83,9 @@ KEY_ORDER = (
     "q_pack_sequences",
     "q_embed_quantize",
     "q_mv_rewrite",
+    "q_er_fuzzy_block",
+    "q_window_running_distinct",
+    "q_join_salted",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
