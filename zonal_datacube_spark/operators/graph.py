@@ -85,7 +85,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("in_sum"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            # contrib is node-sized, same regime as the ranks broadcast
+            # above: broadcast while the rank table fits (here, and for any
+            # graph whose node count is ≪ edge count); at billion-node
+            # scale both joins become shuffle joins co-partitioned on node
+            nodes.join(F.broadcast(contrib), "node", "left")
             .select(
                 "node",
                 (
