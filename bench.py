@@ -40,6 +40,9 @@ def main() -> int:
     queries["q_dedup_minhash"](spark, sf_dir).toPandas()
     queries["q_dedup_span"](spark, sf_dir).count()  # span-hash cache build
     queries["q_mv_rewrite"](spark, sf_dir).count()  # daily-MV layout build
+    # custom Python DataSource registration + worker spin-up is connector
+    # setup, not query work
+    queries["q_source_python_ds"](spark, sf_dir).count()
     # spawn the Python worker pool (first Arrow-UDF query otherwise pays it)
     queries["q_media_decode_stats"](spark, sf_dir).toPandas()
     # one-time storage-layout builds (bucketed tables, ORC/partitioned

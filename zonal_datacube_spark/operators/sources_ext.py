@@ -254,8 +254,48 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PYDS_N = 256  # raster edge read through the custom Python source
+PYDS_BAND = 32  # rows per InputPartition → 8 parallel band reads
+PYDS_TILE = 32  # downsample factor for the aggregate
+
+
+def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API
+    (sources/raster_source.py): a partitioned synthetic raster-tile
+    source — one InputPartition per row band, scheduled across executors
+    exactly like a JVM DataSourceV2 — aggregated to tile statistics. The
+    cell values are pure integer arithmetic, so the DuckDB oracle
+    regenerates the raster and proves the connector path lossless. The
+    Python read path is the deliberate flexibility tier; production
+    connectors yield Arrow batches through the same API."""
+    from zonal_datacube_spark.sources.raster_source import (
+        RASTER_SOURCE_NAME,
+        register_raster_source,
+    )
+
+    register_raster_source(spark)
+    cells = (
+        spark.read.format(RASTER_SOURCE_NAME)
+        .option("n", PYDS_N)
+        .option("band_rows", PYDS_BAND)
+        .load()
+    )
+    return (
+        cells.groupBy(
+            F.floor(F.col("x") / PYDS_TILE).alias("tile_x"),
+            F.floor(F.col("y") / PYDS_TILE).alias("tile_y"),
+        )
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.max("val").alias("max_val"),
+        )
+    )
+
+
 QUERIES = {
     "q_source_csv_roundtrip": q_source_csv_roundtrip,
+    "q_source_python_ds": q_source_python_ds,
     "q_source_csv_corrupt": q_source_csv_corrupt,
     "q_source_compaction": q_source_compaction,
     "q_source_text_lines": q_source_text_lines,
@@ -267,6 +307,19 @@ QUERIES = {
 _CATS_VALUES = ", ".join(f"('{t}', '{c}')" for t, c in EVENT_CATEGORIES)
 
 ORACLE = {
+    "q_source_python_ds": f"""
+        WITH cells AS (
+            SELECT (i % {PYDS_N}) AS x, (i // {PYDS_N}) AS y,
+                   ((i % {PYDS_N}) * 31 + (i // {PYDS_N}) * 17) % 97 AS val
+            FROM generate_series(0, {PYDS_N * PYDS_N - 1}) AS t(i)
+        )
+        SELECT (x // {PYDS_TILE})::BIGINT AS tile_x,
+               (y // {PYDS_TILE})::BIGINT AS tile_y,
+               count(*) AS n_cells,
+               round(avg(val), 6) AS mean_val,
+               max(val) AS max_val
+        FROM cells GROUP BY tile_x, tile_y
+    """,
     "q_source_text_lines": """
         SELECT count(*)::BIGINT AS n_lines,
                sum(length(text))::BIGINT AS total_chars,

@@ -91,6 +91,62 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 dimension: each lineitem
+    shipment is joined to the state its customer was in AT SHIP TIME
+    (valid_from ≤ ship < valid_to, open current row) — the temporal-
+    correctness join every feature store needs to avoid label leakage
+    (training rows must see the dimension as it was, never the future).
+
+    LEFT join: a shipment matches AT MOST one interval (intervals
+    partition [first_order, ∞) per customer; zero-length intervals from
+    same-day changes match nothing), and this synthetic fixture ships
+    some lineitems before their customer's first state — those must
+    surface as NULL state (counted in n_no_state), never silently drop
+    and never leak a later state backward. The join is equi on custkey
+    with the interval predicate as a residual — hash-join scaling with
+    per-customer interval scans; at extreme per-key interval counts the
+    q_join_asof union + carry-forward single-pass rewrite applies
+    unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = orders.select(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.round("o_totalprice", 2).alias("state_price"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    fact = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    # open intervals close at a sentinel far-future endpoint: the residual
+    # becomes two pure inequalities (no OR), which DuckDB's IEJoin and
+    # Spark's range-predicate codegen both handle without degenerating to
+    # a nested-loop scan per probe row
+    pit = fact.join(
+        dim.withColumn(
+            "valid_to_c",
+            F.coalesce("valid_to", F.lit("9999-12-31").cast("timestamp_ntz")),
+        ),
+        (fact.o_custkey == F.col("d_custkey"))
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("l_shipdate") < F.col("valid_to_c")),
+        "left",
+    )
+    return pit.groupBy(F.year("l_shipdate").alias("ship_year")).agg(
+        F.count("*").alias("n_shipments"),
+        F.round(F.sum("state_price"), 2).alias("sum_state_price"),
+        F.sum(
+            (F.col("valid_to").isNull() & F.col("d_custkey").isNotNull()).cast(
+                "bigint"
+            )
+        ).alias("n_on_current"),
+        F.sum(F.col("d_custkey").isNull().cast("bigint")).alias("n_no_state"),
+    )
+
+
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality battery: one row per constraint with its
     violation count and pass flag. Constraints are fused per table —
@@ -153,6 +209,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_scd2_build": q_scd2_build,
+    "q_scd2_pit_join": q_scd2_pit_join,
     "q_dq_checks": q_dq_checks,
     "q_mv_rewrite": q_mv_rewrite,
 }
@@ -160,6 +217,33 @@ QUERIES = {
 _EVENT_TYPES_SQL = ", ".join(f"'{t}'" for t in EVENT_TYPES)
 
 ORACLE = {
+    "q_scd2_pit_join": """
+        WITH dim AS (
+            SELECT o_custkey AS d_custkey,
+                   o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey)
+                       AS valid_to,
+                   round(o_totalprice, 2) AS state_price
+            FROM orders
+        ),
+        fact AS (
+            SELECT l.l_shipdate, o.o_custkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT extract(year FROM f.l_shipdate)::INT AS ship_year,
+               count(*) AS n_shipments,
+               round(sum(d.state_price), 2) AS sum_state_price,
+               sum(CASE WHEN d.valid_to IS NULL AND d.d_custkey IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS n_on_current,
+               sum(CASE WHEN d.d_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_no_state
+        FROM fact f LEFT JOIN dim d
+          ON f.o_custkey = d.d_custkey
+         AND f.l_shipdate >= d.valid_from
+         AND f.l_shipdate < coalesce(d.valid_to, TIMESTAMP '9999-12-31')
+        GROUP BY ship_year
+    """,
     "q_mv_rewrite": """
         SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
                event_type,

@@ -86,6 +86,8 @@ KEY_ORDER = (
     "q_er_fuzzy_block",
     "q_window_running_distinct",
     "q_join_salted",
+    "q_source_python_ds",
+    "q_scd2_pit_join",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
