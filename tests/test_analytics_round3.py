@@ -50,6 +50,31 @@ def test_running_distinct_monotone_and_totals(spark):
     assert total_new == total_users  # each user first-appears exactly once
 
 
+def test_ivm_join_delta_terms_all_nonempty(spark):
+    """The IVM decomposition only demonstrates the algebra if every delta
+    term contributes pairs — verify all four partitions of the join are
+    non-empty on the fixture's independent date splits."""
+    from zonal_datacube_spark.operators.scale_ops import INCR_CUTOFF
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp_ntz")
+    for o_new in (False, True):
+        for l_new in (False, True):
+            o = orders.filter(
+                (F.col("o_orderdate") >= cutoff)
+                if o_new
+                else (F.col("o_orderdate") < cutoff)
+            )
+            l = li.filter(
+                (F.col("l_shipdate") >= cutoff)
+                if l_new
+                else (F.col("l_shipdate") < cutoff)
+            )
+            n = o.join(l, o.o_orderkey == l.l_orderkey).count()
+            assert n > 0, f"empty IVM term o_new={o_new} l_new={l_new}"
+
+
 def test_salted_join_equals_plain_join(spark):
     got = {
         r.p_brand: (r.n_items, r.revenue)

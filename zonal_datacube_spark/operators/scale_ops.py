@@ -356,9 +356,61 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
+def q_view_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta-join identity
+    (O₀∪ΔO) ⋈ (L₀∪ΔL) = O₀⋈L₀ ∪ ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL: the stored
+    view term plus three delta joins in which at least one side is the
+    (small) new batch. This is how a join-backed materialized view
+    advances at 100 TB — the big⋈big term is the STORED view (never
+    recomputed in production; recomputed here in-query, standing in for
+    the stored table exactly as q_agg_incremental's state does), and
+    every new-pair term joins a delta side. Both tables split on an
+    independent date (orders by orderdate, lineitem by shipdate), so all
+    three delta terms are genuinely non-empty. Oracle: one-pass full
+    join + aggregate — incremental ≡ recompute."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp_ntz")
+    o_old, o_new = (
+        orders.filter(F.col("o_orderdate") < cutoff),
+        orders.filter(F.col("o_orderdate") >= cutoff),
+    )
+    l_old, l_new = (
+        li.filter(F.col("l_shipdate") < cutoff),
+        li.filter(F.col("l_shipdate") >= cutoff),
+    )
+
+    def rev(o: DataFrame, l: DataFrame) -> DataFrame:
+        return (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("rev"),
+            )
+        )
+
+    parts = (
+        rev(o_old, l_old)  # stored view term
+        .unionByName(rev(o_new, l_old))  # ΔO ⋈ L₀
+        .unionByName(rev(o_old, l_new))  # O₀ ⋈ ΔL
+        .unionByName(rev(o_new, l_new))  # ΔO ⋈ ΔL
+    )
+    return parts.groupBy("o_orderstatus").agg(
+        F.sum("n_items").alias("n_items"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )
+
+
 QUERIES = {
     "q_agg_salted_skew": q_agg_salted_skew,
     "q_join_salted": q_join_salted,
+    "q_view_ivm_join": q_view_ivm_join,
     "q_merge_upsert": q_merge_upsert,
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
@@ -378,6 +430,13 @@ _BUCKET_SQL = (
 )
 
 ORACLE = {
+    "q_view_ivm_join": """
+        SELECT o_orderstatus,
+               count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus
+    """,
     "q_join_salted": """
         SELECT p_brand,
                count(*) AS n_items,

@@ -88,6 +88,7 @@ KEY_ORDER = (
     "q_join_salted",
     "q_source_python_ds",
     "q_scd2_pit_join",
+    "q_view_ivm_join",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
