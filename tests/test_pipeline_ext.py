@@ -119,6 +119,38 @@ def test_embed_quantize_error_is_sub_lsb(spark):
         assert r.mse_e6 <= (r.avg_scale**2 / 12) * 1e6 * 3
 
 
+def test_lm_score_bounds_and_coverage(spark):
+    from zonal_datacube_spark.operators.text import q_text_lm_score
+
+    rows = q_text_lm_score(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_eligible = docs.filter(
+        F.size(F.split(F.lower("text"), " ")) >= 2
+    ).count()
+    assert len(rows) == n_eligible  # every scoreable doc gets a score
+    for r in rows:
+        assert r.avg_logp <= 0.0  # log-probs are never positive
+        assert r.n_bigrams >= 1
+
+
+def test_image_patches_tile_the_image_exactly(spark):
+    from zonal_datacube_spark.operators.media import PATCH_PX, q_media_image_patches
+
+    rows = q_media_image_patches(spark, SF_SMOKE).collect()
+    by_img: dict[int, list] = {}
+    for r in rows:
+        by_img.setdefault(r.media_id, []).append(r)
+    for media_id, ps in by_img.items():
+        w, h = ps[0].width, ps[0].height
+        n_cols, n_rows = w // PATCH_PX, h // PATCH_PX
+        assert len(ps) == n_cols * n_rows  # full grid, nothing doubled
+        assert len({p.patch_idx for p in ps}) == len(ps)
+        for p in ps:
+            assert 0 <= p.x0 <= w - PATCH_PX
+            assert 0 <= p.y0 <= h - PATCH_PX
+            assert p.x0 % PATCH_PX == 0 and p.y0 % PATCH_PX == 0
+
+
 def test_mv_rewrite_matches_direct_aggregate(spark):
     from_mv = {
         (r.month, r.event_type): r for r in q_mv_rewrite(spark, SF_SMOKE).collect()

@@ -105,14 +105,82 @@ def q_media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATCH_PX = 16  # ViT-style square patch edge
+
+
+def q_media_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image patch schedule (the ViT 16×16 tokenization grid) over
+    fixture-derived image metadata — completes the plan-side media triple
+    (video frames, audio chunks, image patches). One sequence+explode per
+    image emits (patch_idx, row, col, pixel origin): the byte/tile ranges
+    a patch embedder fetches. Map-only, no shuffle; at 100 TB the patch
+    table is generated next to the object-store scan, and only scheduled
+    tiles are ever decoded."""
+    from zonal_datacube_spark.sources.loader import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 224 + 32).cast("int").alias("width"),
+        ((F.col("n_chars") * 3) % 224 + 32).cast("int").alias("height"),
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        (F.col("width") / PATCH_PX).cast("int").alias("n_cols"),
+        (F.col("height") / PATCH_PX).cast("int").alias("n_rows"),
+    )
+    return imgs.select(
+        "media_id",
+        "width",
+        "height",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_rows") * F.col("n_cols") - 1)
+        ).alias("patch_idx"),
+        "n_cols",
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        "patch_idx",
+        (F.col("patch_idx") % F.col("n_cols") * PATCH_PX).alias("x0"),
+        (F.floor(F.col("patch_idx") / F.col("n_cols")) * PATCH_PX)
+        .cast("int")
+        .alias("y0"),
+    )
+
+
 QUERIES = {
     "q_media_decode_stats": q_media_decode_stats,
     "q_media_frame_sample": q_media_frame_sample,
     "q_media_audio_chunks": q_media_audio_chunks,
+    "q_media_image_patches": q_media_image_patches,
 }
 
 ORACLE: dict[str, str] = {
     # q_media_decode_stats: Python decode kernel — rows-only by design
+    "q_media_image_patches": f"""
+        WITH imgs AS (
+            SELECT doc_id AS media_id,
+                   (n_chars % 224 + 32)::INT AS width,
+                   ((n_chars * 3) % 224 + 32)::INT AS height
+            FROM documents
+        ),
+        g AS (
+            SELECT media_id, width, height,
+                   width // {PATCH_PX} AS n_cols, height // {PATCH_PX} AS n_rows
+            FROM imgs
+        ),
+        p AS (
+            SELECT media_id, width, height, n_cols,
+                   unnest(range(0, n_rows * n_cols))::INT AS patch_idx
+            FROM g
+        )
+        SELECT media_id, width, height, patch_idx,
+               (patch_idx % n_cols * {PATCH_PX})::INT AS x0,
+               (patch_idx // n_cols * {PATCH_PX})::INT AS y0
+        FROM p
+    """,
     "q_media_frame_sample": f"""
         WITH vids AS (
             SELECT doc_id AS media_id, (n_chars % 300 + 30)::INT AS n_frames

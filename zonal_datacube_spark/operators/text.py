@@ -313,8 +313,63 @@ def q_text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style LM quality gate (the KenLM-filter shape): score
+    each document by the mean log-probability of its bigrams under the
+    corpus bigram LM — the statistical fluency filter run between
+    heuristic gates and model training. Self-scored here (the LM is built
+    from the same corpus, so no OOV arm is needed); in production the
+    probability table comes from a reference corpus and the join goes
+    left with a floor probability.
+
+    One explode to the (doc, bigram) table (persisted — it feeds both the
+    corpus counts and the per-doc join), conditional probabilities via a
+    w1-partitioned window over the bigram counts, then an equi-join back
+    on the bigram and a doc-keyed mean. All keys high-cardinality."""
+    from pyspark.storagelevel import StorageLevel
+
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t", tokens())
+        .filter(F.size("t") >= 2)
+    )
+    doc_bi = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> named_struct('w1', element_at(t, i),"
+                    "                   'w2', element_at(t, i + 1)))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bi = doc_bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cw = Window.partitionBy("w1")
+    probs = bi.withColumn("p", F.col("c12") / F.sum("c12").over(cw)).select(
+        "w1", "w2", "p"
+    )
+    # the conditional-probability table is bounded by (observed bigram
+    # types) ≤ vocab² — dimension-sized next to the corpus, so broadcast:
+    # the scoring join becomes a map-side hash probe and only the final
+    # doc_id aggregate shuffles. With an open vocabulary drop the hint
+    # and let AQE decide.
+    return (
+        doc_bi.join(F.broadcast(probs), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log("p")), 6).alias("avg_logp"),
+        )
+    )
+
+
 QUERIES = {
     "q_text_tokens": q_text_tokens,
+    "q_text_lm_score": q_text_lm_score,
     "q_text_repetition": q_text_repetition,
     "q_text_prep_pipeline": q_text_prep_pipeline,
     "q_text_redact": q_text_redact,
@@ -331,6 +386,26 @@ QUERIES = {
 _TOKS = "string_split(lower(text), ' ')"
 
 ORACLE = {
+    "q_text_lm_score": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+            WHERE len({_TOKS}) >= 2
+        ),
+        doc_bi AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM t, unnest(range(1, len(toks))) AS u(i)
+        ),
+        bi AS (SELECT w1, w2, count(*) AS c12 FROM doc_bi GROUP BY w1, w2),
+        probs AS (
+            SELECT w1, w2,
+                   c12 * 1.0 / sum(c12) OVER (PARTITION BY w1) AS p
+            FROM bi
+        )
+        SELECT d.doc_id, count(*) AS n_bigrams,
+               round(avg(ln(p)), 6) AS avg_logp
+        FROM doc_bi d JOIN probs USING (w1, w2)
+        GROUP BY d.doc_id
+    """,
     "q_text_vocab_coverage": f"""
         WITH toks AS (
             SELECT doc_id, unnest({_TOKS}) AS tok FROM documents

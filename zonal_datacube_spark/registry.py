@@ -89,6 +89,8 @@ KEY_ORDER = (
     "q_source_python_ds",
     "q_scd2_pit_join",
     "q_view_ivm_join",
+    "q_text_lm_score",
+    "q_media_image_patches",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
