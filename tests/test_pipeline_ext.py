@@ -119,6 +119,43 @@ def test_embed_quantize_error_is_sub_lsb(spark):
         assert r.mse_e6 <= (r.avg_scale**2 / 12) * 1e6 * 3
 
 
+def test_split_is_leakage_safe(spark):
+    """Identical content must land in ONE split — recompute the doc-level
+    assignment and check every digest maps to a single split, and that
+    realized fractions track the 80/10/10 targets."""
+    from zonal_datacube_spark.operators.pipeline_ext import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        q_split_train_test,
+    )
+
+    out = q_split_train_test(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "digest", F.md5("text")
+    )
+    bucket = F.expr(
+        "(locate(substr(md5(digest), 1, 1), '0123456789abcdef') - 1) * 16"
+        " + locate(substr(md5(digest), 2, 1), '0123456789abcdef') - 1"
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    per_digest = (
+        docs.withColumn("split", split)
+        .groupBy("digest")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r.n_splits == 1 for r in per_digest)  # no digest straddles
+    n_total = sum(r.n_docs for r in out)
+    n_train = sum(r.n_docs for r in out if r.split == "train")
+    assert abs(n_train / n_total - SPLIT_TRAIN_LT / 256) < 0.15
+    for r in out:
+        assert r.n_contents <= r.n_docs
+
+
 def test_lm_score_bounds_and_coverage(spark):
     from zonal_datacube_spark.operators.text import q_text_lm_score
 

@@ -240,8 +240,44 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# train/val/test boundaries out of 256 md5 buckets (~80/10/10)
+SPLIT_TRAIN_LT = 205
+SPLIT_VAL_LT = 230
+
+
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is assigned by hashing
+    the CANONICAL CONTENT digest (md5 of the text), not the doc_id — so
+    every copy of identical content lands in the same split by
+    construction, and duplicated documents can never straddle train and
+    test (the quiet eval-contamination bug in naive id-hash splits).
+    Deterministic md5-bucket arithmetic → reproducible across engines,
+    runs, and repartitions; map-only except the report aggregate."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "digest", F.md5("text")
+    )
+    bucket = F.expr(
+        "(locate(substr(md5(digest), 1, 1), '0123456789abcdef') - 1) * 16"
+        " + locate(substr(md5(digest), 2, 1), '0123456789abcdef') - 1"
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("digest").alias("n_contents"),
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_span": q_dedup_span,
+    "q_split_train_test": q_split_train_test,
     "q_text_contamination": q_text_contamination,
     "q_sample_weighted": q_sample_weighted,
     "q_pack_sequences": q_pack_sequences,
@@ -252,6 +288,25 @@ _BENCH_VALUES = ", ".join(f"('{g}')" for g in BENCH_GRAMS)
 _MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in MIX_BUCKETS.items())
 
 ORACLE = {
+    "q_split_train_test": f"""
+        WITH d AS (SELECT lang, md5(text) AS digest FROM documents),
+        b AS (
+            SELECT lang, digest,
+                   (strpos('0123456789abcdef', substr(md5(digest), 1, 1)) - 1)
+                       * 16
+                   + strpos('0123456789abcdef', substr(md5(digest), 2, 1)) - 1
+                       AS bucket
+            FROM d
+        )
+        SELECT CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+                    WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               count(*) AS n_docs,
+               count(DISTINCT digest) AS n_contents
+        FROM b
+        GROUP BY split, lang
+    """,
     "q_dedup_span": f"""
         WITH t AS (
             SELECT doc_id, {_TOKS} AS toks FROM documents

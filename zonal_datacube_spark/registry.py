@@ -91,6 +91,7 @@ KEY_ORDER = (
     "q_view_ivm_join",
     "q_text_lm_score",
     "q_media_image_patches",
+    "q_split_train_test",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
