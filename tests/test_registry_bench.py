@@ -65,3 +65,23 @@ def test_bench_json_line_fits_driver_tail_buffer():
         assert "p50" in parsed and "p95" in parsed
     else:
         assert kept == set(keys)
+
+
+def test_rows_only_keys_emit_scalar_only_schemas(spark):
+    """The driver's rows-only canonicalizer sorts every output column —
+    array/map/struct cells are unhashable there and crash the check
+    (CORRECTNESS_r02's q_agg_percentile_approx red row). Lock the
+    invariant: every key declared without an oracle returns scalars."""
+    from tests.conftest import SF_SMOKE
+
+    queries, oracle = all_queries(), all_oracle_sql()
+    rows_only = [k for k in queries if k not in oracle]
+    assert rows_only, "suite always carries rows-only keys"
+    for k in rows_only:
+        df = queries[k](spark, SF_SMOKE)
+        nested = [
+            f.name
+            for f in df.schema.fields
+            if type(f.dataType).__name__ in ("ArrayType", "MapType", "StructType")
+        ]
+        assert not nested, f"{k} returns unhashable columns: {nested}"
