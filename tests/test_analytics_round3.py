@@ -75,6 +75,43 @@ def test_ivm_join_delta_terms_all_nonempty(spark):
             assert n > 0, f"empty IVM term o_new={o_new} l_new={l_new}"
 
 
+def test_keyset_pagination_matches_offset_semantics(spark):
+    from zonal_datacube_spark.operators.analytics_ext import (
+        PAGE_SIZE,
+        q_sort_keyset_pagination,
+    )
+
+    got = [
+        (r.o_orderkey, r.price)
+        for r in q_sort_keyset_pagination(spark, SF_SMOKE)
+        .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        .collect()
+    ]
+    full = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        .collect()
+    )
+    want = [(r.o_orderkey, r.price) for r in full[2 * PAGE_SIZE : 3 * PAGE_SIZE]]
+    assert got == want  # seek pagination == rows 41-60 of the total order
+
+
+def test_decimal_exact_sums_are_exact_strings(spark):
+    from decimal import Decimal
+
+    from zonal_datacube_spark.operators.analytics_ext import q_agg_decimal_exact
+
+    rows = q_agg_decimal_exact(spark, SF_SMOKE).collect()
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    want: dict[str, Decimal] = {}
+    for r in li:
+        p = Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01"))
+        want[r.l_returnflag] = want.get(r.l_returnflag, Decimal(0)) + p
+    for r in rows:
+        assert Decimal(r.sum_price) == want[r.l_returnflag]  # exact, no FP
+
+
 def test_salted_join_equals_plain_join(spark):
     got = {
         r.p_brand: (r.n_items, r.revenue)

@@ -374,10 +374,68 @@ def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT money aggregation: sum in DECIMAL, not double — the
+    principled fix for the engine's #1 parity trap (distributed FP sums
+    are reducer-order-dependent; SURVEY §5.4 works around it by rounding,
+    this key removes the nondeterminism at the source). Fixed-point
+    decimal addition is associative, so any partition order and either
+    engine produces the IDENTICAL sum — emitted as its exact decimal
+    string, no round() and no double anywhere. (A final cast-to-double
+    is NOT portable: DuckDB's decimal→double conversion divides after an
+    int128→double rounding and can land one ulp off Spark's correctly-
+    rounded BigDecimal conversion — measured at sf0.1. Exact in, exact
+    out.) Same partial+final hash-aggregate plan as the double sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_rev = dec * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum(dec).cast("string").alias("sum_price"),
+        F.sum(disc_rev).cast("string").alias("sum_revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+PAGE_SIZE = 20
+
+
+def q_sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — the scale-safe replacement for
+    OFFSET/LIMIT: page N is fetched with WHERE key > last_seen ORDER BY
+    key LIMIT p, so the engine scans forward from the seek key instead of
+    materializing and discarding N·p rows (OFFSET at 100 TB re-sorts the
+    world every page). Emulated here as page 3 of orders by
+    (totalprice DESC, orderkey ASC) after two seek hops; the predicate is
+    a sargable row-comparison that parquet row-group stats can skip on.
+    The two intermediate collect()s are O(page_size) cursor state — the
+    CLIENT holds the seek key in this protocol; the engine never
+    materializes more than one page."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    page = orders.orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+
+    def after(df: DataFrame, last_price, last_key) -> DataFrame:
+        return df.filter(
+            (F.col("price") < last_price)
+            | ((F.col("price") == last_price) & (F.col("o_orderkey") > last_key))
+        )
+
+    p1 = page.limit(PAGE_SIZE).collect()
+    p2_df = after(page, p1[-1].price, p1[-1].o_orderkey)
+    p2 = p2_df.limit(PAGE_SIZE).collect()
+    p3 = after(p2_df, p2[-1].price, p2[-1].o_orderkey).limit(PAGE_SIZE)
+    return p3.withColumn("page", F.lit(3))
+
+
 QUERIES = {
     "q_report_segment_topn": q_report_segment_topn,
     "q_er_fuzzy_block": q_er_fuzzy_block,
     "q_window_running_distinct": q_window_running_distinct,
+    "q_agg_decimal_exact": q_agg_decimal_exact,
+    "q_sort_keyset_pagination": q_sort_keyset_pagination,
     "q_join_cross": q_join_cross,
     "q_subquery_scalar": q_subquery_scalar,
     "q_agg_percentile": q_agg_percentile,
@@ -395,6 +453,22 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_agg_decimal_exact": """
+        SELECT l_returnflag,
+               (sum(l_extendedprice::DECIMAL(18,2)))::VARCHAR AS sum_price,
+               (sum(l_extendedprice::DECIMAL(18,2)
+                    * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6))))::VARCHAR
+                   AS sum_revenue,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "q_sort_keyset_pagination": f"""
+        SELECT o_orderkey, round(o_totalprice, 2) AS price, 3 AS page
+        FROM orders
+        ORDER BY price DESC, o_orderkey ASC
+        LIMIT {PAGE_SIZE} OFFSET {2 * PAGE_SIZE}
+    """,
     "q_er_fuzzy_block": f"""
         WITH p AS (
             SELECT p_partkey, p_brand, p_name, substr(p_name, 1, 1) AS blk

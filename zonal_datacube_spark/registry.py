@@ -92,6 +92,8 @@ KEY_ORDER = (
     "q_text_lm_score",
     "q_media_image_patches",
     "q_split_train_test",
+    "q_agg_decimal_exact",
+    "q_sort_keyset_pagination",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
