@@ -156,6 +156,20 @@ def test_split_is_leakage_safe(spark):
         assert r.n_contents <= r.n_docs
 
 
+def test_drift_psi_shares_sum_to_one(spark):
+    from zonal_datacube_spark.operators.pipeline_ext import q_drift_psi
+
+    rows = q_drift_psi(spark, SF_SMOKE).collect()
+    assert rows
+    # inner-joined bins cover essentially the full mass on this fixture
+    assert 0.97 < sum(r.p_ref for r in rows) <= 1.000001
+    assert 0.97 < sum(r.q_cur for r in rows) <= 1.000001
+    for r in rows:
+        assert r.p_ref > 0 and r.q_cur > 0
+        # each term's sign follows (q-p)·ln(q/p) ≥ 0 always
+        assert r.psi_term >= -1e-9
+
+
 def test_lm_score_bounds_and_coverage(spark):
     from zonal_datacube_spark.operators.text import q_text_lm_score
 

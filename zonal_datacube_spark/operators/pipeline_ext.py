@@ -275,9 +275,59 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_SPLIT_TS = "2024-01-15"  # reference window < split ≤ current window
+DRIFT_BIN_W = 25.0  # fixed-width value bins
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor: Population Stability Index of the event value
+    distribution, reference window (first half of the month) vs current
+    (second half) — the standard gate an ML-ops pipeline alarms on before
+    features feed a model. Fixed-width binning keeps the histogram
+    deterministic; per-bin PSI terms ((q−p)·ln(q/p)) emit alongside the
+    shares so the alarm can localize WHICH bins moved. Bins are inner-
+    joined (both windows populate every bin on this fixture); production
+    adds epsilon smoothing for bins that empty out. One scan, two
+    bin-keyed aggregates, a bin equi-join — scale-free."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(DRIFT_SPLIT_TS).cast("timestamp_ntz")
+    binned = ev.select(
+        F.floor(F.col("value") / DRIFT_BIN_W).alias("bin"),
+        (F.col("ts") < split).alias("is_ref"),
+    )
+
+    def shares(df: DataFrame, flag: bool, name: str) -> DataFrame:
+        counts = (
+            df.filter(F.col("is_ref") == flag)
+            .groupBy("bin")
+            .agg(F.count("*").alias("c"))
+        )
+        total = counts.agg(F.sum("c").alias("tot"))  # bin-sized reagg, no action
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("c") / F.col("tot")).alias(name)
+        )
+
+    p = shares(binned, True, "p_ref")
+    q = shares(binned, False, "q_cur")
+    return (
+        p.join(q, "bin")
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.round("p_ref", 6).alias("p_ref"),
+            F.round("q_cur", 6).alias("q_cur"),
+            F.round(
+                (F.col("q_cur") - F.col("p_ref"))
+                * F.log(F.col("q_cur") / F.col("p_ref")),
+                6,
+            ).alias("psi_term"),
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_span": q_dedup_span,
     "q_split_train_test": q_split_train_test,
+    "q_drift_psi": q_drift_psi,
     "q_text_contamination": q_text_contamination,
     "q_sample_weighted": q_sample_weighted,
     "q_pack_sequences": q_pack_sequences,
@@ -288,6 +338,26 @@ _BENCH_VALUES = ", ".join(f"('{g}')" for g in BENCH_GRAMS)
 _MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in MIX_BUCKETS.items())
 
 ORACLE = {
+    "q_drift_psi": f"""
+        WITH binned AS (
+            SELECT floor(value / {DRIFT_BIN_W}) AS bin,
+                   ts < TIMESTAMP '{DRIFT_SPLIT_TS}' AS is_ref
+            FROM events
+        ),
+        p AS (
+            SELECT bin, count(*) * 1.0 / sum(count(*)) OVER () AS p_ref
+            FROM binned WHERE is_ref GROUP BY bin
+        ),
+        q AS (
+            SELECT bin, count(*) * 1.0 / sum(count(*)) OVER () AS q_cur
+            FROM binned WHERE NOT is_ref GROUP BY bin
+        )
+        SELECT bin::BIGINT AS bin,
+               round(p_ref, 6) AS p_ref,
+               round(q_cur, 6) AS q_cur,
+               round((q_cur - p_ref) * ln(q_cur / p_ref), 6) AS psi_term
+        FROM p JOIN q USING (bin)
+    """,
     "q_split_train_test": f"""
         WITH d AS (SELECT lang, md5(text) AS digest FROM documents),
         b AS (

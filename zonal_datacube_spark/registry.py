@@ -94,6 +94,7 @@ KEY_ORDER = (
     "q_split_train_test",
     "q_agg_decimal_exact",
     "q_sort_keyset_pagination",
+    "q_drift_psi",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
