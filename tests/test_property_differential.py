@@ -310,3 +310,65 @@ def test_random_window_topk_agrees(pred, k, spark, duck):
     got = {(r.l_orderkey, r.l_linenumber) for r in spark.sql(sql).collect()}
     want = {tuple(r) for r in duck.execute(sql).fetchall()}
     assert got == want, f"disagreement for window top-{k} with predicate: {pred}"
+
+
+@given(cap=st.integers(32, 1024), m=st.integers(2, 5))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_pack_capacity_agrees(cap, m, spark, duck):
+    """Sequence packing under random capacities — the window-cumsum
+    chop arithmetic agrees with DuckDB for any capacity. Token counts
+    derive from n_chars (shared-dialect integer arithmetic; the
+    tokenizer itself is pinned by the fixed q_pack_sequences oracle)."""
+    sql = f"""
+        WITH placed AS (
+            SELECT lang,
+                   (n_chars % 97 + 3) AS n_tok,
+                   sum(n_chars % 97 + 3)
+                       OVER (PARTITION BY lang ORDER BY doc_id)
+                       - (n_chars % 97 + 3) AS o
+            FROM documents WHERE doc_id % {m} != 0
+        )
+        SELECT lang, cast(floor(o * 1.0 / {cap}) AS BIGINT) AS seq_id,
+               count(*) AS n_docs, sum(n_tok) AS n_tokens
+        FROM placed GROUP BY lang, seq_id
+    """
+    load_table(spark, SF_ORACLE, "documents").createOrReplaceTempView("documents")
+    got = {(r.lang, r.seq_id, r.n_docs, r.n_tokens) for r in spark.sql(sql).collect()}
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want, f"packing disagrees for cap={cap} m={m}"
+
+
+@given(train_lt=st.integers(1, 254), val_w=st.integers(1, 64))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_split_boundaries_agree(train_lt, val_w, spark, duck):
+    """Content-hash split assignment under random bucket boundaries —
+    the md5-bucket arithmetic and CASE laddering agree bit-for-bit
+    (instr/substr/md5 are the shared dialect)."""
+    val_lt = min(train_lt + val_w, 255)
+    sql = f"""
+        WITH b AS (
+            SELECT lang,
+                   (instr('0123456789abcdef', substr(md5(md5(text)), 1, 1)) - 1)
+                       * 16
+                   + instr('0123456789abcdef', substr(md5(md5(text)), 2, 1)) - 1
+                       AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < {train_lt} THEN 'train'
+                    WHEN bucket < {val_lt} THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n_docs
+        FROM b GROUP BY split, lang
+    """
+    load_table(spark, SF_ORACLE, "documents").createOrReplaceTempView("documents")
+    got = {(r.split, r.lang, r.n_docs) for r in spark.sql(sql).collect()}
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want, f"split disagrees for train<{train_lt} val<{val_lt}"
