@@ -229,3 +229,27 @@ def test_mv_rewrite_reads_mv_not_base(spark):
     plan = formatted_plan(q_mv_rewrite(spark, SF_SMOKE))
     assert "zds_mv_daily_events" in plan
     assert "events.parquet" not in plan
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """Containment's reason to exist: embedded docs score high on C(A->B)
+    even when symmetric Jaccard is low. Verify every reported pair's
+    containment exceeds its Jaccard, the orientation puts the smaller
+    shingle set first, and values are valid."""
+    from zonal_datacube_spark.operators.dedup import (
+        CONTAIN_TAU,
+        _doc_shingle_arrays,
+        q_dedup_containment,
+    )
+
+    rows = q_dedup_containment(spark, SF_SMOKE).collect()
+    sizes = {
+        r.doc_id: r.n_sh
+        for r in _doc_shingle_arrays(spark, SF_SMOKE).collect()
+    }
+    for r in rows:
+        na, nb = sizes[r.a_id], sizes[r.b_id]
+        assert na < nb or (na == nb and r.a_id < r.b_id)
+        assert CONTAIN_TAU <= r.containment <= 1.0
+        jaccard = r.inter / (na + nb - r.inter)
+        assert r.containment >= jaccard

@@ -183,6 +183,71 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_TAU = 0.9
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT detection: C(A→B) = |A∩B| / |A| ≥ 0.9 —
+    finds documents embedded inside larger ones (quotes, mirrors with
+    boilerplate, provenance tracking), which symmetric Jaccard misses
+    outright (a small doc inside a huge one has J ≈ |A|/|B| ≈ 0).
+
+    Candidate generation adapts prefix filtering to the asymmetric
+    denominator: only the CONTAINED side is prefix-filtered (its
+    |A| − ⌈τ·|A|⌉ + 1 rarest shingles — sharing none of them caps the
+    overlap below ⌈τ·|A|⌉, so the filter is lossless), while the
+    container side is fully indexed; bucket sizes stay small because
+    prefixes hold each doc's rarest shingles. Orientation: the smaller
+    set is the contained side (ties by id), so each pair reports once."""
+    from pyspark.sql import Window
+
+    sh = _doc_shingles(spark, sf_dir)
+    freq = F.broadcast(sh.groupBy("sh").agg(F.count("*").alias("f")))
+    w = Window.partitionBy("doc_id")
+    ranked = sh.join(freq, "sh").select(
+        "doc_id",
+        "sh",
+        F.row_number().over(w.orderBy("f", "sh")).alias("rk"),
+        F.count("*").over(w).alias("n_sh"),
+    )
+    prefix_a = ranked.filter(
+        F.col("rk")
+        <= F.col("n_sh") - F.ceil(F.lit(CONTAIN_TAU) * F.col("n_sh")) + 1
+    ).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    full_b = ranked.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    cand = (
+        prefix_a.join(
+            full_b,
+            (F.col("sh_a") == F.col("sh_b"))
+            & (
+                (F.col("na") < F.col("nb"))
+                | ((F.col("na") == F.col("nb")) & (F.col("a_id") < F.col("b_id")))
+            ),
+        )
+        .select("a_id", "b_id", "na", "nb")
+        .distinct()
+    )
+    verified = _verify_jaccard(cand, _doc_shingle_arrays(spark, sf_dir))
+    return (
+        verified.withColumn("containment", F.col("inter") / F.col("na"))
+        .filter(F.col("containment") >= CONTAIN_TAU)
+        .select(
+            "a_id",
+            "b_id",
+            "inter",
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: banded min-hash candidates verified with true
     Jaccard. Output = verified candidate pairs (the sub-quadratic plan).
@@ -451,6 +516,7 @@ QUERIES = {
     "q_distinct_rows": q_distinct_rows,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
+    "q_dedup_containment": q_dedup_containment,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_clusters": q_dedup_clusters,
@@ -465,6 +531,21 @@ ORACLE = {
         SELECT md5(text) AS h, min(doc_id) AS kept_doc_id, count(*) AS n_copies
         FROM documents
         GROUP BY 1
+    """,
+    "q_dedup_containment": f"""
+        WITH {_SH_CTE},
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id != b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a_id, b_id, inter,
+               round(inter * 1.0 / sa.n_sh, 6) AS containment
+        FROM pairs
+        JOIN sz sa ON a_id = sa.doc_id
+        JOIN sz sb ON b_id = sb.doc_id
+        WHERE (sa.n_sh < sb.n_sh OR (sa.n_sh = sb.n_sh AND a_id < b_id))
+          AND inter * 1.0 / sa.n_sh >= {CONTAIN_TAU}
     """,
     "q_dedup_near": f"""
         WITH {_SH_CTE},

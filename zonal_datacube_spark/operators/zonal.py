@@ -138,14 +138,53 @@ def q_raster_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED zonal statistics — the partial-coverage variant every
+    real zonal engine needs (a pixel straddling a zone boundary
+    contributes area-fraction weight, not 0-or-1): weighted mean =
+    Σ(w·v)/Σ(w) per zone. The per-cell weight here is the events JSON
+    payload's k value (standing in for coverage fraction); the plan is
+    the flagship's broadcast range join + one partial+final aggregate,
+    unchanged — weighting is pure map-side arithmetic."""
+    cells = load_table(spark, sf_dir, "events").withColumn(
+        "w", F.get_json_object("props", "$.k").cast("double")
+    )
+    zones = F.broadcast(zones_df(spark))
+    joined = cells.join(
+        zones, (cells.value >= zones.lo) & (cells.value < zones.hi), "inner"
+    )
+    return joined.groupBy("zone_id").agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.sum("w"), 2).alias("sum_weight"),
+        F.round(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6).alias(
+            "weighted_mean"
+        ),
+        F.round(F.avg("value"), 6).alias("unweighted_mean"),
+    )
+
+
 QUERIES = {
     "q_zonal_stats": q_zonal_stats,
+    "q_zonal_weighted": q_zonal_weighted,
     "q_zonal_categorical": q_zonal_categorical,
     "q_zonal_timeseries": q_zonal_timeseries,
     "q_raster_downsample": q_raster_downsample,
 }
 
 ORACLE = {
+    "q_zonal_weighted": f"""
+        WITH zones(zone_id, lo, hi) AS (VALUES {ZONES_SQL_VALUES}),
+        cells AS (
+            SELECT value, json_extract(props, '$.k')::DOUBLE AS w FROM events
+        )
+        SELECT zone_id,
+               count(*) AS n_cells,
+               round(sum(w), 2) AS sum_weight,
+               round(sum(w * value) / sum(w), 6) AS weighted_mean,
+               round(avg(value), 6) AS unweighted_mean
+        FROM cells JOIN zones ON value >= lo AND value < hi
+        GROUP BY zone_id
+    """,
     "q_zonal_timeseries": f"""
         WITH zones(zone_id, lo, hi) AS (VALUES {ZONES_SQL_VALUES})
         SELECT zone_id, date_trunc('day', ts) AS day,

@@ -95,6 +95,8 @@ KEY_ORDER = (
     "q_agg_decimal_exact",
     "q_sort_keyset_pagination",
     "q_drift_psi",
+    "q_zonal_weighted",
+    "q_dedup_containment",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
