@@ -430,9 +430,38 @@ def q_sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p3.withColumn("page", F.lit(3))
 
 
+def q_window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks via the
+    classic (day − row_number) island key — consecutive days share one
+    anchor, any gap starts a new island; no self-join, no iteration. Two
+    user-keyed shuffles (distinct days, ranking window) + one island
+    aggregate: the retention/streak analysis shape at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day").cast("date"), F.row_number().over(w)
+        ).alias("anchor"),
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
 QUERIES = {
     "q_report_segment_topn": q_report_segment_topn,
     "q_er_fuzzy_block": q_er_fuzzy_block,
+    "q_window_streaks": q_window_streaks,
     "q_window_running_distinct": q_window_running_distinct,
     "q_agg_decimal_exact": q_agg_decimal_exact,
     "q_sort_keyset_pagination": q_sort_keyset_pagination,
@@ -453,6 +482,26 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_window_streaks": """
+        WITH days AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ),
+        islands AS (
+            SELECT user_id, day,
+                   day::DATE - to_days(row_number()
+                       OVER (PARTITION BY user_id ORDER BY day)::INT) AS anchor
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, anchor, count(*) AS len
+            FROM islands GROUP BY user_id, anchor
+        )
+        SELECT user_id,
+               sum(len)::BIGINT AS n_active_days,
+               max(len) AS longest_streak,
+               count(*) AS n_streaks
+        FROM streaks GROUP BY user_id
+    """,
     "q_agg_decimal_exact": """
         SELECT l_returnflag,
                (sum(l_extendedprice::DECIMAL(18,2)))::VARCHAR AS sum_price,

@@ -97,6 +97,7 @@ KEY_ORDER = (
     "q_drift_psi",
     "q_zonal_weighted",
     "q_dedup_containment",
+    "q_window_streaks",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
