@@ -1,0 +1,179 @@
+"""Time-series analytics over the events stream (SURVEY.md §2.14 cont.):
+time-weighted averages, OHLC bar downsampling, and event-transition
+matrices — the continuous-aggregate staples (TimescaleDB/kdb shapes) a
+time-series user of the engine reaches for daily.
+
+Determinism: every window order carries the unique event_id tie-break
+(fixture timestamps can collide), durations are integer MICROSECONDS
+(both engines' storage precision), and ratios round at 6.
+
+Scale: every key is one or two event_type/user-keyed window shuffles plus
+a small aggregate — no self-joins, no iteration; partitions are the
+natural series keys, skew-free at any horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.sources.loader import load_table
+
+
+def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average per event_type: each observation holds its
+    value until the next one, so it weighs by dt = next_ts − ts (the
+    last observation of a series carries no interval and drops out) —
+    the correct mean for irregularly-sampled series, where the naive avg
+    over-weights bursts. One window shuffle on the series key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # timestampdiff handles TIMESTAMP_NTZ (unix_micros rejects it)
+    spans = (
+        ev.select(
+            "event_type",
+            "value",
+            "ts",
+            F.lead("ts").over(w).alias("next_ts"),
+        )
+        .filter(F.col("next_ts").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            F.expr("timestampdiff(MICROSECOND, ts, next_ts)").alias("dt_us"),
+        )
+    )
+    return spans.groupBy("event_type").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("dt_us").alias("total_us"),
+        F.round(
+            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+        ).alias("tw_avg"),
+        F.round(F.avg("value"), 6).alias("naive_avg"),
+    )
+
+
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling: per (event_type, day) the opening value
+    (first by time), high, low, and closing value (last by time) — the
+    candlestick rollup every market/metrics store serves. First/last
+    resolve through one ranking window ordered by (ts, event_id) in each
+    direction; high/low are plain min/max in the same aggregate."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    w = Window.partitionBy("event_type", "day")
+    ranked = ev.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number()
+        .over(w.orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .alias("rn_a"),
+        F.row_number()
+        .over(w.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "day").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 2).alias(
+            "open"
+        ),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2).alias(
+            "close"
+        ),
+        F.count("*").alias("n_ticks"),
+    )
+
+
+def q_ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix: P(next event_type | event_type) per user
+    journey — the first-order Markov model behind next-action prediction
+    and anomaly scoring on clickstreams. One user-keyed window forms the
+    transitions; the conditional denominator reuses the pair counts via
+    a window sum, so the stream aggregates exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    cw = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(F.col("n_trans") / F.sum("n_trans").over(cw), 6).alias(
+            "p_next"
+        ),
+    )
+
+
+QUERIES = {
+    "q_ts_time_weighted_avg": q_ts_time_weighted_avg,
+    "q_ts_ohlc": q_ts_ohlc,
+    "q_ts_transitions": q_ts_transitions,
+}
+
+ORACLE = {
+    "q_ts_time_weighted_avg": """
+        WITH spans AS (
+            SELECT event_type, value,
+                   date_diff('microsecond', ts,
+                             lead(ts) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id)) AS dt_us
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_spans,
+               sum(dt_us)::BIGINT AS total_us,
+               round(sum(value * dt_us) / sum(dt_us), 6) AS tw_avg,
+               round(avg(value), 6) AS naive_avg
+        FROM spans WHERE dt_us IS NOT NULL
+        GROUP BY event_type
+    """,
+    "q_ts_ohlc": """
+        WITH ranked AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   value,
+                   row_number() OVER (PARTITION BY event_type,
+                                      date_trunc('day', ts)
+                                      ORDER BY ts ASC, event_id ASC) AS rn_a,
+                   row_number() OVER (PARTITION BY event_type,
+                                      date_trunc('day', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT event_type, day,
+               round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+               round(max(value), 2) AS high,
+               round(min(value), 2) AS low,
+               round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+               count(*) AS n_ticks
+        FROM ranked GROUP BY event_type, day
+    """,
+    "q_ts_transitions": """
+        WITH pairs AS (
+            SELECT from_type, to_type, count(*) AS n_trans
+            FROM (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS to_type
+                FROM events
+            )
+            WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n_trans,
+               round(n_trans * 1.0
+                     / sum(n_trans) OVER (PARTITION BY from_type), 6) AS p_next
+        FROM pairs
+    """,
+}

@@ -41,6 +41,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.reports_supply",
     "zonal_datacube_spark.operators.warehouse",
     "zonal_datacube_spark.operators.pipeline_ext",
+    "zonal_datacube_spark.operators.timeseries",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
@@ -98,6 +99,9 @@ KEY_ORDER = (
     "q_zonal_weighted",
     "q_dedup_containment",
     "q_window_streaks",
+    "q_ts_time_weighted_avg",
+    "q_ts_ohlc",
+    "q_ts_transitions",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
