@@ -147,6 +147,33 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals — the forensic DQ check for
+    fabricated or truncated monetary data: the leading-digit distribution
+    of naturally-occurring multi-decade amounts should track
+    log10(1 + 1/d); a flat or spiked profile flags synthetic injection
+    or clipped exports. One map-side digit extraction + a 9-row
+    aggregate; the deviation column localizes which digit drifts."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.select(digit.alias("d")).groupBy("d").agg(
+        F.count("*").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    expected = F.log10(1 + 1 / F.col("d"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "d",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+        F.round(expected, 6).alias("benford_expected"),
+        F.round(F.col("n") / F.col("tot") - expected, 6).alias("deviation"),
+    )
+
+
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality battery: one row per constraint with its
     violation count and pass flag. Constraints are fused per table —
@@ -211,12 +238,27 @@ QUERIES = {
     "q_scd2_build": q_scd2_build,
     "q_scd2_pit_join": q_scd2_pit_join,
     "q_dq_checks": q_dq_checks,
+    "q_dq_benford": q_dq_benford,
     "q_mv_rewrite": q_mv_rewrite,
 }
 
 _EVENT_TYPES_SQL = ", ".join(f"'{t}'" for t in EVENT_TYPES)
 
 ORACLE = {
+    "q_dq_benford": """
+        WITH counts AS (
+            SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT AS d,
+                   count(*) AS n
+            FROM orders WHERE o_totalprice >= 1
+            GROUP BY 1
+        ),
+        total AS (SELECT sum(n) AS tot FROM counts)
+        SELECT d, n,
+               round(n * 1.0 / tot, 6) AS share,
+               round(log10(1 + 1.0 / d), 6) AS benford_expected,
+               round(n * 1.0 / tot - log10(1 + 1.0 / d), 6) AS deviation
+        FROM counts CROSS JOIN total
+    """,
     "q_scd2_pit_join": """
         WITH dim AS (
             SELECT o_custkey AS d_custkey,

@@ -102,6 +102,7 @@ KEY_ORDER = (
     "q_ts_time_weighted_avg",
     "q_ts_ohlc",
     "q_ts_transitions",
+    "q_dq_benford",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
