@@ -458,10 +458,97 @@ def q_window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WILSON_Z = 1.96  # 95% interval
+
+
+def q_ab_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test readout with Wilson score intervals: per market segment,
+    the purchase-conversion rate of its event-active users with proper
+    small-n confidence bounds — the readout an experimentation platform
+    serves (Wilson never leaves [0,1] and stays honest at tiny n, unlike
+    the normal approximation). IEEE sqrt is correctly rounded, so the
+    interval arithmetic is bit-portable given identical inputs; the
+    conversion counts are exact integers. One user-grain aggregate, a
+    broadcast dim join, a segment rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
+        )
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    seg = users.join(cust, "user_id").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_users"),
+        F.sum("conv").alias("n_conv"),
+    )
+    n, z = F.col("n_users"), F.lit(WILSON_Z)
+    p = F.col("n_conv") / n
+    denom = 1 + z * z / n
+    center = p + z * z / (2 * n)
+    margin = z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    return seg.select(
+        "c_mktsegment",
+        "n_users",
+        "n_conv",
+        F.round(p, 6).alias("conv_rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_low"),
+        F.round((center + margin) / denom, 6).alias("wilson_high"),
+    )
+
+
+PARETO_SHARE = 0.8
+
+
+def q_window_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration analysis: per brand, how many parts
+    carry 80% of revenue — rank by revenue desc, running share via one
+    window pass, count the minimal prefix whose PRECEDING cumulative is
+    still under the threshold (so the crossing part is included). The
+    classic assortment/concentration report; two brand-keyed shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # per-part revenue rounds to 4dp BEFORE ranking: the sort key and the
+    # running sums are then engine-stable (raw FP sums can differ in the
+    # last ulp between reducer orders, which would reorder near-ties)
+    rev = (
+        li.join(parts, li.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("rev").desc(), F.col("p_partkey").asc()
+    )
+    tot = Window.partitionBy("p_brand")
+    ranked = rev.select(
+        "p_brand",
+        "rev",
+        (
+            (F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("rev"))
+            / F.sum("rev").over(tot)
+        ).alias("cum_before"),
+        (F.col("rev") / F.sum("rev").over(tot)).alias("share"),
+    )
+    return ranked.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum((F.col("cum_before") < PARETO_SHARE).cast("bigint")).alias(
+            "n_parts_for_80pct"
+        ),
+        F.round(F.max("share"), 6).alias("top_part_share"),
+    )
+
+
 QUERIES = {
     "q_report_segment_topn": q_report_segment_topn,
     "q_er_fuzzy_block": q_er_fuzzy_block,
     "q_window_streaks": q_window_streaks,
+    "q_ab_wilson": q_ab_wilson,
+    "q_window_pareto": q_window_pareto,
     "q_window_running_distinct": q_window_running_distinct,
     "q_agg_decimal_exact": q_agg_decimal_exact,
     "q_sort_keyset_pagination": q_sort_keyset_pagination,
@@ -482,6 +569,56 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_ab_wilson": f"""
+        WITH users AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events GROUP BY user_id
+        ),
+        seg AS (
+            SELECT c.c_mktsegment,
+                   count(*) AS n_users,
+                   sum(u.conv)::BIGINT AS n_conv
+            FROM users u JOIN customer c ON c.c_custkey = u.user_id + 1
+            GROUP BY 1
+        )
+        SELECT c_mktsegment, n_users, n_conv,
+               round(n_conv * 1.0 / n_users, 6) AS conv_rate,
+               round(((n_conv * 1.0 / n_users) + {WILSON_Z} * {WILSON_Z} / (2 * n_users)
+                      - {WILSON_Z} * sqrt((n_conv * 1.0 / n_users) * (1 - n_conv * 1.0 / n_users) / n_users
+                                          + {WILSON_Z} * {WILSON_Z} / (4 * n_users * n_users)))
+                     / (1 + {WILSON_Z} * {WILSON_Z} / n_users), 6) AS wilson_low,
+               round(((n_conv * 1.0 / n_users) + {WILSON_Z} * {WILSON_Z} / (2 * n_users)
+                      + {WILSON_Z} * sqrt((n_conv * 1.0 / n_users) * (1 - n_conv * 1.0 / n_users) / n_users
+                                          + {WILSON_Z} * {WILSON_Z} / (4 * n_users * n_users)))
+                     / (1 + {WILSON_Z} * {WILSON_Z} / n_users), 6) AS wilson_high
+        FROM seg
+    """,
+    "q_window_pareto": f"""
+        WITH rev AS (
+            SELECT p.p_brand, p.p_partkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS rev
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT p_brand, rev,
+                   (sum(rev) OVER (PARTITION BY p_brand
+                                   ORDER BY rev DESC, p_partkey ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - rev)
+                       / sum(rev) OVER (PARTITION BY p_brand) AS cum_before,
+                   rev / sum(rev) OVER (PARTITION BY p_brand) AS share
+            FROM rev
+        )
+        SELECT p_brand,
+               count(*) AS n_parts,
+               sum(CASE WHEN cum_before < {PARETO_SHARE} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_parts_for_80pct,
+               round(max(share), 6) AS top_part_share
+        FROM ranked GROUP BY p_brand
+    """,
     "q_window_streaks": """
         WITH days AS (
             SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events

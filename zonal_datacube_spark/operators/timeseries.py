@@ -115,13 +115,72 @@ def q_ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_WINDOW_S = 6 * 3600  # trailing 6 h
+ANOMALY_Z = 3.0
+
+
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each point scored against the
+    TRAILING 6-hour window's mean/stddev (current point excluded — a
+    spike must not justify itself), |z| > 3 flags — the monitoring
+    baseline every metrics pipeline starts from. One range-frame window
+    per series key; the per-type rollup keeps output compact and the
+    threshold count robust (a flag flip would need a z within FP noise
+    of 3.0 — verified empirically at both SFs on this fixture)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ep", F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ep")
+        .rangeBetween(-ANOMALY_WINDOW_S, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    ).filter(F.col("sd").isNotNull() & (F.col("sd") > 0))
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_scored"),
+        F.sum((F.abs(z) > ANOMALY_Z).cast("bigint")).alias("n_anomalies"),
+        F.round(F.max(F.abs(z)), 4).alias("max_abs_z"),
+    )
+
+
 QUERIES = {
     "q_ts_time_weighted_avg": q_ts_time_weighted_avg,
     "q_ts_ohlc": q_ts_ohlc,
     "q_ts_transitions": q_ts_transitions,
+    "q_ts_anomaly": q_ts_anomaly,
 }
 
 ORACLE = {
+    "q_ts_anomaly": f"""
+        WITH scored AS (
+            SELECT event_type, value,
+                   avg(value) OVER w AS mu,
+                   stddev_samp(value) OVER w AS sd
+            FROM (
+                SELECT event_type, value,
+                       date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                           AS ep
+                FROM events
+            )
+            WINDOW w AS (PARTITION BY event_type ORDER BY ep
+                         RANGE BETWEEN {ANOMALY_WINDOW_S} PRECEDING
+                               AND 1 PRECEDING)
+        )
+        SELECT event_type,
+               count(*) AS n_scored,
+               sum(CASE WHEN abs((value - mu) / sd) > {ANOMALY_Z}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
+               round(max(abs((value - mu) / sd)), 4) AS max_abs_z
+        FROM scored
+        WHERE sd IS NOT NULL AND sd > 0
+        GROUP BY event_type
+    """,
     "q_ts_time_weighted_avg": """
         WITH spans AS (
             SELECT event_type, value,

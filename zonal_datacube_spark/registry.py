@@ -103,6 +103,9 @@ KEY_ORDER = (
     "q_ts_ohlc",
     "q_ts_transitions",
     "q_dq_benford",
+    "q_ts_anomaly",
+    "q_ab_wilson",
+    "q_window_pareto",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
