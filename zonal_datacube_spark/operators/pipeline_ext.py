@@ -324,10 +324,73 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prep_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE corpus-prep pipeline as one declared plan — mixture
+    sampling → exact dedup → benchmark decontamination → leakage-safe
+    train split → per-(lang, source) report. Each stage is an operator
+    already proven alone (q_sample_weighted, q_dedup_exact,
+    q_text_contamination, q_split_train_test); this key proves they
+    COMPOSE: one map-side scoring pass, ONE digest-window shuffle for
+    canonical-doc selection, a broadcast anti-join against the (tiny)
+    contaminated-id set, and the final rollup. At 100 TB that is the
+    entire prep run's shuffle budget."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t", tokens())
+        .withColumn("digest", F.md5("text"))
+    )
+    # stage 1: deterministic mixture sample (per-lang md5 keep-rate)
+    weights = F.broadcast(
+        spark.createDataFrame(
+            list(MIX_BUCKETS.items()), "lang STRING, keep_buckets INT"
+        )
+    )
+    sampled = (
+        docs.join(weights, "lang")
+        .withColumn("bucket", F.expr(_DOC_BUCKET_SPARK).cast("int"))
+        .filter(F.col("bucket") < F.col("keep_buckets"))
+    )
+    # stage 2: exact dedup — keep the min doc_id per content digest
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    deduped = (
+        sampled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    # stage 3: decontamination — anti-join the benchmark-gram hit set
+    # (built from the sampled survivors only: docs dropped by stage 1
+    # can't reach the output, so scanning them would be wasted work)
+    grams = sampled.filter(F.size("t") >= BENCH_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {BENCH_N - 1}),"
+                f" i -> concat_ws(' ', slice(t, i, {BENCH_N})))"
+            )
+        ).alias("g"),
+    )
+    bench = F.broadcast(
+        spark.createDataFrame([(g,) for g in BENCH_GRAMS], "g STRING")
+    )
+    contaminated = grams.join(bench, "g").select("doc_id").distinct()
+    clean = deduped.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    # stage 4: keep the train split (content-hash assignment)
+    split_bucket = F.expr(
+        "(locate(substr(md5(digest), 1, 1), '0123456789abcdef') - 1) * 16"
+        " + locate(substr(md5(digest), 2, 1), '0123456789abcdef') - 1"
+    )
+    train = clean.filter(split_bucket < SPLIT_TRAIN_LT)
+    # stage 5: report
+    return train.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("t").cast("bigint")).alias("n_tokens"),
+    )
+
+
 QUERIES = {
     "q_dedup_span": q_dedup_span,
     "q_split_train_test": q_split_train_test,
     "q_drift_psi": q_drift_psi,
+    "q_prep_pipeline_full": q_prep_pipeline_full,
     "q_text_contamination": q_text_contamination,
     "q_sample_weighted": q_sample_weighted,
     "q_pack_sequences": q_pack_sequences,
@@ -338,6 +401,49 @@ _BENCH_VALUES = ", ".join(f"('{g}')" for g in BENCH_GRAMS)
 _MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in MIX_BUCKETS.items())
 
 ORACLE = {
+    "q_prep_pipeline_full": f"""
+        WITH weights(lang, keep_buckets) AS (VALUES {_MIX_VALUES}),
+        base AS (
+            SELECT doc_id, lang, source, text, md5(text) AS digest,
+                   {_TOKS} AS toks
+            FROM documents
+        ),
+        sampled AS (
+            SELECT b.* FROM base b JOIN weights w USING (lang)
+            WHERE ({_DOC_BUCKET_SQL}) < w.keep_buckets
+        ),
+        deduped AS (
+            SELECT * FROM sampled
+            QUALIFY row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1
+        ),
+        bench(g) AS (VALUES {_BENCH_VALUES}),
+        contaminated AS (
+            SELECT DISTINCT doc_id
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) - {BENCH_N - 2}),
+                              i -> array_to_string(
+                                  list_slice(toks, i, i + {BENCH_N - 1}), ' ')))
+                           AS g
+                FROM sampled WHERE len(toks) >= {BENCH_N}
+            ) x JOIN bench USING (g)
+        ),
+        clean AS (
+            SELECT * FROM deduped d
+            WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+                              WHERE c.doc_id = d.doc_id)
+        ),
+        train AS (
+            SELECT * FROM clean
+            WHERE (strpos('0123456789abcdef', substr(md5(digest), 1, 1)) - 1)
+                      * 16
+                  + strpos('0123456789abcdef', substr(md5(digest), 2, 1)) - 1
+                  < {SPLIT_TRAIN_LT}
+        )
+        SELECT lang, source, count(*) AS n_docs,
+               sum(len(toks))::BIGINT AS n_tokens
+        FROM train GROUP BY lang, source
+    """,
     "q_drift_psi": f"""
         WITH binned AS (
             SELECT floor(value / {DRIFT_BIN_W}) AS bin,

@@ -106,6 +106,7 @@ KEY_ORDER = (
     "q_ts_anomaly",
     "q_ab_wilson",
     "q_window_pareto",
+    "q_prep_pipeline_full",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
