@@ -242,8 +242,39 @@ _BUCKET_SQL = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
 )
 
+NORM_TOL = 1e-3
+
+
+def q_embed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table data quality — the checks run before ANY vector
+    index build (a mis-normalized or ragged-dim batch silently corrupts
+    cosine scores and PQ codebooks): per label, dimension uniformity,
+    L2-norm statistics, and a count of vectors off unit norm by more
+    than 1e-3. sqrt is IEEE-correctly-rounded, so norms are engine-
+    portable; all map-side until the label rollup."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm",
+        F.sqrt(
+            F.expr(
+                "aggregate(embedding, 0D,"
+                " (acc, v) -> acc + cast(v AS double) * cast(v AS double))"
+            )
+        ),
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+        F.sum(
+            (F.abs(F.col("norm") - 1) > NORM_TOL).cast("bigint")
+        ).alias("n_bad_norm"),
+    )
+
+
 QUERIES = {
     "q_sim_knn": q_sim_knn,
+    "q_embed_dq": q_embed_dq,
     "q_sim_join": q_sim_join,
     "q_sim_lsh_ann": q_sim_lsh_ann,
     "q_sim_pq_ann": q_sim_pq_ann,
@@ -253,6 +284,22 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_embed_dq": f"""
+        WITH e AS (
+            SELECT label, embedding,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                v -> v * v))) AS norm
+            FROM embeddings
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               min(len(embedding))::INT AS min_dim,
+               max(len(embedding))::INT AS max_dim,
+               round(avg(norm), 6) AS avg_norm,
+               sum(CASE WHEN abs(norm - 1) > {NORM_TOL} THEN 1 ELSE 0
+                   END)::BIGINT AS n_bad_norm
+        FROM e GROUP BY label
+    """,
     "q_sim_label_centroid": f"""
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         cent AS (

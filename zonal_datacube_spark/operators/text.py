@@ -367,9 +367,39 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law corpus check: the log-log slope of the vocabulary's
+    rank-frequency curve (natural corpora slope ≈ −1; synthetic or
+    templated text drifts flat) — the one-number sanity signature a
+    corpus gets before training. Slope and fit come from closed-form
+    least squares (covar_pop/var_pop over ln rank, ln freq) — one token
+    shuffle for counts, one vocab-sized window for ranks, a scalar
+    aggregate; rounding at 4 absorbs the unordered-sum FP noise of the
+    tiny covariance aggregate."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = toks.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log(F.col("c").cast("double")).alias("lf"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_vocab"),
+        F.round(F.covar_pop("lr", "lf") / F.var_pop("lr"), 4).alias(
+            "zipf_slope"
+        ),
+        F.round(F.corr("lr", "lf"), 4).alias("loglog_corr"),
+    )
+
+
 QUERIES = {
     "q_text_tokens": q_text_tokens,
     "q_text_lm_score": q_text_lm_score,
+    "q_text_zipf": q_text_zipf,
     "q_text_repetition": q_text_repetition,
     "q_text_prep_pipeline": q_text_prep_pipeline,
     "q_text_redact": q_text_redact,
@@ -386,6 +416,22 @@ QUERIES = {
 _TOKS = "string_split(lower(text), ' ')"
 
 ORACLE = {
+    "q_text_zipf": f"""
+        WITH toks AS (
+            SELECT tok, count(*) AS c
+            FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+            GROUP BY tok
+        ),
+        ranked AS (
+            SELECT ln(row_number() OVER (ORDER BY c DESC, tok ASC)) AS lr,
+                   ln(c) AS lf
+            FROM toks
+        )
+        SELECT count(*) AS n_vocab,
+               round(covar_pop(lr, lf) / var_pop(lr), 4) AS zipf_slope,
+               round(corr(lr, lf), 4) AS loglog_corr
+        FROM ranked
+    """,
     "q_text_lm_score": f"""
         WITH t AS (
             SELECT doc_id, {_TOKS} AS toks FROM documents

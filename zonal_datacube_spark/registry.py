@@ -107,6 +107,8 @@ KEY_ORDER = (
     "q_ab_wilson",
     "q_window_pareto",
     "q_prep_pipeline_full",
+    "q_embed_dq",
+    "q_text_zipf",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
