@@ -132,3 +132,41 @@ def test_salted_join_equals_plain_join(spark):
         .collect()
     }
     assert got == plain  # the salt routes rows, never changes the result
+
+
+def test_revenue_bridge_identity(spark):
+    """The bridge must decompose exactly: component deltas sum to the
+    total 1997-minus-1996 revenue delta per segment (the waterfall
+    identity a finance review relies on)."""
+    from zonal_datacube_spark.operators.warehouse import (
+        BRIDGE_YEAR_A,
+        BRIDGE_YEAR_B,
+        q_report_revenue_bridge,
+    )
+
+    rows = q_report_revenue_bridge(spark, SF_SMOKE).collect()
+    by_seg: dict[str, float] = {}
+    for r in rows:
+        by_seg[r.c_mktsegment] = by_seg.get(r.c_mktsegment, 0.0) + r.delta_rev
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    totals = {
+        r.c_mktsegment: r.delta
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.year("o_orderdate").isin(BRIDGE_YEAR_A, BRIDGE_YEAR_B))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.year("o_orderdate") == BRIDGE_YEAR_B,
+                        F.col("o_totalprice"),
+                    ).otherwise(-F.col("o_totalprice"))
+                ),
+                2,
+            ).alias("delta")
+        )
+        .collect()
+    }
+    for seg, total in totals.items():
+        assert abs(by_seg.get(seg, 0.0) - total) < 0.05, seg

@@ -149,14 +149,62 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: each purchase credits the user's most
+    recent preceding non-purchase event (the marketing-attribution
+    baseline); purchases with no prior touch in the stream credit
+    'direct'. One user-keyed window pass — the carry-forward
+    last(ignoreNulls) pattern, the same single-shuffle shape as the
+    as-of join; never a per-purchase range join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "last_touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("last_touch", F.lit("direct")).alias("touch"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )
+
+
 QUERIES = {
     "q_ts_time_weighted_avg": q_ts_time_weighted_avg,
+    "q_ts_attribution": q_ts_attribution,
     "q_ts_ohlc": q_ts_ohlc,
     "q_ts_transitions": q_ts_transitions,
     "q_ts_anomaly": q_ts_anomaly,
 }
 
 ORACLE = {
+    "q_ts_attribution": """
+        WITH touched AS (
+            SELECT event_type, value,
+                   last_value(CASE WHEN event_type != 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS last_touch
+            FROM events
+        )
+        SELECT coalesce(last_touch, 'direct') AS touch,
+               count(*) AS n_purchases,
+               round(sum(value), 2) AS attributed_value
+        FROM touched
+        WHERE event_type = 'purchase'
+        GROUP BY touch
+    """,
     "q_ts_anomaly": f"""
         WITH scored AS (
             SELECT event_type, value,

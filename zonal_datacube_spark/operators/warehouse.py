@@ -50,6 +50,62 @@ def daily_events_mv_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+BRIDGE_YEAR_A, BRIDGE_YEAR_B = 1996, 1997
+
+
+def q_report_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue BRIDGE (waterfall): decompose the
+    1996→1997 revenue delta per market segment into new / churned /
+    expanded / contracted customer components — the report a finance
+    review runs on every close, and an identity check by construction
+    (components sum exactly to the delta; the test pins it). One
+    customer-grain full outer self-comparison via conditional aggregation
+    (never two scans: both years come out of one grouped pass), then a
+    broadcast dim join and the segment rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.filter(F.year("o_orderdate").isin(BRIDGE_YEAR_A, BRIDGE_YEAR_B))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.year("o_orderdate") == BRIDGE_YEAR_A, F.col("o_totalprice")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("rev_a"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.year("o_orderdate") == BRIDGE_YEAR_B, F.col("o_totalprice")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("rev_b"),
+        )
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    classified = per_cust.join(
+        cust, per_cust.o_custkey == cust.c_custkey
+    ).select(
+        "c_mktsegment",
+        "rev_a",
+        "rev_b",
+        F.when((F.col("rev_a") == 0) & (F.col("rev_b") > 0), "new")
+        .when((F.col("rev_a") > 0) & (F.col("rev_b") == 0), "churned")
+        .when(F.col("rev_b") >= F.col("rev_a"), "expanded")
+        .otherwise("contracted")
+        .alias("component"),
+    )
+    return classified.groupBy("c_mktsegment", "component").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum(F.col("rev_b") - F.col("rev_a")), 2).alias("delta_rev"),
+    )
+
+
 def q_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-view rollup answering: the monthly report is computed
     from the DAILY continuous aggregate, never rescanning the base table
@@ -240,11 +296,40 @@ QUERIES = {
     "q_dq_checks": q_dq_checks,
     "q_dq_benford": q_dq_benford,
     "q_mv_rewrite": q_mv_rewrite,
+    "q_report_revenue_bridge": q_report_revenue_bridge,
 }
 
 _EVENT_TYPES_SQL = ", ".join(f"'{t}'" for t in EVENT_TYPES)
 
 ORACLE = {
+    "q_report_revenue_bridge": f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   round(sum(CASE WHEN extract(year FROM o_orderdate)
+                                       = {BRIDGE_YEAR_A}
+                                  THEN o_totalprice ELSE 0 END), 2) AS rev_a,
+                   round(sum(CASE WHEN extract(year FROM o_orderdate)
+                                       = {BRIDGE_YEAR_B}
+                                  THEN o_totalprice ELSE 0 END), 2) AS rev_b
+            FROM orders
+            WHERE extract(year FROM o_orderdate)
+                      IN ({BRIDGE_YEAR_A}, {BRIDGE_YEAR_B})
+            GROUP BY o_custkey
+        ),
+        classified AS (
+            SELECT c.c_mktsegment, p.rev_a, p.rev_b,
+                   CASE WHEN p.rev_a = 0 AND p.rev_b > 0 THEN 'new'
+                        WHEN p.rev_a > 0 AND p.rev_b = 0 THEN 'churned'
+                        WHEN p.rev_b >= p.rev_a THEN 'expanded'
+                        ELSE 'contracted' END AS component
+            FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+        )
+        SELECT c_mktsegment, component,
+               count(*) AS n_customers,
+               round(sum(rev_b - rev_a), 2) AS delta_rev
+        FROM classified
+        GROUP BY c_mktsegment, component
+    """,
     "q_dq_benford": """
         WITH counts AS (
             SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT AS d,

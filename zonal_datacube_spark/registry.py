@@ -109,6 +109,8 @@ KEY_ORDER = (
     "q_prep_pipeline_full",
     "q_embed_dq",
     "q_text_zipf",
+    "q_report_revenue_bridge",
+    "q_ts_attribution",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
