@@ -179,15 +179,76 @@ def q_ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONCURRENCY_DAYS = 30  # an order stays "open" for 30 days
+
+
+def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval CONCURRENCY via the +1/−1 sweep: treat each order as an
+    open interval [orderdate, orderdate+30d) and compute the maximum
+    number simultaneously open per priority class — the
+    occupancy/connections/active-sessions analysis. The sweep explodes
+    each interval into two delta events and takes a running sum over
+    time (ends sort before starts at the same instant, so half-open
+    adjacency never double-counts) — ONE window pass; the naive
+    formulation is an interval self-join that explodes quadratically on
+    busy periods."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderdate").alias("start_ts"),
+        F.expr(f"o_orderdate + INTERVAL {CONCURRENCY_DAYS} DAYS").alias(
+            "end_ts"
+        ),
+    )
+    deltas = orders.select(
+        "o_orderpriority", F.col("start_ts").alias("ts"), F.lit(1).alias("d")
+    ).unionByName(
+        orders.select(
+            "o_orderpriority", F.col("end_ts").alias("ts"), F.lit(-1).alias("d")
+        )
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("ts").asc(), F.col("d").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = deltas.withColumn("open_now", F.sum("d").over(w))
+    return swept.groupBy("o_orderpriority").agg(
+        F.max("open_now").alias("max_concurrent"),
+        (F.count("*") / 2).cast("bigint").alias("n_intervals"),
+    )
+
+
 QUERIES = {
     "q_ts_time_weighted_avg": q_ts_time_weighted_avg,
     "q_ts_attribution": q_ts_attribution,
+    "q_ts_concurrency": q_ts_concurrency,
     "q_ts_ohlc": q_ts_ohlc,
     "q_ts_transitions": q_ts_transitions,
     "q_ts_anomaly": q_ts_anomaly,
 }
 
 ORACLE = {
+    "q_ts_concurrency": f"""
+        WITH deltas AS (
+            SELECT o_orderpriority, o_orderdate AS ts, 1 AS d FROM orders
+            UNION ALL
+            SELECT o_orderpriority,
+                   o_orderdate + INTERVAL {CONCURRENCY_DAYS} DAY, -1
+            FROM orders
+        ),
+        swept AS (
+            SELECT o_orderpriority,
+                   sum(d) OVER (PARTITION BY o_orderpriority
+                                ORDER BY ts ASC, d ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS open_now
+            FROM deltas
+        )
+        SELECT o_orderpriority,
+               max(open_now)::BIGINT AS max_concurrent,
+               (count(*) / 2)::BIGINT AS n_intervals
+        FROM swept GROUP BY o_orderpriority
+    """,
     "q_ts_attribution": """
         WITH touched AS (
             SELECT event_type, value,

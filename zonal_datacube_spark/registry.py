@@ -111,6 +111,7 @@ KEY_ORDER = (
     "q_text_zipf",
     "q_report_revenue_bridge",
     "q_ts_attribution",
+    "q_ts_concurrency",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
