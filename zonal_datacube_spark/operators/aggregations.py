@@ -15,7 +15,7 @@ nondeterminism sits far below the rounding grain.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zonal_datacube_spark.sources.loader import load_table
@@ -88,6 +88,30 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.75, 10000).alias("price_p75"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("price_p99"),
         F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
+    )
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group with a DEFINED tie winner: engines'
+    built-in mode() breaks ties arbitrarily (engine- and order-
+    dependent), so the portable form is the explicit count + ranking —
+    highest frequency, then smallest value. Two aggregates on
+    high-cardinality keys plus an output-sized window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round("l_quantity", 2).alias("mode_qty"),
+            F.col("c").alias("n_occurrences"),
+        )
     )
 
 
@@ -191,6 +215,7 @@ QUERIES = {
     "q_agg_distinct": q_agg_distinct,
     "q_agg_approx_distinct": q_agg_approx_distinct,
     "q_agg_percentile_approx": q_agg_percentile_approx,
+    "q_agg_mode": q_agg_mode,
     "q_agg_stats": q_agg_stats,
     "q_agg_minmax_by": q_agg_minmax_by,
     "q_agg_rollup": q_agg_rollup,
@@ -200,6 +225,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_agg_mode": """
+        WITH counts AS (
+            SELECT l_returnflag, l_quantity, count(*) AS c
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT l_returnflag,
+               round(l_quantity, 2) AS mode_qty,
+               c AS n_occurrences
+        FROM counts
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY c DESC, l_quantity ASC) = 1
+    """,
     "q_agg_global": """
         SELECT count(*) AS n_rows,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -112,6 +112,7 @@ KEY_ORDER = (
     "q_report_revenue_bridge",
     "q_ts_attribution",
     "q_ts_concurrency",
+    "q_agg_mode",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
