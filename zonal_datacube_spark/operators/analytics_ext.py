@@ -543,12 +543,36 @@ def q_window_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TIES_LIMIT = 10
+
+
+def q_sort_limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FETCH FIRST n WITH TIES semantics: the top-10 order quantities
+    INCLUDING every row tied with the 10th — rank() ≤ n (row_number
+    would cut ties arbitrarily, the classic leaderboard bug). One
+    ranking window; at scale the rank window runs after a TakeOrdered-
+    style pre-filter keyed by the same order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy(F.col("l_quantity").desc())
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 2).alias("qty"),
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= TIES_LIMIT)
+        .select("l_orderkey", "l_linenumber", "qty", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 QUERIES = {
     "q_report_segment_topn": q_report_segment_topn,
     "q_er_fuzzy_block": q_er_fuzzy_block,
     "q_window_streaks": q_window_streaks,
     "q_ab_wilson": q_ab_wilson,
     "q_window_pareto": q_window_pareto,
+    "q_sort_limit_with_ties": q_sort_limit_with_ties,
     "q_window_running_distinct": q_window_running_distinct,
     "q_agg_decimal_exact": q_agg_decimal_exact,
     "q_sort_keyset_pagination": q_sort_keyset_pagination,
@@ -569,6 +593,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_sort_limit_with_ties": f"""
+        SELECT l_orderkey, l_linenumber,
+               round(l_quantity, 2) AS qty,
+               rk::INT AS rk
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   rank() OVER (ORDER BY l_quantity DESC) AS rk
+            FROM lineitem
+        )
+        WHERE rk <= {TIES_LIMIT}
+    """,
     "q_ab_wilson": f"""
         WITH users AS (
             SELECT user_id,

@@ -396,10 +396,33 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate: the fraction of vocabulary types occurring
+    exactly once (and the singleton share of total tokens) — Zipf's
+    companion number; a near-zero hapax rate on a large corpus signals
+    templated/synthetic text, a very high one signals OCR noise. One
+    token-keyed count, one scalar rollup."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.agg(
+        F.count("*").alias("n_vocab"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("n_hapax"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("double")) / F.count("*"), 6
+        ).alias("hapax_rate"),
+        F.sum("c").alias("n_tokens"),
+    )
+
+
 QUERIES = {
     "q_text_tokens": q_text_tokens,
     "q_text_lm_score": q_text_lm_score,
     "q_text_zipf": q_text_zipf,
+    "q_text_hapax": q_text_hapax,
     "q_text_repetition": q_text_repetition,
     "q_text_prep_pipeline": q_text_prep_pipeline,
     "q_text_redact": q_text_redact,
@@ -416,6 +439,19 @@ QUERIES = {
 _TOKS = "string_split(lower(text), ' ')"
 
 ORACLE = {
+    "q_text_hapax": f"""
+        WITH counts AS (
+            SELECT tok, count(*) AS c
+            FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+            GROUP BY tok
+        )
+        SELECT count(*) AS n_vocab,
+               sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+               round(sum(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+                   AS hapax_rate,
+               sum(c)::BIGINT AS n_tokens
+        FROM counts
+    """,
     "q_text_zipf": f"""
         WITH toks AS (
             SELECT tok, count(*) AS c

@@ -113,6 +113,8 @@ KEY_ORDER = (
     "q_ts_attribution",
     "q_ts_concurrency",
     "q_agg_mode",
+    "q_sort_limit_with_ties",
+    "q_text_hapax",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
