@@ -53,31 +53,12 @@ _MODULES = (
 # newly declared keys — then the rest of the contract, then extensions.
 # Keys not listed here sort after listed ones, alphabetically.
 KEY_ORDER = (
-    # §2.8 / §2.10 / q_stream_late — contract keys outside round 1's window
-    "q_dedup_near",
-    "q_dedup_exact",
-    "q_distinct_rows",
-    "q_text_tokens",
-    "q_text_tfidf",
-    "q_text_stats",
-    "q_sim_knn",
-    "q_sim_join",
-    "q_stream_late",
-    # reworked this round (persist+prefix filter; banded pair scan)
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    # §2.12 surface, upgraded from rows-only to oracle-checked
-    "q_udaf_zonal_trimmed_mean",
-    "q_udf_grouped_zscore",
-    # newly declared keys (round 2)
-    "q_media_decode_stats",
+    # FIRST: the one red row in CORRECTNESS_r02 (array-cell canonicalizer
+    # crash), fixed this round — the artifact must show it green
     "q_agg_percentile_approx",
-    "q_stream_tumbling_partitioned",
-    "q_stream_foreach_roundtrip",
-    "q_dedup_clusters",
-    # newly declared keys (round 3) — in the window so the artifact shows
-    # their first driver-green rows; the displaced tail keys already have
-    # green rows in CORRECTNESS_r01/r02
+    # round-3 keys — all 39 inside the window so each gets its first
+    # driver-green row; every key they displace already has green rows in
+    # CORRECTNESS_r01/r02
     "q_dedup_span",
     "q_text_contamination",
     "q_sample_weighted",
@@ -115,6 +96,25 @@ KEY_ORDER = (
     "q_agg_mode",
     "q_sort_limit_with_ties",
     "q_text_hapax",
+    # remaining window slots: the round-1/2 shop-window keys (all already
+    # driver-green in r01/r02), then flagship + the rest of the contract
+    "q_dedup_near",
+    "q_dedup_exact",
+    "q_distinct_rows",
+    "q_text_tokens",
+    "q_text_tfidf",
+    "q_text_stats",
+    "q_sim_knn",
+    "q_sim_join",
+    "q_stream_late",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_udaf_zonal_trimmed_mean",
+    "q_udf_grouped_zscore",
+    "q_media_decode_stats",
+    "q_stream_tumbling_partitioned",
+    "q_stream_foreach_roundtrip",
+    "q_dedup_clusters",
     # flagship + the rest of the contract, heaviest-semantics first
     "q_zonal_stats",
     "q_zonal_categorical",
