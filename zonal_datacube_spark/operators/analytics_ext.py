@@ -566,6 +566,48 @@ def q_sort_limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ABC_A, ABC_B = 0.8, 0.95  # cumulative-share class boundaries
+
+
+def q_report_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts bucketed by cumulative revenue
+    share — A carries the first 80%, B the next 15%, C the tail — the
+    assortment-management partner of the Pareto report. A part's class
+    comes from its PRECEDING cumulative share (so the crossing part
+    belongs to the class it completes); revenue rounds before ranking for
+    an engine-stable order. One rollup + one window pass, then a count
+    per class."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(parts, li.l_partkey == parts.p_partkey)
+        .groupBy("p_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("rev")
+        )
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("p_partkey").asc())
+    tot = Window.partitionBy()
+    ranked = rev.select(
+        "rev",
+        (
+            (F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("rev"))
+            / F.sum("rev").over(tot)
+        ).alias("cum_before"),
+    )
+    cls = (
+        F.when(F.col("cum_before") < ABC_A, "A")
+        .when(F.col("cum_before") < ABC_B, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("rev"), 2).alias("class_revenue"),
+    )
+
+
 QUERIES = {
     "q_report_segment_topn": q_report_segment_topn,
     "q_er_fuzzy_block": q_er_fuzzy_block,
@@ -573,6 +615,7 @@ QUERIES = {
     "q_ab_wilson": q_ab_wilson,
     "q_window_pareto": q_window_pareto,
     "q_sort_limit_with_ties": q_sort_limit_with_ties,
+    "q_report_abc_class": q_report_abc_class,
     "q_window_running_distinct": q_window_running_distinct,
     "q_agg_decimal_exact": q_agg_decimal_exact,
     "q_sort_keyset_pagination": q_sort_keyset_pagination,
@@ -593,6 +636,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_report_abc_class": f"""
+        WITH rev AS (
+            SELECT p.p_partkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS rev
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT rev,
+                   (sum(rev) OVER (ORDER BY rev DESC, p_partkey ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - rev)
+                       / sum(rev) OVER () AS cum_before
+            FROM rev
+        )
+        SELECT CASE WHEN cum_before < {ABC_A} THEN 'A'
+                    WHEN cum_before < {ABC_B} THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               count(*) AS n_parts,
+               round(sum(rev), 2) AS class_revenue
+        FROM ranked
+        GROUP BY abc_class
+    """,
     "q_sort_limit_with_ties": f"""
         SELECT l_orderkey, l_linenumber,
                round(l_quantity, 2) AS qty,

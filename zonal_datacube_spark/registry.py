@@ -96,6 +96,7 @@ KEY_ORDER = (
     "q_agg_mode",
     "q_sort_limit_with_ties",
     "q_text_hapax",
+    "q_report_abc_class",
     # remaining window slots: the round-1/2 shop-window keys (all already
     # driver-green in r01/r02), then flagship + the rest of the contract
     "q_dedup_near",
