@@ -15,6 +15,16 @@ from pyspark.sql import functions as F
 from zonal_datacube_spark.sources.loader import load_table
 
 
+def _round4_half_up(col: F.Column) -> F.Column:
+    """floor(x*1e4 + 0.5)/1e4 — HALF_UP rounding to 4dp that is
+    bit-identical in Spark and DuckDB (Spark's round() is HALF_UP but
+    DuckDB rounds doubles half-to-even; a value landing exactly on a
+    .00005 boundary would otherwise round differently and flip ranks /
+    class boundaries downstream — see ADVICE r03). Only valid for
+    non-negative inputs (revenue); floor arithmetic is exact in IEEE."""
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
 def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit cross join of two small dims (the only sane cardinality for
     a cross product — anything larger is a plan bug, see §4.3)."""
@@ -276,8 +286,8 @@ def q_report_segment_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nat, cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_mktsegment", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            _round4_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -401,33 +411,77 @@ def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAGE_SIZE = 20
 
 
+def keyset_page_after(
+    orders: DataFrame, last_price, last_key, page_size: int = PAGE_SIZE
+) -> DataFrame:
+    """API-edge keyset fetch: the page after cursor (last_price, last_key)
+    under ORDER BY price DESC, o_orderkey ASC. The cursor is CLIENT state —
+    the caller collects the previous page (O(page) rows) and passes the
+    last row's keys in; the engine never materializes more than one page.
+    The predicate is a sargable row-comparison parquet row-group stats can
+    skip on."""
+    return (
+        orders.filter(
+            (F.col("price") < F.lit(last_price))
+            | (
+                (F.col("price") == F.lit(last_price))
+                & (F.col("o_orderkey") > F.lit(last_key))
+            )
+        )
+        .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        .limit(page_size)
+    )
+
+
 def q_sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset (seek) pagination — the scale-safe replacement for
     OFFSET/LIMIT: page N is fetched with WHERE key > last_seen ORDER BY
     key LIMIT p, so the engine scans forward from the seek key instead of
     materializing and discarding N·p rows (OFFSET at 100 TB re-sorts the
     world every page). Emulated here as page 3 of orders by
-    (totalprice DESC, orderkey ASC) after two seek hops; the predicate is
-    a sargable row-comparison that parquet row-group stats can skip on.
-    The two intermediate collect()s are O(page_size) cursor state — the
-    CLIENT holds the seek key in this protocol; the engine never
-    materializes more than one page."""
+    (totalprice DESC, orderkey ASC) after two seek hops. The declared key
+    is a PURE lazy plan: each hop's cursor (the previous page's last row)
+    is derived as a one-row aggregate — min(struct(price, -key)) over the
+    page is exactly its last row under (price DESC, key ASC) — and
+    broadcast back as a cross join, so no driver round-trip happens at
+    declaration time and short/empty inputs degrade to an empty page
+    (the null cursor predicate matches nothing) instead of IndexError.
+    The client-cursor protocol itself (collect at the API edge, pass the
+    seek key back in) is `keyset_page_after` above."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.round("o_totalprice", 2).alias("price")
     )
     page = orders.orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
 
-    def after(df: DataFrame, last_price, last_key) -> DataFrame:
-        return df.filter(
-            (F.col("price") < last_price)
-            | ((F.col("price") == last_price) & (F.col("o_orderkey") > last_key))
+    def cursor_of(df: DataFrame) -> DataFrame:
+        # last row of the page under (price DESC, key ASC) == lexicographic
+        # min of struct(price, -key); null on an empty page
+        return df.agg(
+            F.min(
+                F.struct(
+                    F.col("price").alias("p"), (-F.col("o_orderkey")).alias("nk")
+                )
+            ).alias("cur")
         )
 
-    p1 = page.limit(PAGE_SIZE).collect()
-    p2_df = after(page, p1[-1].price, p1[-1].o_orderkey)
-    p2 = p2_df.limit(PAGE_SIZE).collect()
-    p3 = after(p2_df, p2[-1].price, p2[-1].o_orderkey).limit(PAGE_SIZE)
-    return p3.withColumn("page", F.lit(3))
+    def after(cur: DataFrame) -> DataFrame:
+        # re-sort after the cursor filter: a join does not preserve the
+        # input's ordering guarantee, and limit() needs one
+        return (
+            orders.crossJoin(F.broadcast(cur))
+            .filter(
+                (F.col("price") < F.col("cur.p"))
+                | (
+                    (F.col("price") == F.col("cur.p"))
+                    & (F.col("o_orderkey") > -F.col("cur.nk"))
+                )
+            )
+            .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        )
+
+    p2 = after(cursor_of(page.limit(PAGE_SIZE))).limit(PAGE_SIZE)
+    p3 = after(cursor_of(p2)).limit(PAGE_SIZE)
+    return p3.select("o_orderkey", "price").withColumn("page", F.lit(3))
 
 
 def q_window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,8 +570,8 @@ def q_window_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(parts, li.l_partkey == parts.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            _round4_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("rev")
         )
     )
@@ -583,8 +637,8 @@ def q_report_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(parts, li.l_partkey == parts.p_partkey)
         .groupBy("p_partkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            _round4_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("rev")
         )
     )
@@ -639,7 +693,7 @@ ORACLE = {
     "q_report_abc_class": f"""
         WITH rev AS (
             SELECT p.p_partkey,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS rev
+                   floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) / 10000 AS rev
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY 1
         ),
@@ -699,7 +753,7 @@ ORACLE = {
     "q_window_pareto": f"""
         WITH rev AS (
             SELECT p.p_brand, p.p_partkey,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS rev
+                   floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) / 10000 AS rev
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY 1, 2
         ),
@@ -793,7 +847,7 @@ ORACLE = {
     "q_report_segment_topn": f"""
         WITH rev AS (
             SELECT c.c_mktsegment, n.n_name,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) / 10000
                        AS revenue,
                    count(*)::BIGINT AS n_items
             FROM lineitem l

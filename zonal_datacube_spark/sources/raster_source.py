@@ -73,9 +73,15 @@ class SyntheticRasterDataSource(DataSource):
 
 
 def register_raster_source(spark) -> None:
-    """Idempotent registration (re-registering the same name is a no-op
-    error in some versions — tolerate it)."""
+    """Idempotent registration: tolerate ONLY the already-registered
+    error some Spark versions raise on re-register. Anything else (API
+    absent, bad class) re-raises here, where it is diagnosable, instead
+    of surfacing later as an unrelated 'data source not found' at read
+    time."""
     try:
         spark.dataSource.register(SyntheticRasterDataSource)
-    except Exception:
-        pass
+    except Exception as exc:
+        msg = str(exc).lower()
+        if "already" in msg and "regist" in msg:
+            return
+        raise
