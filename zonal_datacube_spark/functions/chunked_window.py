@@ -1,0 +1,94 @@
+"""Time-chunk + halo rewrite for trailing range-frame windows.
+
+Problem: ``Window.partitionBy(series_key).orderBy(ep).rangeBetween(-W, -1)``
+caps parallelism at the cardinality of ``series_key``. With an enum-like key
+(~5 event types) that is a genuine scale-killer: at 100× the data the whole
+series still lands on 5 partitions and the window becomes the job's straggler
+(VERDICT r03 §What's-wrong #1).
+
+Rewrite: bucket time into chunks of ``chunk_s`` seconds (``chunk_s ≥ W``)
+and partition the window by ``(series_key, bucket)``. A row whose trailing
+window reaches into the previous chunk still sees it because every row in
+the last ``W`` seconds of a chunk is DUPLICATED into the next chunk as a
+halo row: it participates in that chunk's frames but is dropped from the
+output after scoring. Each core row's frame multiset is then IDENTICAL to
+the direct window's — same answer — while parallelism grows with the time
+span (``n_series × n_chunks`` partitions), i.e. proportionally with data.
+
+Cost: the halo duplicates ``W / chunk_s`` of the input (100% at the minimum
+``chunk_s = W``, 10% at ``chunk_s = 10·W``) — the standard overlap-vs-
+parallelism dial of any halo exchange (the same trade stencil computations
+make). The default ``chunk_s = 4·W`` duplicates 25% of rows.
+
+Restriction: only TRAILING frames bounded by the current row
+(``rangeBetween(-W, b)`` with ``b ≤ 0``) — a following bound would need a
+leading halo too (symmetric extension, not needed by any current key).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.window import WindowSpec
+
+_B, _H = "_zds_chunk_b", "_zds_chunk_halo"
+
+
+def with_trailing_range_window(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    ep_col: str,
+    window_s: int,
+    cols: Callable[[WindowSpec], Mapping[str, Column]],
+    upper_bound: int = -1,
+    chunk_s: int | None = None,
+) -> DataFrame:
+    """df + the trailing-range-window columns produced by ``cols``, computed
+    with (part_cols…, time-chunk) partitioning and a halo exchange instead
+    of a per-series global sort.
+
+    ``cols`` receives the WindowSpec (partitioned/halo'd internally, frame
+    ``rangeBetween(-window_s, upper_bound)``) and returns
+    ``{out_name: window_column}``. ``ep_col`` must be a non-negative integer
+    epoch (seconds, millis — any unit, as long as ``window_s``/``chunk_s``
+    are in the same unit). ``upper_bound`` must be ≤ 0 (trailing frame).
+    """
+    if upper_bound > 0:
+        raise ValueError("trailing frames only: upper_bound must be <= 0")
+    chunk = int(chunk_s if chunk_s is not None else 4 * window_s)
+    if chunk < window_s:
+        raise ValueError(f"chunk_s ({chunk}) must be >= window_s ({window_s})")
+    ep = F.col(ep_col)
+    bucket = F.floor(ep / chunk)
+
+    core = df.withColumn(_B, bucket).withColumn(_H, F.lit(False))
+    # rows in the trailing `window_s` of a chunk also serve the next chunk's
+    # early frames: duplicate them there as halo rows
+    halo = (
+        df.filter(ep % chunk >= chunk - window_s)
+        .withColumn(_B, bucket + 1)
+        .withColumn(_H, F.lit(True))
+    )
+    both = core.unionByName(halo)
+
+    w = (
+        Window.partitionBy(*part_cols, _B)
+        .orderBy(ep_col)
+        .rangeBetween(-window_s, upper_bound)
+    )
+    out = both
+    for name, col in cols(w).items():
+        out = out.withColumn(name, col)
+    return out.filter(~F.col(_H)).drop(_B, _H)
+
+
+def n_chunks(df: DataFrame, ep_col: str, window_s: int, chunk_s: int | None = None) -> int:
+    """Number of time chunks the rewrite would create — the parallelism
+    multiplier over the raw series-key cardinality (test/diagnostic aid)."""
+    chunk = int(chunk_s if chunk_s is not None else 4 * window_s)
+    row = df.agg(
+        F.countDistinct(F.floor(F.col(ep_col) / chunk)).alias("n")
+    ).collect()[0]
+    return int(row.n or 0)

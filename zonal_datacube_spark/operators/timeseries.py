@@ -17,6 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from zonal_datacube_spark.functions.chunked_window import (
+    with_trailing_range_window,
+)
 from zonal_datacube_spark.sources.loader import load_table
 
 
@@ -123,23 +126,31 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection: each point scored against the
     TRAILING 6-hour window's mean/stddev (current point excluded — a
     spike must not justify itself), |z| > 3 flags — the monitoring
-    baseline every metrics pipeline starts from. One range-frame window
-    per series key; the per-type rollup keeps output compact and the
-    threshold count robust (a flag flip would need a z within FP noise
-    of 3.0 — verified empirically at both SFs on this fixture)."""
+    baseline every metrics pipeline starts from. The per-type rollup
+    keeps output compact and the threshold count robust (a flag flip
+    would need a z within FP noise of 3.0 — verified empirically at both
+    SFs on this fixture).
+
+    The range-frame window runs through the time-chunk+halo rewrite
+    (functions/chunked_window.py): event_type has ~5 distinct values, so
+    a plain partitionBy(event_type) caps the window at 5 partitions
+    forever — at 100 TB the series sort becomes the job. Chunked, the
+    window partitions on (event_type, 24h-bucket) with the trailing 6 h
+    of each chunk haloed into the next; every frame's multiset is
+    unchanged (same answer, parity-checked), parallelism grows with the
+    time span."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ep", F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ep")
-        .rangeBetween(-ANOMALY_WINDOW_S, -1)
-    )
-    scored = ev.select(
-        "event_type",
-        "value",
-        F.avg("value").over(w).alias("mu"),
-        F.stddev_samp("value").over(w).alias("sd"),
+    scored = with_trailing_range_window(
+        ev.select("event_type", "value", "ep"),
+        ["event_type"],
+        "ep",
+        ANOMALY_WINDOW_S,
+        lambda w: {
+            "mu": F.avg("value").over(w),
+            "sd": F.stddev_samp("value").over(w),
+        },
     ).filter(F.col("sd").isNotNull() & (F.col("sd") > 0))
     z = (F.col("value") - F.col("mu")) / F.col("sd")
     return scored.groupBy("event_type").agg(
