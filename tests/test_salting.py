@@ -48,3 +48,81 @@ def test_salt_really_spreads_hot_key(spark):
         cells.filter(F.col("zone_id") == 0).groupBy("salt").count().count()
     )
     assert spread == 16  # hot key present in every salt partition
+
+
+class TestSaltedPartitionWindow:
+    """Two-level salted window aggregation ≡ direct full-partition window
+    on a skewed fixture (VERDICT r03 next-round #7)."""
+
+    def test_equals_direct_window(self, spark):
+        from pyspark.sql import Window
+
+        from zonal_datacube_spark.functions.salting import (
+            salted_partition_window,
+        )
+
+        cells = _skewed(spark).withColumn(
+            "rid", F.monotonically_increasing_id()
+        )
+        w = Window.partitionBy("zone_id")
+        direct = cells.select(
+            "rid",
+            F.sum("value").over(w).alias("total"),
+            F.count("value").over(w).alias("n"),
+            F.min("value").over(w).alias("lo"),
+            F.max("value").over(w).alias("hi"),
+        )
+        salted = salted_partition_window(
+            cells,
+            ["zone_id"],
+            {
+                "total": ("sum", "value"),
+                "n": ("count", "value"),
+                "lo": ("min", "value"),
+                "hi": ("max", "value"),
+            },
+        ).select("rid", "total", "n", "lo", "hi")
+        assert direct.exceptAll(salted).count() == 0
+        assert salted.exceptAll(direct).count() == 0
+
+    def test_null_key_forms_one_partition(self, spark):
+        from pyspark.sql import Window
+
+        from zonal_datacube_spark.functions.salting import (
+            salted_partition_window,
+        )
+
+        df = spark.createDataFrame(
+            [(None, 1.0), (None, 2.0), ("a", 5.0)], "k STRING, v DOUBLE"
+        )
+        w = Window.partitionBy("k")
+        direct = df.select("k", "v", F.sum("v").over(w).alias("t"))
+        salted = salted_partition_window(df, ["k"], {"t": ("sum", "v")}).select(
+            "k", "v", "t"
+        )
+        assert direct.exceptAll(salted).count() == 0
+        assert salted.exceptAll(direct).count() == 0
+
+    def test_rejects_non_associative_op(self, spark):
+        import pytest
+
+        from zonal_datacube_spark.functions.salting import (
+            salted_partition_window,
+        )
+
+        with pytest.raises(ValueError, match="associative"):
+            salted_partition_window(
+                _skewed(spark), ["zone_id"], {"m": ("median", "value")}
+            )
+
+    def test_no_window_exec_in_plan(self, spark):
+        from zonal_datacube_spark.functions.salting import (
+            salted_partition_window,
+        )
+
+        out = salted_partition_window(
+            _skewed(spark), ["zone_id"], {"t": ("sum", "value")}
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan  # the straggler operator is gone
+        assert "BroadcastHashJoin" in plan

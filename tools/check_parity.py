@@ -14,7 +14,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from zonal_datacube_spark.compare import compare_query, duck_connect
+from zonal_datacube_spark.compare import (
+    compare_query,
+    driver_unhashable_cols,
+    duck_connect,
+)
 from zonal_datacube_spark.registry import all_oracle_sql, all_queries
 from zonal_datacube_spark.session import get_spark
 
@@ -36,8 +40,14 @@ def main() -> int:
     failures = 0
     for k in selected:
         if k not in oracle:
-            n = queries[k](spark, sf_dir).count()
-            print(f"[ROWS] {k}: {n} rows (rows-only key, no oracle)")
+            df = queries[k](spark, sf_dir)
+            bad = driver_unhashable_cols(df.schema)
+            n = df.count()
+            if bad:
+                print(f"[ERR ] {k}: driver-unhashable cols {bad} ({n} rows)")
+                failures += 1
+            else:
+                print(f"[ROWS] {k}: {n} rows (rows-only key, no oracle)")
             continue
         t0 = time.perf_counter()
         try:

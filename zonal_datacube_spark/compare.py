@@ -46,6 +46,26 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
+def driver_unhashable_cols(schema) -> list[str]:
+    """Columns the DRIVER's canonicalizer cannot value-hash: array and map
+    cells arrive in pandas as list/ndarray/dict — unhashable — and crashed
+    the r02 driver run on q_agg_percentile_approx even though this repo's
+    stringifying canonicalizer was happy. Structs are tuples (hashable)
+    unless they nest an array/map. Every declared key's RESULT schema must
+    come back empty here; checked by check_parity and tests so a
+    canonicalizer-divergence bug can never be invisible locally again."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def bad(dt) -> bool:
+        if isinstance(dt, (ArrayType, MapType)):
+            return True
+        if isinstance(dt, StructType):
+            return any(bad(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in schema.fields if bad(f.dataType)]
+
+
 @dataclass
 class CompareResult:
     key: str
@@ -70,9 +90,15 @@ def compare_query(
     oracle_sql: str,
     sf_dir: str,
 ) -> CompareResult:
-    sdf = query_fn(spark, sf_dir).toPandas()
-    odf = con.execute(oracle_sql).fetchdf()
+    result = query_fn(spark, sf_dir)
     problems: list[str] = []
+    for c in driver_unhashable_cols(result.schema):
+        problems.append(
+            f"driver-unhashable col={c}: array/map cells crash the driver's "
+            "value hash (r02 q_agg_percentile_approx regression class)"
+        )
+    sdf = result.toPandas()
+    odf = con.execute(oracle_sql).fetchdf()
 
     if len(sdf) != len(odf):
         problems.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
