@@ -1,0 +1,111 @@
+"""Behavior + plan locks for the stats_ext keys: regression aggregates,
+IQR fences, weighted median, skyline dominance, bitwise aggregates,
+symmetric difference."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from zonal_datacube_spark.operators.stats_ext import (
+    q_agg_bitwise,
+    q_agg_corr_regr,
+    q_agg_weighted_median,
+    q_dq_outlier_iqr,
+    q_set_symmetric_diff,
+    q_skyline_dominance,
+)
+from zonal_datacube_spark.plans.diagnostics import formatted_plan
+from zonal_datacube_spark.sources.loader import load_table
+
+
+def test_corr_regr_bounds(spark):
+    rows = q_agg_corr_regr(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.corr_qp <= 1.0
+        assert 0.0 <= r.r2 <= 1.0
+        # r2 of simple OLS is corr² (up to rounding noise)
+        assert abs(r.r2 - r.corr_qp**2) < 1e-4
+        # slope and covariance share their sign
+        assert (r.slope >= 0) == (r.covar_qp >= 0)
+
+
+def test_iqr_fences_ordered_and_outliers_bounded(spark):
+    rows = q_dq_outlier_iqr(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.fence_lo <= r.q1 <= r.q3 <= r.fence_hi
+        assert 0 <= r.n_outliers < r.n_rows
+
+
+def test_weighted_median_is_weight_midpoint(spark):
+    """The weighted median must be a real data value with cumulative
+    weight straddling half the total."""
+    rows = {r.l_returnflag: r for r in q_agg_weighted_median(spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    for flag, r in rows.items():
+        below, at, total = (
+            li.filter(F.col("l_returnflag") == flag)
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("l_extendedprice") < r.w_median, F.col("l_quantity")
+                    ).otherwise(F.lit(0))
+                ),
+                F.sum(
+                    F.when(
+                        F.col("l_extendedprice") == r.w_median, F.col("l_quantity")
+                    ).otherwise(F.lit(0))
+                ),
+                F.sum("l_quantity"),
+            )
+            .collect()[0]
+        )
+        assert at > 0, "median must be an actual data value"
+        assert below * 2 < total or below == 0
+        assert (below + at) * 2 >= total
+
+
+def test_skyline_is_mutually_nondominated_and_maximal(spark):
+    sky = q_skyline_dominance(spark, SF_SMOKE).collect()
+    assert sky
+    # pairwise non-domination within the skyline
+    for a in sky:
+        for b in sky:
+            if a.p_partkey == b.p_partkey:
+                continue
+            dominates = (
+                a.p_retailprice <= b.p_retailprice
+                and a.p_size >= b.p_size
+                and (a.p_retailprice < b.p_retailprice or a.p_size > b.p_size)
+            )
+            assert not dominates
+    # no excluded part dominates a skyline member (maximality spot check:
+    # the cheapest part overall is always on the skyline)
+    part = load_table(spark, SF_SMOKE, "part")
+    min_price = part.agg(F.min("p_retailprice")).collect()[0][0]
+    assert any(r.p_retailprice == min_price for r in sky)
+
+
+def test_skyline_plan_has_no_quadratic_join(spark):
+    plan = formatted_plan(q_skyline_dominance(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bitwise_identities(spark):
+    rows = q_agg_bitwise(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # AND result bits are a subset of OR result bits
+        assert r.key_and & r.key_or == r.key_and
+        assert r.key_xor & ~r.key_or == 0
+
+
+def test_symmetric_diff_sides_disjoint(spark):
+    rows = q_set_symmetric_diff(spark, SF_SMOKE).collect()
+    a = {r.o_custkey for r in rows if r.side.endswith("1996")}
+    b = {r.o_custkey for r in rows if r.side.endswith("1997")}
+    assert a or b
+    assert not (a & b)

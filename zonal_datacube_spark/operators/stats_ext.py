@@ -1,0 +1,310 @@
+"""Statistical analytics extensions (SURVEY.md §2.14 cont.): bivariate
+statistics (corr / covariance / OLS regression aggregates), IQR outlier
+fences, weighted median, 2-D skyline (Pareto-dominance) selection, and
+bitwise aggregates — the remaining "stats SQL" surface a warehouse user
+expects beyond plain avg/stddev.
+
+Determinism: bivariate moments and fences round at 6 (both engines
+aggregate doubles in different orders; 1e-6 absorbs the reassociation
+noise exactly as q_agg_stats does); median / skyline outputs are actual
+data values picked by a total order, so they compare exactly; bitwise
+aggregates are integer-exact.
+
+Scale notes (100 TB):
+- corr/regr/IQR are single groupBy aggregates — partial (map-side)
+  combine, one shuffle on the group key, output group-sized.
+- weighted median and skyline first collapse the fact table to one row
+  per (key, value-point) — the residual ordered pass runs over the
+  DISTINCT VALUE table, which is domain-bounded (price points), not
+  row-bounded; that table is orders of magnitude smaller than the fact
+  input and is the same shape every exact-median engine must sort.
+- the skyline uses the sort-based sweep (one running max over the
+  price-ordered distinct table), NOT the quadratic NOT-EXISTS self-join
+  the oracle cross-checks it against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.sources.loader import load_table
+
+
+def q_agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson correlation, sample
+    covariance, and the OLS regression line (slope / intercept / R²) of
+    extended price on quantity — the in-database regression surface
+    (SQL:2003 REGR_* family). One partial-aggregable groupBy; every
+    moment is a sum, so the map-side combine does almost all the work."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "covar_qp"
+        ),
+        F.round(
+            F.expr("regr_slope(l_extendedprice, l_quantity)"), 6
+        ).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 6
+        ).alias("intercept"),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias(
+            "r2"
+        ),
+    )
+
+
+IQR_K = 1.5
+
+
+def q_dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier screen per return flag: exact q1/q3 via the
+    interpolating percentile, fences at q1−1.5·IQR / q3+1.5·IQR, and the
+    count of points outside — the boxplot rule every DQ monitor ships.
+    Two passes over one shuffle key: the percentile aggregate, then a
+    broadcast of the 3-row fence table back onto the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    fences = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+    fenced = fences.select(
+        "l_returnflag",
+        "q1",
+        "q3",
+        (F.col("q1") - IQR_K * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + IQR_K * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        li.join(F.broadcast(fenced), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.first("q1"), 6).alias("q1"),
+            F.round(F.first("q3"), 6).alias("q3"),
+            F.round(F.first("lo"), 6).alias("fence_lo"),
+            F.round(F.first("hi"), 6).alias("fence_hi"),
+            F.sum(
+                (
+                    (F.col("l_extendedprice") < F.col("lo"))
+                    | (F.col("l_extendedprice") > F.col("hi"))
+                ).cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the smallest extended price whose cumulative
+    quantity weight reaches half the group's total — the
+    inventory-valuation / fair-price statistic plain ``median`` cannot
+    express. The fact table first collapses to one row per (flag, price)
+    with its summed weight (one shuffle, partial agg); the cumulative
+    sweep then runs over that domain-bounded distinct-price table. The
+    picked value is an actual data point, so engines compare exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_price = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum("l_quantity").alias("w")
+    )
+    cw = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tw = Window.partitionBy("l_returnflag")
+    swept = per_price.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(cw).alias("cum_w"),
+        F.sum("w").over(tw).alias("tot_w"),
+    )
+    return (
+        swept.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("w_median"),
+            F.round(F.first("tot_w"), 2).alias("total_weight"),
+        )
+    )
+
+
+def q_skyline_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto-optimal set) over parts: minimize retail
+    price, maximize size — a part survives iff no other part is at most
+    as expensive AND at least as large with one strict. Implemented as
+    the sort-based sweep: collapse to one row per price with the max
+    size at that price (one shuffle), take the running max of size over
+    STRICTLY cheaper prices on the distinct-price table, keep rows whose
+    size beats it and equals their own price-point max. O(n) + a
+    domain-bounded ordered pass — the oracle cross-checks it against the
+    independent quadratic NOT-EXISTS definition."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    price_max = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("pmax")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = price_max.select(
+        "p_retailprice",
+        "pmax",
+        F.max("pmax").over(w).alias("m_strict"),
+    ).filter(
+        F.col("m_strict").isNull() | (F.col("m_strict") < F.col("pmax"))
+    )
+    return (
+        part.join(
+            F.broadcast(frontier), "p_retailprice"
+        )
+        .filter(F.col("p_size") == F.col("pmax"))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates per order priority: BIT_AND / BIT_OR / BIT_XOR
+    of the order keys — permission-mask folding and parity checksums in
+    SQL. Integer-exact and fully partial-aggregable (all three are
+    commutative monoids), so the shuffle carries 5 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("bit_and(o_orderkey)").alias("key_and"),
+        F.expr("bit_or(o_orderkey)").alias("key_or"),
+        F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+    )
+
+
+SYMDIFF_YEAR_A = 1996
+SYMDIFF_YEAR_B = 1997
+
+
+def q_set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference: customers who ordered in 1996 XOR 1997,
+    tagged with the side they belong to — churn/acquisition framing of
+    EXCEPT. Each side is a year-filtered DISTINCT projection (pushed
+    scan filter); the XOR composes two EXCEPTs, each a partial-agg
+    shuffle on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a, b = year_keys(SYMDIFF_YEAR_A), year_keys(SYMDIFF_YEAR_B)
+    return a.exceptAll(b).select(
+        "o_custkey", F.lit(f"only_{SYMDIFF_YEAR_A}").alias("side")
+    ).unionByName(
+        b.exceptAll(a).select(
+            "o_custkey", F.lit(f"only_{SYMDIFF_YEAR_B}").alias("side")
+        )
+    )
+
+
+QUERIES = {
+    "q_agg_corr_regr": q_agg_corr_regr,
+    "q_dq_outlier_iqr": q_dq_outlier_iqr,
+    "q_agg_weighted_median": q_agg_weighted_median,
+    "q_skyline_dominance": q_skyline_dominance,
+    "q_agg_bitwise": q_agg_bitwise,
+    "q_set_symmetric_diff": q_set_symmetric_diff,
+}
+
+ORACLE = {
+    "q_agg_corr_regr": """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+               round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
+               round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 6)
+                   AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_dq_outlier_iqr": f"""
+        WITH fences AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.25) AS q1,
+                   quantile_cont(l_extendedprice, 0.75) AS q3
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        fenced AS (
+            SELECT l_returnflag, q1, q3,
+                   q1 - {IQR_K} * (q3 - q1) AS lo,
+                   q3 + {IQR_K} * (q3 - q1) AS hi
+            FROM fences
+        )
+        SELECT li.l_returnflag,
+               count(*) AS n_rows,
+               round(any_value(q1), 6) AS q1,
+               round(any_value(q3), 6) AS q3,
+               round(any_value(lo), 6) AS fence_lo,
+               round(any_value(hi), 6) AS fence_hi,
+               sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        FROM lineitem li JOIN fenced f USING (l_returnflag)
+        GROUP BY li.l_returnflag
+    """,
+    "q_agg_weighted_median": """
+        WITH per_price AS (
+            SELECT l_returnflag, l_extendedprice,
+                   sum(l_quantity) AS w
+            FROM lineitem GROUP BY l_returnflag, l_extendedprice
+        ),
+        swept AS (
+            SELECT l_returnflag, l_extendedprice,
+                   sum(w) OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum_w,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tot_w
+            FROM per_price
+        )
+        SELECT l_returnflag,
+               min(l_extendedprice) AS w_median,
+               round(any_value(tot_w), 2) AS total_weight
+        FROM swept WHERE cum_w * 2 >= tot_w
+        GROUP BY l_returnflag
+    """,
+    # Independent quadratic definition — NOT the sweep the engine runs.
+    "q_skyline_dominance": """
+        SELECT p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size)
+        )
+    """,
+    "q_agg_bitwise": """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               bit_and(o_orderkey) AS key_and,
+               bit_or(o_orderkey) AS key_or,
+               bit_xor(o_orderkey) AS key_xor
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_set_symmetric_diff": f"""
+        WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE year(o_orderdate) = {SYMDIFF_YEAR_A}),
+             b AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE year(o_orderdate) = {SYMDIFF_YEAR_B})
+        SELECT o_custkey, 'only_{SYMDIFF_YEAR_A}' AS side
+        FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        UNION ALL
+        SELECT o_custkey, 'only_{SYMDIFF_YEAR_B}' AS side
+        FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+    """,
+}

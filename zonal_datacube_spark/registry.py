@@ -42,6 +42,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.warehouse",
     "zonal_datacube_spark.operators.pipeline_ext",
     "zonal_datacube_spark.operators.timeseries",
+    "zonal_datacube_spark.operators.stats_ext",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
@@ -64,6 +65,13 @@ KEY_ORDER = (
     "q_report_abc_class",
     "q_report_segment_topn",
     "q_mv_rewrite",
+    # newly declared in round 4 — each needs its first driver-green row
+    "q_agg_corr_regr",
+    "q_dq_outlier_iqr",
+    "q_agg_weighted_median",
+    "q_skyline_dominance",
+    "q_agg_bitwise",
+    "q_set_symmetric_diff",
     # q_dedup_simhash must stay inside the 50-entry window (round-1 blind
     # spot list, tests/test_registry_bench.py) — the round-4 block above
     # would otherwise push it to position 51
@@ -98,14 +106,10 @@ KEY_ORDER = (
     "q_prep_pipeline_full",
     "q_embed_dq",
     "q_text_zipf",
-    "q_report_revenue_bridge",
-    "q_ts_attribution",
-    "q_ts_concurrency",
-    "q_agg_mode",
-    "q_sort_limit_with_ties",
-    "q_text_hapax",
-    # remaining window slots: the round-1/2 shop-window keys (all already
-    # driver-green in r01/r02), then flagship + the rest of the contract
+    # remaining window slots: the round-1 blind-spot keys (must stay in
+    # the top 50 — tests/test_registry_bench.py), then the r03 keys the
+    # round-4 additions displaced (all driver-green in r03), then
+    # flagship + the rest of the contract
     "q_dedup_near",
     "q_dedup_exact",
     "q_distinct_rows",
@@ -115,6 +119,14 @@ KEY_ORDER = (
     "q_sim_knn",
     "q_stream_late",
     "q_dedup_minhash",
+    # r03 keys displaced from the window by the round-4 additions —
+    # each already has a driver-green row in CORRECTNESS_r03.json
+    "q_report_revenue_bridge",
+    "q_ts_attribution",
+    "q_ts_concurrency",
+    "q_agg_mode",
+    "q_sort_limit_with_ties",
+    "q_text_hapax",
     "q_udaf_zonal_trimmed_mean",
     "q_udf_grouped_zscore",
     "q_media_decode_stats",
