@@ -111,7 +111,101 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_graph_pagerank": q_graph_pagerank}
+TRIANGLE_PRIORITY = "1-URGENT"
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient on the
+    co-purchase graph (parts are adjacent iff they share an urgent
+    order). Uses the degree-ordered orientation (the MapReduce
+    triangle-counting arrangement of Suri & Vassilvitskii, WWW'11):
+    every edge is directed from its (degree, id)-smaller endpoint to
+    the larger, so each triangle is counted EXACTLY once and — the
+    scale property — every node's out-degree is O(sqrt(E)), bounding
+    the wedge join at E^{3/2} regardless of skew; a celebrity node with
+    10^6 neighbors contributes no wedges because its edges all point
+    INTO it. Wedges (u→v, u→w) then hash-join against the oriented
+    edge set. The oracle cross-checks via the independent plain
+    a<b<c triple-join definition.
+
+    Edge building is per-basket pair expansion — bounded by basket
+    size (≤7 items here); at 100 TB, heavy baskets get capped or
+    frequency-pruned before pairing (the standard market-basket
+    guard)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == TRIANGLE_PRIORITY
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "o_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("deg_u") < F.col("deg_v"))
+                | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select("e.s", "e.d")
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.s") == F.col("e2.s"))
+        .filter(F.col("e1.d") < F.col("e2.d"))
+        .select(F.col("e1.d").alias("x"), F.col("e2.d").alias("y"))
+    )
+    # close the wedge: the third edge may be oriented either way
+    closer = oriented.select(
+        F.least("s", "d").alias("x"), F.greatest("s", "d").alias("y")
+    )
+    tri = wedges.join(
+        closer, ["x", "y"]
+    ).agg(F.count("*").alias("n_triangles"))
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.round(3 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "clustering"
+        ),
+    )
+
+
+QUERIES = {
+    "q_graph_pagerank": q_graph_pagerank,
+    "q_graph_triangles": q_graph_triangles,
+}
 
 _EDGES_SQL = """
         edges AS (
@@ -164,4 +258,43 @@ def _pagerank_oracle() -> str:
     return sql
 
 
-ORACLE = {"q_graph_pagerank": _pagerank_oracle()}
+_TRIANGLE_ORACLE = f"""
+    WITH items AS (
+        SELECT DISTINCT o.o_orderkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '{TRIANGLE_PRIORITY}'
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.o_orderkey = b.o_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, count(*)::BIGINT AS deg
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v FROM edges)
+        GROUP BY node
+    ),
+    tri AS (
+        -- independent definition: plain ordered triple-join, no
+        -- degree orientation
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    stats AS (
+        SELECT count(*)::BIGINT AS n_nodes,
+               (sum(deg) / 2)::BIGINT AS n_edges,
+               sum(deg * (deg - 1) / 2)::BIGINT AS n_wedges
+        FROM deg
+    )
+    SELECT n_nodes, n_edges, n_triangles,
+           round(3.0 * n_triangles / n_wedges, 6) AS clustering
+    FROM stats, tri
+"""
+
+ORACLE = {
+    "q_graph_pagerank": _pagerank_oracle(),
+    "q_graph_triangles": _TRIANGLE_ORACLE,
+}

@@ -286,8 +286,53 @@ def q_cache_inmemory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_REGION = "ASIA"
+BLOOM_M_BITS = 1 << 14
+BLOOM_K = 3
+
+
+def q_join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join: revenue per nation for lineitems
+    supplied from one region. The supplier-key set is folded into a
+    2 KB broadcast Bloom bitset (functions/bloom.py); the fact scan
+    tests membership MAP-SIDE (whole-stage-codegen bit probes — no
+    join, no Python) and only surviving candidates enter the exact
+    join that removes false positives. At 100 TB this is the pattern
+    for semi-joins whose build side outgrows broadcast: the bitset
+    always fits, and the probe-side shuffle carries candidates, not
+    the whole fact table. Exactness is restored by the trailing exact
+    join — Bloom filters have no false negatives, so no qualifying row
+    is ever dropped."""
+    from zonal_datacube_spark.functions.bloom import build_bloom, might_contain
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == BLOOM_REGION)
+        .select("s_suppkey", "n_name")
+    )
+    words = build_bloom(supp, "s_suppkey", BLOOM_M_BITS, BLOOM_K)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        might_contain(F.col("l_suppkey"), words, BLOOM_M_BITS, BLOOM_K)
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
     "q_join_null_safe": q_join_null_safe,
+    "q_join_bloom_semi": q_join_bloom_semi,
     "q_cache_inmemory": q_cache_inmemory,
     "q_join_inner_hash": q_join_inner_hash,
     "q_join_broadcast": q_join_broadcast,
@@ -307,6 +352,17 @@ _NULLSAFE_VALUES = ", ".join(
 )
 
 ORACLE = {
+    "q_join_bloom_semi": f"""
+        SELECT n_name,
+               count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{BLOOM_REGION}'
+        GROUP BY n_name
+    """,
     "q_join_null_safe": f"""
         WITH counts AS (
             SELECT nullif(o_orderpriority, '1-URGENT') AS pk,

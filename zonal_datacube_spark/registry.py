@@ -72,6 +72,8 @@ KEY_ORDER = (
     "q_skyline_dominance",
     "q_agg_bitwise",
     "q_set_symmetric_diff",
+    "q_join_bloom_semi",
+    "q_graph_triangles",
     # q_dedup_simhash must stay inside the 50-entry window (round-1 blind
     # spot list, tests/test_registry_bench.py) — the round-4 block above
     # would otherwise push it to position 51
@@ -104,8 +106,6 @@ KEY_ORDER = (
     "q_dq_benford",
     "q_ab_wilson",
     "q_prep_pipeline_full",
-    "q_embed_dq",
-    "q_text_zipf",
     # remaining window slots: the round-1 blind-spot keys (must stay in
     # the top 50 — tests/test_registry_bench.py), then the r03 keys the
     # round-4 additions displaced (all driver-green in r03), then
@@ -121,6 +121,8 @@ KEY_ORDER = (
     "q_dedup_minhash",
     # r03 keys displaced from the window by the round-4 additions —
     # each already has a driver-green row in CORRECTNESS_r03.json
+    "q_embed_dq",
+    "q_text_zipf",
     "q_report_revenue_bridge",
     "q_ts_attribution",
     "q_ts_concurrency",
