@@ -1,0 +1,65 @@
+"""Differential tests: q_ts_ewma vs a numpy reference of the truncated
+adjusted EWMA, and q_ts_resample_interp vs np.interp on the hourly grid."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_SMOKE
+from zonal_datacube_spark.operators.timeseries import (
+    EWMA_SPAN,
+    q_ts_ewma,
+    q_ts_resample_interp,
+)
+
+
+def _events_pdf() -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT event_type, ts::TIMESTAMP AS ts, event_id, value "
+        f"FROM '{SF_SMOKE}/events.parquet' ORDER BY event_type, ts, event_id"
+    ).df()
+    con.close()
+    return pdf
+
+
+def test_ewma_matches_numpy_reference(spark):
+    got = {r.event_type: r for r in q_ts_ewma(spark, SF_SMOKE).collect()}
+    pdf = _events_pdf()
+    for etype, g in pdf.groupby("event_type"):
+        vals = g["value"].to_numpy()[-EWMA_SPAN:]
+        length = len(vals)
+        w = 0.5 ** (length - 1 - np.arange(length))
+        ref = float((vals * w).sum() / (2.0 - 0.5 ** (length - 1)))
+        assert got[etype].n_window == length
+        assert abs(got[etype].ewma_last - ref) < 1e-6
+        # EWMA is a convex combination up to the truncated tail
+        assert vals.min() - 1e-9 <= got[etype].ewma_last <= vals.max() + 1e-9
+
+
+def test_resample_matches_numpy_interp(spark):
+    got = {
+        r.event_type: r for r in q_ts_resample_interp(spark, SF_SMOKE).collect()
+    }
+    pdf = _events_pdf()
+    for etype, g in pdf.groupby("event_type"):
+        t = (
+            g["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        )  # ns → µs regardless of the frame's native resolution
+        v = g["value"].to_numpy()
+        mn, mx = t.min(), t.max()
+        start = pd.Timestamp(g["ts"].min()).floor("h").value // 1000
+        grid = np.arange(start, mx + 1, 3_600_000_000)
+        grid = grid[grid >= mn]
+        # duplicate-instant observations: np.interp uses a stable pick;
+        # our engine brackets with (last prev, first next). Both agree
+        # everywhere the fixture has unique instants per series.
+        iv = np.interp(grid, t, v)
+        r = got[etype]
+        assert r.n_grid == len(grid)
+        assert abs(r.avg_interp - iv.mean()) < 1e-5
+        assert abs(r.min_interp - iv.min()) < 1e-5
+        assert abs(r.max_interp - iv.max()) < 1e-5

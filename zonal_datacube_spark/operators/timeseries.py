@@ -229,8 +229,146 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_SPAN = 40  # truncated-window length; 0.5^40 ≈ 9e-13 ≪ the 1e-6 rounding
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (half-life = 1 tick,
+    recursive form s_t = ½·x_t + ½·s_{t-1}) truncated at 40 lags —
+    beyond that the weights (0.5^40 ≈ 1e-12) are six orders below the
+    1e-6 output rounding, so the truncation is invisible. Reported at
+    each series' LAST point — the "current smoothed level" a monitoring
+    dashboard shows. Weights are exact powers of two and both engines
+    fold the same frame-ordered list left-to-right, so the sums agree
+    to the last bits and round(…, 6) is pure formatting.
+
+    Scale: one window shuffle on the series key ordered by time; the
+    frame is 40 rows, so state per row is O(span). For enum-cardinality
+    series keys at 100 TB, route through the time-chunk+halo rewrite
+    with a 40-row halo exactly as q_ts_anomaly does for its range
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_SPAN - 1), 0)
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    smoothed = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.collect_list("value").over(w).alias("vals"),
+    ).withColumn(
+        "ewma",
+        F.expr(
+            "aggregate(transform(vals, (x, i) ->"
+            "  x * power(0.5, size(vals) - 1 - i)),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+            " / (2.0 - power(0.5, size(vals) - 1))"
+        ),
+    )
+    return (
+        smoothed.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.size("vals").alias("n_window"),
+            F.round("ewma", 6).alias("ewma_last"),
+        )
+    )
+
+
+def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling: each series re-sampled onto an
+    hourly grid, every grid instant valued by interpolating its
+    bracketing observations — the irregular→regular conversion feature
+    stores and downsampling pipelines need (gap-fill zero-fills; this
+    interpolates). The spine generates DISTRIBUTED (per-series
+    sequence + explode, no driver calendar); observations and grid
+    points merge into ONE series-keyed sort where carry-forward /
+    carry-backward windows attach the bracketing (ts, value) pairs to
+    every grid row — never a per-grid-point range join. Interpolation
+    runs in epoch-microsecond arithmetic, identical in both engines.
+    Output rolls up per series to stay compact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    spine = (
+        ev.groupBy("event_type")
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr(
+                    "sequence(date_trunc('hour', mn), mx,"
+                    " INTERVAL 1 HOUR)"
+                )
+            ).alias("ts"),
+            "mn",
+        )
+        .filter(F.col("ts") >= F.col("mn"))
+        .select("event_type", "ts", F.lit(1).alias("is_grid"))
+    )
+    merged = ev.select(
+        "event_type", "ts", "value", F.lit(0).alias("is_grid")
+    ).unionByName(spine.withColumn("value", F.lit(None).cast("double")))
+    # grid rows sort BEFORE a same-instant observation (is_grid desc with
+    # asc ts): prev excludes it, next includes it → exact hits resolve
+    # through the nt == gts branch.
+    w = Window.partitionBy("event_type").orderBy(
+        "ts", F.col("is_grid").desc()
+    )
+    obs_ts = F.when(F.col("is_grid") == 0, F.col("ts"))
+    obs_val = F.when(F.col("is_grid") == 0, F.col("value"))
+    bracketed = (
+        merged.select(
+            "event_type",
+            "ts",
+            "is_grid",
+            F.last(obs_ts, ignorenulls=True)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("pt"),
+            F.last(obs_val, ignorenulls=True)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("pv"),
+            F.first(obs_ts, ignorenulls=True)
+            .over(w.rowsBetween(0, Window.unboundedFollowing))
+            .alias("nt"),
+            F.first(obs_val, ignorenulls=True)
+            .over(w.rowsBetween(0, Window.unboundedFollowing))
+            .alias("nv"),
+        )
+        .filter((F.col("is_grid") == 1) & F.col("nt").isNotNull())
+    )
+    us = lambda c: F.expr(  # noqa: E731
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+    )
+    interp = bracketed.select(
+        "event_type",
+        F.when(us("nt") == us("ts"), F.col("nv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (us("ts") - us("pt"))
+            / (us("nt") - us("pt"))
+        )
+        .alias("iv"),
+    )
+    return interp.groupBy("event_type").agg(
+        F.count("*").alias("n_grid"),
+        F.round(F.avg("iv"), 6).alias("avg_interp"),
+        F.round(F.min("iv"), 6).alias("min_interp"),
+        F.round(F.max("iv"), 6).alias("max_interp"),
+    )
+
+
 QUERIES = {
     "q_ts_time_weighted_avg": q_ts_time_weighted_avg,
+    "q_ts_ewma": q_ts_ewma,
+    "q_ts_resample_interp": q_ts_resample_interp,
     "q_ts_attribution": q_ts_attribution,
     "q_ts_concurrency": q_ts_concurrency,
     "q_ts_ohlc": q_ts_ohlc,
@@ -239,6 +377,91 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_ts_ewma": f"""
+        WITH smoothed AS (
+            SELECT event_type, ts, event_id,
+                   list(value) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING
+                                           AND CURRENT ROW) AS vals
+            FROM events
+        ),
+        scored AS (
+            SELECT event_type, ts, event_id,
+                   len(vals) AS n_window,
+                   list_sum(list_transform(vals,
+                       (x, i) -> x * power(0.5, len(vals) - i)))
+                   / (2.0 - power(0.5, len(vals) - 1)) AS ewma,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM smoothed
+        )
+        SELECT event_type, n_window::INT AS n_window,
+               round(ewma, 6) AS ewma_last
+        FROM scored WHERE rn = 1
+    """,
+    "q_ts_resample_interp": """
+        WITH bounds AS (
+            SELECT event_type, min(ts) AS mn, max(ts) AS mx
+            FROM events GROUP BY event_type
+        ),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(date_trunc('hour', mn), mx,
+                                          INTERVAL 1 HOUR)) AS ts,
+                   mn
+            FROM bounds
+        ),
+        merged AS (
+            SELECT event_type, ts, value, 0 AS is_grid FROM events
+            UNION ALL
+            SELECT event_type, ts, NULL, 1 FROM spine WHERE ts >= mn
+        ),
+        bracketed AS (
+            SELECT event_type, ts, is_grid,
+                   last_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY event_type
+                             ORDER BY ts, is_grid DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS pt,
+                   last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+                       OVER (PARTITION BY event_type
+                             ORDER BY ts, is_grid DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS pv,
+                   first_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY event_type
+                             ORDER BY ts, is_grid DESC
+                             ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING) AS nt,
+                   first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+                       OVER (PARTITION BY event_type
+                             ORDER BY ts, is_grid DESC
+                             ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING) AS nv
+            FROM merged
+        ),
+        interp AS (
+            SELECT event_type,
+                   CASE WHEN date_diff('microsecond',
+                                       TIMESTAMP '1970-01-01 00:00:00', nt)
+                             = date_diff('microsecond',
+                                         TIMESTAMP '1970-01-01 00:00:00', ts)
+                        THEN nv
+                        ELSE pv + (nv - pv)
+                             * (date_diff('microsecond', pt, ts))
+                             / (date_diff('microsecond', pt, nt))
+                   END AS iv
+            FROM bracketed
+            WHERE is_grid = 1 AND nt IS NOT NULL
+        )
+        SELECT event_type,
+               count(*) AS n_grid,
+               round(avg(iv), 6) AS avg_interp,
+               round(min(iv), 6) AS min_interp,
+               round(max(iv), 6) AS max_interp
+        FROM interp GROUP BY event_type
+    """,
     "q_ts_concurrency": f"""
         WITH deltas AS (
             SELECT o_orderpriority, o_orderdate AS ts, 1 AS d FROM orders

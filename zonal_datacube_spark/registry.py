@@ -74,6 +74,8 @@ KEY_ORDER = (
     "q_set_symmetric_diff",
     "q_join_bloom_semi",
     "q_graph_triangles",
+    "q_ts_ewma",
+    "q_ts_resample_interp",
     # q_dedup_simhash must stay inside the 50-entry window (round-1 blind
     # spot list, tests/test_registry_bench.py) — the round-4 block above
     # would otherwise push it to position 51
@@ -103,8 +105,6 @@ KEY_ORDER = (
     "q_ts_time_weighted_avg",
     "q_ts_ohlc",
     "q_ts_transitions",
-    "q_dq_benford",
-    "q_ab_wilson",
     "q_prep_pipeline_full",
     # remaining window slots: the round-1 blind-spot keys (must stay in
     # the top 50 — tests/test_registry_bench.py), then the r03 keys the
@@ -121,6 +121,8 @@ KEY_ORDER = (
     "q_dedup_minhash",
     # r03 keys displaced from the window by the round-4 additions —
     # each already has a driver-green row in CORRECTNESS_r03.json
+    "q_dq_benford",
+    "q_ab_wilson",
     "q_embed_dq",
     "q_text_zipf",
     "q_report_revenue_bridge",
