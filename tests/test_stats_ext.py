@@ -109,3 +109,30 @@ def test_symmetric_diff_sides_disjoint(spark):
     b = {r.o_custkey for r in rows if r.side.endswith("1997")}
     assert a or b
     assert not (a & b)
+
+
+def test_lateral_topn_shape(spark):
+    from zonal_datacube_spark.operators.joins import (
+        LATERAL_TOPN,
+        q_join_lateral_topn,
+    )
+
+    rows = q_join_lateral_topn(spark, SF_SMOKE).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r.c_acctbal)
+    assert by_nation
+    for bals in by_nation.values():
+        assert 1 <= len(bals) <= LATERAL_TOPN
+        assert bals == sorted(bals, reverse=True)
+
+
+def test_overlap_jaccard_bounds(spark):
+    from zonal_datacube_spark.operators.sorts_sets import q_set_overlap_jaccard
+
+    rows = q_set_overlap_jaccard(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 < r.n_inter <= min(r.n_a, r.n_b)
+        assert 0.0 < r.jaccard <= 1.0

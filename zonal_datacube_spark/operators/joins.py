@@ -330,9 +330,38 @@ def q_join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LATERAL_TOPN = 2
+
+
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: per nation, the top-2 customers by
+    account balance, written as the SQL-standard LATERAL subquery
+    (ORDER BY … LIMIT inside the correlated derived table). Catalyst
+    decorrelates it into the same ranked-window plan as
+    q_window_topk_per_group — the point of the key is the OPERATOR
+    SURFACE: a user migrating LATERAL-heavy SQL (Postgres/DuckDB
+    idiom) runs it verbatim. Deterministic via the c_custkey
+    tie-break."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("zds_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "zds_customer"
+    )
+    return spark.sql(
+        f"""
+        SELECT n_name, c.c_name, c.c_acctbal
+        FROM zds_nation JOIN LATERAL (
+            SELECT c_name, c_acctbal FROM zds_customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT {LATERAL_TOPN}
+        ) c
+        """
+    )
+
+
 QUERIES = {
     "q_join_null_safe": q_join_null_safe,
     "q_join_bloom_semi": q_join_bloom_semi,
+    "q_join_lateral_topn": q_join_lateral_topn,
     "q_cache_inmemory": q_cache_inmemory,
     "q_join_inner_hash": q_join_inner_hash,
     "q_join_broadcast": q_join_broadcast,
@@ -352,6 +381,14 @@ _NULLSAFE_VALUES = ", ".join(
 )
 
 ORACLE = {
+    "q_join_lateral_topn": f"""
+        SELECT n_name, c.c_name, c.c_acctbal
+        FROM nation, LATERAL (
+            SELECT c_name, c_acctbal FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT {LATERAL_TOPN}
+        ) c
+    """,
     "q_join_bloom_semi": f"""
         SELECT n_name,
                count(*) AS n_items,

@@ -88,7 +88,49 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.subtract(b)
 
 
+def q_set_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: exact Jaccard similarity between the
+    user sets of every event-type pair — the segment-overlap report
+    behind campaign planning. One distinct pass builds (type, user);
+    the pair expansion self-joins ON user_id, so each user emits at
+    most C(|types|, 2) rows regardless of activity volume (no per-user
+    quadratic blowup); |A∪B| folds from the broadcast per-type totals
+    as |A|+|B|−|A∩B| — the union is never materialized."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    totals = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ta = F.broadcast(totals.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")))
+    tb = F.broadcast(totals.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")))
+    return (
+        inter.join(ta, "type_a")
+        .join(tb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 QUERIES = {
+    "q_set_overlap_jaccard": q_set_overlap_jaccard,
     "q_sort_limit": q_sort_limit,
     "q_sort_multikey": q_sort_multikey,
     "q_set_union_all": q_set_union_all,
@@ -98,6 +140,26 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_set_overlap_jaccard": """
+        WITH tu AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        totals AS (
+            SELECT event_type, count(*) AS n FROM tu GROUP BY event_type
+        ),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_inter
+            FROM tu a JOIN tu b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_inter,
+               round(n_inter * 1.0 / (ta.n + tb.n - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN totals ta ON ta.event_type = type_a
+        JOIN totals tb ON tb.event_type = type_b
+    """,
     "q_sort_limit": """
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
         FROM orders
