@@ -136,3 +136,29 @@ def test_overlap_jaccard_bounds(spark):
         assert r.type_a < r.type_b
         assert 0 < r.n_inter <= min(r.n_a, r.n_b)
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_mad_outliers_sane(spark):
+    from zonal_datacube_spark.operators.stats_ext import q_dq_outlier_mad
+
+    rows = q_dq_outlier_mad(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.mad > 0
+        assert 0 <= r.n_outliers < r.n_rows
+        # flagged points exist iff the max modified-z clears the cutoff
+        assert (r.n_outliers > 0) == (r.max_abs_mz > 3.5)
+
+
+def test_kmeans_key_partitions_all_vectors(spark):
+    from zonal_datacube_spark.operators.similarity import (
+        KMEANS_K,
+        q_embed_kmeans,
+    )
+
+    rows = q_embed_kmeans(spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= KMEANS_K
+    total = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == total
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.avg_cos <= 1.0 + 1e-9

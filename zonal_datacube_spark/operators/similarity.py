@@ -283,8 +283,59 @@ def q_embed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means clustering of the embedding table
+    (functions/kmeans.py): k=8 centroids, 3 Lloyd iterations, seeds =
+    first k vectors by vec_id (deterministic — no RNG). Declared
+    rows-only: the iterative float fixed-point has no SQL oracle, so
+    correctness is pinned by tests/test_kmeans.py (assignment optimality,
+    inertia monotonicity) plus the stable output shape here. Per
+    iteration only the k×dim centroid matrix touches the driver; the
+    assignment+update is ONE job with ONE shuffle — the canonical
+    iterative-ML arrangement on Spark, sized for any corpus. Output: one
+    row per cluster with population, dominant label, and mean cosine to
+    the centroid."""
+    from zonal_datacube_spark.functions.kmeans import assign_cells, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    dim = len(centroids.first().centroid)
+    assigned = assign_cells(emb, centroids, dim=dim)
+    sim = assigned.join(F.broadcast(centroids), "cell").withColumn(
+        "sim", _dot("embedding", "centroid")
+    )
+    label_counts = sim.groupBy("cell", "label").agg(
+        F.count("*").alias("n_label")
+    )
+    top_label = (
+        label_counts.groupBy("cell")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_label"),
+                    # deterministic tie-break: lexicographically last label
+                    F.col("label").alias("label"),
+                )
+            ).alias("_top")
+        )
+        .select("cell", F.col("_top.label").alias("top_label"))
+    )
+    per_cell = sim.groupBy("cell").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("sim"), 6).alias("avg_cos"),
+    )
+    return per_cell.join(top_label, "cell").select(
+        "cell", "n_vecs", "top_label", "avg_cos"
+    )
+
+
 QUERIES = {
     "q_sim_knn": q_sim_knn,
+    "q_embed_kmeans": q_embed_kmeans,
     "q_embed_dq": q_embed_dq,
     "q_sim_join": q_sim_join,
     "q_sim_lsh_ann": q_sim_lsh_ann,

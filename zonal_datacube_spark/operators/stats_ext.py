@@ -210,8 +210,44 @@ def q_set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_C = 0.6745  # Φ⁻¹(0.75): scales MAD to σ-equivalent units
+MAD_Z = 3.5  # Iglewicz–Hoaglin modified-z cutoff
+
+
+def q_dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen via Median Absolute Deviation: modified
+    z-score 0.6745·(x−median)/MAD with the Iglewicz–Hoaglin 3.5 cutoff —
+    the screen of choice when the data itself is contaminated (IQR and
+    stddev both move with the outliers they are supposed to catch; the
+    MAD has a 50% breakdown point). Two exact grouped percentiles over
+    the SAME shuffle key, each broadcast back onto the fact scan."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "mz", MAD_C * (F.col("value") - F.col("med")) / F.col("mad")
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.first("med"), 6).alias("median"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.sum((F.abs(F.col("mz")) > MAD_Z).cast("bigint")).alias(
+            "n_outliers"
+        ),
+        F.round(F.max(F.abs("mz")), 4).alias("max_abs_mz"),
+    )
+
+
 QUERIES = {
     "q_agg_corr_regr": q_agg_corr_regr,
+    "q_dq_outlier_mad": q_dq_outlier_mad,
     "q_dq_outlier_iqr": q_dq_outlier_iqr,
     "q_agg_weighted_median": q_agg_weighted_median,
     "q_skyline_dominance": q_skyline_dominance,
@@ -220,6 +256,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_dq_outlier_mad": f"""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        ),
+        scored AS (
+            SELECT d.event_type, d.value, d.med, md.mad,
+                   {MAD_C} * (d.value - d.med) / md.mad AS mz
+            FROM dev d JOIN mad md USING (event_type)
+        )
+        SELECT event_type,
+               count(*) AS n_rows,
+               round(any_value(med), 6) AS median,
+               round(any_value(mad), 6) AS mad,
+               sum(CASE WHEN abs(mz) > {MAD_Z} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_outliers,
+               round(max(abs(mz)), 4) AS max_abs_mz
+        FROM scored GROUP BY event_type
+    """,
     "q_agg_corr_regr": """
         SELECT l_returnflag,
                count(*) AS n_rows,
