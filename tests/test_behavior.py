@@ -81,3 +81,31 @@ def test_cohort_week_zero_is_cohort_size(spark):
         if r["week_k"] == 0:
             assert r["n_active"] == r["cohort_size"]
             assert r["retained_ppm"] == 1_000_000
+
+
+def test_diurnal_profile_indexes_average_to_one(spark):
+    from zonal_datacube_spark.operators.behavior import q_ts_diurnal_profile
+
+    rows = q_ts_diurnal_profile(spark, SF_SMOKE).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        assert 0 <= r.hour_of_day <= 23
+        assert r.seasonal_index > 0
+        by_type.setdefault(r.event_type, []).append(r)
+    for trs in by_type.values():
+        # n-weighted mean of the seasonal index is exactly 1
+        tot_n = sum(r.n for r in trs)
+        weighted = sum(r.seasonal_index * r.n for r in trs) / tot_n
+        assert abs(weighted - 1.0) < 1e-4
+
+
+def test_time_to_convert_ordering(spark):
+    from zonal_datacube_spark.operators.behavior import (
+        q_behavior_time_to_convert,
+    )
+
+    r = q_behavior_time_to_convert(spark, SF_SMOKE).collect()[0]
+    assert r.n_converted > 0
+    assert 0 <= r.median_gap_s <= r.p90_gap_s
+    assert r.avg_gap_s > 0

@@ -102,12 +102,129 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal (hour-of-day) seasonal profile: per (event_type, hour)
+    the observation count, mean value, and the seasonal index (hour mean
+    ÷ series mean) — the multiplicative-decomposition seasonal factor a
+    capacity planner reads off first. One groupBy on (type, hour); the
+    series-wide mean folds from the SAME aggregates via a window over
+    the 24-row-per-type result, so the events table is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_v"))
+    tw = Window.partitionBy("event_type")
+    return hourly.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        F.round(F.col("sum_v") / F.col("n"), 6).alias("avg_value"),
+        F.round(
+            (F.col("sum_v") / F.col("n"))
+            / (F.sum("sum_v").over(tw) / F.sum("n").over(tw)),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+CONVERT_FROM, CONVERT_TO = "view", "purchase"
+
+
+def q_behavior_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert latency: per user, the gap between the FIRST
+    'view' and the first 'purchase' AFTER it; rolled up to conversion
+    count, median / p90 latency (exact interpolated percentiles over
+    integer second gaps), and mean. One groupBy pass computes both
+    firsts via conditional min aggregates — no window, no self-join;
+    the percentile rollup runs over the user-sized conversion table."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == CONVERT_FROM, F.col("ts"))
+        ).alias("first_view")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == CONVERT_TO)
+        .join(per_user, "user_id")
+        .filter(
+            F.col("first_view").isNotNull()
+            & (F.col("ts") >= F.col("first_view"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.first("first_view").alias("first_view"),
+            F.min("ts").alias("first_purchase"),
+        )
+    )
+    # µs diff ÷ 1e6: at µs storage precision the boundary-count and
+    # interval-truncation readings coincide, so both engines agree
+    # (plain SECOND diffs diverge on sub-second components).
+    gaps = purchases.select(
+        (
+            F.expr(
+                "timestampdiff(MICROSECOND, first_view, first_purchase)"
+            )
+            / 1e6
+        ).alias("gap_s")
+    )
+    return gaps.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("median_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_gap_s"),
+        F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+    )
+
+
 QUERIES = {
+    "q_ts_diurnal_profile": q_ts_diurnal_profile,
+    "q_behavior_time_to_convert": q_behavior_time_to_convert,
     "q_funnel_conversion": q_funnel_conversion,
     "q_cohort_retention": q_cohort_retention,
 }
 
 ORACLE = {
+    "q_ts_diurnal_profile": """
+        WITH hourly AS (
+            SELECT event_type, hour(ts) AS hour_of_day,
+                   count(*) AS n, sum(value) AS sum_v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hour_of_day, n,
+               round(sum_v / n, 6) AS avg_value,
+               round((sum_v / n)
+                     / (sum(sum_v) OVER (PARTITION BY event_type)
+                        / sum(n) OVER (PARTITION BY event_type)),
+                     6) AS seasonal_index
+        FROM hourly
+    """,
+    "q_behavior_time_to_convert": f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = '{CONVERT_FROM}' THEN ts END)
+                       AS first_view
+            FROM events GROUP BY user_id
+        ),
+        purchases AS (
+            SELECT e.user_id,
+                   any_value(p.first_view) AS first_view,
+                   min(e.ts) AS first_purchase
+            FROM events e JOIN per_user p USING (user_id)
+            WHERE e.event_type = '{CONVERT_TO}'
+              AND p.first_view IS NOT NULL
+              AND e.ts >= p.first_view
+            GROUP BY e.user_id
+        ),
+        gaps AS (
+            SELECT date_diff('microsecond', first_view, first_purchase) / 1e6
+                       AS gap_s
+            FROM purchases
+        )
+        SELECT count(*) AS n_converted,
+               round(quantile_cont(gap_s, 0.5), 2) AS median_gap_s,
+               round(quantile_cont(gap_s, 0.9), 2) AS p90_gap_s,
+               round(avg(gap_s), 2) AS avg_gap_s
+        FROM gaps
+    """,
     "q_funnel_conversion": """
         WITH e1 AS (
             SELECT user_id, ts, event_type,

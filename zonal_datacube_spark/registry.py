@@ -80,6 +80,8 @@ KEY_ORDER = (
     "q_set_overlap_jaccard",
     "q_dq_outlier_mad",
     "q_embed_kmeans",
+    "q_ts_diurnal_profile",
+    "q_behavior_time_to_convert",
     # q_dedup_simhash must stay inside the 50-entry window (round-1 blind
     # spot list, tests/test_registry_bench.py) — the round-4 block above
     # would otherwise push it to position 51
@@ -101,7 +103,6 @@ KEY_ORDER = (
     "q_view_ivm_join",
     "q_text_lm_score",
     "q_split_train_test",
-    "q_agg_decimal_exact",
     "q_ts_time_weighted_avg",
     "q_ts_ohlc",
     "q_ts_transitions",
@@ -121,6 +122,7 @@ KEY_ORDER = (
     "q_dedup_minhash",
     # r03 keys displaced from the window by the round-4 additions —
     # each already has a driver-green row in CORRECTNESS_r03.json
+    "q_agg_decimal_exact",
     "q_drift_psi",
     "q_zonal_weighted",
     "q_dedup_containment",
