@@ -109,3 +109,20 @@ def test_time_to_convert_ordering(spark):
     assert r.n_converted > 0
     assert 0 <= r.median_gap_s <= r.p90_gap_s
     assert r.avg_gap_s > 0
+
+
+def test_basket_affinity_ratios_consistent(spark):
+    from zonal_datacube_spark.operators.behavior import (
+        BASKET_TOPK,
+        q_basket_affinity,
+    )
+
+    rows = q_basket_affinity(spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= BASKET_TOPK
+    counts = [r.n_ab for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert 0 < r.support <= 1
+        assert 0 < r.confidence <= 1
+        assert r.lift > 0

@@ -175,7 +175,72 @@ def q_behavior_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BASKET_TOPK = 20
+
+
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top-20 brand pairs by co-occurrence
+    with support / confidence / lift — the association-rule readout
+    behind "frequently bought together". Baskets collapse to DISTINCT
+    (order, brand) first, so the pair expansion is bounded by C(brands
+    per basket, 2), never line items²; singles totals broadcast back.
+    Ranking orders by the INTEGER pair count (tie-broken on the pair),
+    so the cut is engine-stable — ratios are display columns only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    # 1-row basket total joined in lazily — the key stays a pure plan
+    # (no eager driver action at construction time)
+    totals = F.broadcast(
+        items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    )
+    singles = items.groupBy("p_brand").agg(F.count("*").alias("n_single"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.p_brand") < F.col("b.p_brand"))
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = F.broadcast(
+        singles.select(
+            F.col("p_brand").alias("brand_a"), F.col("n_single").alias("n_a")
+        )
+    )
+    sb = F.broadcast(
+        singles.select(
+            F.col("p_brand").alias("brand_b"), F.col("n_single").alias("n_b")
+        )
+    )
+    return (
+        pairs.join(sa, "brand_a")
+        .join(sb, "brand_b")
+        .crossJoin(totals)
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "brand_a", "brand_b")
+        .limit(BASKET_TOPK)
+    )
+
+
 QUERIES = {
+    "q_basket_affinity": q_basket_affinity,
     "q_ts_diurnal_profile": q_ts_diurnal_profile,
     "q_behavior_time_to_convert": q_behavior_time_to_convert,
     "q_funnel_conversion": q_funnel_conversion,
@@ -183,6 +248,36 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_basket_affinity": f"""
+        WITH items AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        totals AS (
+            SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items
+        ),
+        singles AS (
+            SELECT p_brand, count(*) AS n_single FROM items GROUP BY p_brand
+        ),
+        pairs AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   count(*) AS n_ab
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+        )
+        SELECT brand_a, brand_b, n_ab,
+               round(n_ab * 1.0 / t.n_baskets, 6) AS support,
+               round(n_ab * 1.0 / sa.n_single, 6) AS confidence,
+               round(n_ab * 1.0 * t.n_baskets
+                     / (sa.n_single * sb.n_single), 6) AS lift
+        FROM pairs
+        JOIN singles sa ON sa.p_brand = brand_a
+        JOIN singles sb ON sb.p_brand = brand_b
+        CROSS JOIN totals t
+        ORDER BY n_ab DESC, brand_a, brand_b
+        LIMIT {BASKET_TOPK}
+    """,
     "q_ts_diurnal_profile": """
         WITH hourly AS (
             SELECT event_type, hour(ts) AS hour_of_day,

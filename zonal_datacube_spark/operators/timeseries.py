@@ -365,8 +365,40 @@ def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOVMED_ROWS = 21  # trailing window length (current row + 20 predecessors)
+
+
+def q_ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median: the exact interpolated median over each point's
+    trailing 21 observations — the robust denoiser (a median filter
+    ignores a 10-point spike that would drag any moving AVERAGE). An
+    ordered-set aggregate evaluated over a sliding ROWS frame — a
+    physically different window op from sum/avg (per-frame ranked
+    buffer, not a running accumulator). Rolled up per series to stay
+    compact; same chunk+halo advisory as q_ts_ewma for enum-cardinality
+    series keys at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MOVMED_ROWS - 1), 0)
+    )
+    scored = ev.select(
+        "event_type",
+        "value",
+        F.expr("percentile(value, 0.5)").over(w).alias("mmed"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.avg("mmed"), 6).alias("avg_moving_med"),
+        F.round(F.min("mmed"), 6).alias("min_moving_med"),
+        F.round(F.max("mmed"), 6).alias("max_moving_med"),
+    )
+
+
 QUERIES = {
     "q_ts_time_weighted_avg": q_ts_time_weighted_avg,
+    "q_ts_moving_median": q_ts_moving_median,
     "q_ts_ewma": q_ts_ewma,
     "q_ts_resample_interp": q_ts_resample_interp,
     "q_ts_attribution": q_ts_attribution,
@@ -377,6 +409,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_ts_moving_median": f"""
+        WITH scored AS (
+            SELECT event_type, value,
+                   quantile_cont(value, 0.5)
+                       OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN {MOVMED_ROWS - 1} PRECEDING
+                                   AND CURRENT ROW) AS mmed
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_points,
+               round(avg(mmed), 6) AS avg_moving_med,
+               round(min(mmed), 6) AS min_moving_med,
+               round(max(mmed), 6) AS max_moving_med
+        FROM scored GROUP BY event_type
+    """,
     "q_ts_ewma": f"""
         WITH smoothed AS (
             SELECT event_type, ts, event_id,

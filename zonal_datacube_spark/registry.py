@@ -82,6 +82,8 @@ KEY_ORDER = (
     "q_embed_kmeans",
     "q_ts_diurnal_profile",
     "q_behavior_time_to_convert",
+    "q_ts_moving_median",
+    "q_basket_affinity",
     # q_dedup_simhash must stay inside the 50-entry window (round-1 blind
     # spot list, tests/test_registry_bench.py) — the round-4 block above
     # would otherwise push it to position 51
@@ -99,9 +101,7 @@ KEY_ORDER = (
     "q_er_fuzzy_block",
     "q_window_running_distinct",
     "q_join_salted",
-    "q_scd2_pit_join",
     "q_view_ivm_join",
-    "q_text_lm_score",
     "q_split_train_test",
     "q_ts_time_weighted_avg",
     "q_ts_ohlc",
@@ -122,6 +122,8 @@ KEY_ORDER = (
     "q_dedup_minhash",
     # r03 keys displaced from the window by the round-4 additions —
     # each already has a driver-green row in CORRECTNESS_r03.json
+    "q_scd2_pit_join",
+    "q_text_lm_score",
     "q_agg_decimal_exact",
     "q_drift_psi",
     "q_zonal_weighted",
