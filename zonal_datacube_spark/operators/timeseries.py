@@ -317,28 +317,39 @@ def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(spine.withColumn("value", F.lit(None).cast("double")))
     # grid rows sort BEFORE a same-instant observation (is_grid desc with
     # asc ts): prev excludes it, next includes it → exact hits resolve
-    # through the nt == gts branch.
-    w = Window.partitionBy("event_type").orderBy(
+    # through the nt == gts branch. BOTH brackets are GROWING
+    # (UNBOUNDED PRECEDING → CURRENT ROW) frames — the forward bracket
+    # runs over the REVERSED ordering, because Spark evaluates growing
+    # frames incrementally (O(n) per partition) but recomputes
+    # CURRENT → UNBOUNDED FOLLOWING frames from scratch per row
+    # (O(n²): measured 74 s vs 1 s at sf0.1 on this very key).
+    w_asc = Window.partitionBy("event_type").orderBy(
         "ts", F.col("is_grid").desc()
+    )
+    # exact reverse of w_asc: at equal ts the observation now comes
+    # first, so a grid row's growing frame still includes it
+    w_desc = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("is_grid").asc()
     )
     obs_ts = F.when(F.col("is_grid") == 0, F.col("ts"))
     obs_val = F.when(F.col("is_grid") == 0, F.col("value"))
+    growing = (Window.unboundedPreceding, 0)
     bracketed = (
         merged.select(
             "event_type",
             "ts",
             "is_grid",
             F.last(obs_ts, ignorenulls=True)
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .over(w_asc.rowsBetween(*growing))
             .alias("pt"),
             F.last(obs_val, ignorenulls=True)
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .over(w_asc.rowsBetween(*growing))
             .alias("pv"),
-            F.first(obs_ts, ignorenulls=True)
-            .over(w.rowsBetween(0, Window.unboundedFollowing))
+            F.last(obs_ts, ignorenulls=True)
+            .over(w_desc.rowsBetween(*growing))
             .alias("nt"),
-            F.first(obs_val, ignorenulls=True)
-            .over(w.rowsBetween(0, Window.unboundedFollowing))
+            F.last(obs_val, ignorenulls=True)
+            .over(w_desc.rowsBetween(*growing))
             .alias("nv"),
         )
         .filter((F.col("is_grid") == 1) & F.col("nt").isNotNull())
