@@ -407,7 +407,37 @@ def q_view_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe FULL-PARTITION window via the two-level salted rewrite
+    (functions/salting.py:salted_partition_window): per-row share-of-type
+    total and above-half-max flags, where event_type is the canonical
+    hot-enum window key (~5 values — a plain window caps parallelism at 5
+    tasks forever; the salted form spreads each type over 16 reducers and
+    broadcasts one row per type back). Row-identical to the direct window
+    (differential-tested in tests/test_salting.py); the oracle below IS
+    the direct window, so the driver hash-checks the equivalence. Output
+    rolls up per type: population, rows above half the type max, and the
+    n-scaled Herfindahl concentration of the value mass."""
+    from zonal_datacube_spark.functions.salting import salted_partition_window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    winged = salted_partition_window(
+        ev,
+        ["event_type"],
+        {"tot": ("sum", "value"), "mx": ("max", "value")},
+    )
+    share = F.col("value") / F.col("tot")
+    return winged.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            (F.col("value") > 0.5 * F.col("mx")).cast("bigint")
+        ).alias("n_above_half_max"),
+        F.round(F.count("*") * F.sum(share * share), 6).alias("hhi_n"),
+    )
+
+
 QUERIES = {
+    "q_window_salted": q_window_salted,
     "q_agg_salted_skew": q_agg_salted_skew,
     "q_join_salted": q_join_salted,
     "q_view_ivm_join": q_view_ivm_join,
@@ -430,6 +460,23 @@ _BUCKET_SQL = (
 )
 
 ORACLE = {
+    # the DIRECT window formulation — hash-matching it proves the salted
+    # two-level rewrite is row-identical
+    "q_window_salted": """
+        WITH w AS (
+            SELECT event_type, value,
+                   sum(value) OVER (PARTITION BY event_type) AS tot,
+                   max(value) OVER (PARTITION BY event_type) AS mx
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_rows,
+               sum(CASE WHEN value > 0.5 * mx THEN 1 ELSE 0 END)::BIGINT
+                   AS n_above_half_max,
+               round(count(*) * sum((value / tot) * (value / tot)), 6)
+                   AS hhi_n
+        FROM w GROUP BY event_type
+    """,
     "q_view_ivm_join": """
         SELECT o_orderstatus,
                count(*) AS n_items,

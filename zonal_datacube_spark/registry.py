@@ -84,6 +84,7 @@ KEY_ORDER = (
     "q_behavior_time_to_convert",
     "q_ts_moving_median",
     "q_basket_affinity",
+    "q_window_salted",
     # q_dedup_simhash must stay inside the 50-entry window (round-1 blind
     # spot list, tests/test_registry_bench.py) — the round-4 block above
     # would otherwise push it to position 51
@@ -98,7 +99,6 @@ KEY_ORDER = (
     "q_sample_weighted",
     "q_pack_sequences",
     "q_embed_quantize",
-    "q_er_fuzzy_block",
     "q_window_running_distinct",
     "q_join_salted",
     "q_view_ivm_join",
@@ -122,6 +122,7 @@ KEY_ORDER = (
     "q_dedup_minhash",
     # r03 keys displaced from the window by the round-4 additions —
     # each already has a driver-green row in CORRECTNESS_r03.json
+    "q_er_fuzzy_block",
     "q_scd2_pit_join",
     "q_text_lm_score",
     "q_agg_decimal_exact",
