@@ -50,6 +50,20 @@ FAMILIES: dict[str, list[str]] = {
     "report": ["q_report_segment_topn", "q_report_abc_class"],
     "zonal": ["q_zonal_stats", "q_zonal_categorical"],
     "stream-batch": ["q_stream_tumbling", "q_stream_dedup"],
+    "stats (r4)": [
+        "q_agg_corr_regr",
+        "q_agg_weighted_median",
+        "q_dq_outlier_mad",
+        "q_skyline_dominance",
+    ],
+    "join/graph (r4)": ["q_join_bloom_semi", "q_graph_triangles"],
+    "timeseries (r4)": [
+        "q_ts_ewma",
+        "q_ts_resample_interp",
+        "q_ts_moving_median",
+    ],
+    "salted-window (r4)": ["q_window_salted"],
+    "behavior (r4)": ["q_basket_affinity", "q_set_overlap_jaccard"],
 }
 
 N_RUNS = 3  # median of 3 warm runs
