@@ -162,3 +162,37 @@ def test_kmeans_key_partitions_all_vectors(spark):
     assert sum(r.n_vecs for r in rows) == total
     for r in rows:
         assert -1.0 - 1e-9 <= r.avg_cos <= 1.0 + 1e-9
+
+
+def test_geomean_am_gm_inequality(spark):
+    from zonal_datacube_spark.operators.stats_ext import q_agg_geomean
+
+    rows = q_agg_geomean(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.geo_mean <= r.arith_mean  # AM-GM
+
+
+def test_entropy_normalized_bounds(spark):
+    from zonal_datacube_spark.operators.stats_ext import (
+        ENTROPY_BUCKETS,
+        q_agg_entropy,
+    )
+
+    rows = q_agg_entropy(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_buckets_hit <= ENTROPY_BUCKETS
+        assert 0.0 <= r.norm_entropy <= 1.0 + 1e-9
+        if r.n_buckets_hit == 1:
+            assert r.norm_entropy == 0.0
+
+
+def test_gini_bounds_and_known_cases(spark):
+    from zonal_datacube_spark.operators.stats_ext import q_agg_gini
+
+    rows = q_agg_gini(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # Gini of positive values lies in [0, 1)
+        assert 0.0 <= r.gini < 1.0

@@ -245,8 +245,100 @@ def q_dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean (and the arithmetic mean beside it) of positive
+    order totals per priority, via exp(avg(ln x)) — the log-space form
+    is the only one that partial-aggregates (a direct product overflows
+    doubles after ~300 rows). AM ≥ GM is pinned by the test; both
+    engines use IEEE ln/exp so round(…, 6) is formatting."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.exp(F.avg(F.log("o_totalprice"))), 6).alias("geo_mean"),
+        F.round(F.avg("o_totalprice"), 6).alias("arith_mean"),
+    )
+
+
+ENTROPY_BUCKETS = 16
+
+
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each series' value distribution over 16
+    equal-width buckets, normalized by log2(16) — the one-number
+    uniformity/information screen (drift monitors pair it with PSI; DQ
+    uses it to catch collapsed columns). Two aggregates over one
+    histogram shuffle; bucket edges come from broadcast per-type min/max
+    folded in the same scan's first aggregate."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bucketed = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            F.least(
+                F.lit(ENTROPY_BUCKETS - 1),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / ENTROPY_BUCKETS)
+                ).cast("int"),
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    tw = Window.partitionBy("event_type")
+    p = F.col("n") / F.sum("n").over(tw)
+    plogp = bucketed.select(
+        "event_type", "n", (-p * F.log2(p)).alias("plogp")
+    )
+    return plogp.groupBy("event_type").agg(
+        F.sum("n").alias("n_rows"),
+        F.count("*").alias("n_buckets_hit"),
+        F.round(
+            F.sum("plogp") / F.log2(F.lit(float(ENTROPY_BUCKETS))), 6
+        ).alias("norm_entropy"),
+    )
+
+
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per priority class
+    (the inequality number behind "top x% of orders carry y% of
+    revenue"), by the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    values sorted ascending. Value ties make the rank sum
+    order-invariant, so the result is engine-stable without any
+    tie-break column. One ranked window per priority + one aggregate;
+    the enum-keyed window carries the same chunk-advisory as
+    q_ts_anomaly at 100 TB (or collapse equal values first — the
+    grouped-weights form — once n ≫ distinct values)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("i"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            2 * F.sum(F.col("i") * F.col("o_totalprice"))
+            / (F.count("*") * F.sum("o_totalprice"))
+            - (F.count("*") + 1) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
 QUERIES = {
     "q_agg_corr_regr": q_agg_corr_regr,
+    "q_agg_geomean": q_agg_geomean,
+    "q_agg_entropy": q_agg_entropy,
+    "q_agg_gini": q_agg_gini,
     "q_dq_outlier_mad": q_dq_outlier_mad,
     "q_dq_outlier_iqr": q_dq_outlier_iqr,
     "q_agg_weighted_median": q_agg_weighted_median,
@@ -256,6 +348,58 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_agg_geomean": """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(exp(avg(ln(o_totalprice))), 6) AS geo_mean,
+               round(avg(o_totalprice), 6) AS arith_mean
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY o_orderpriority
+    """,
+    "q_agg_entropy": f"""
+        WITH bounds AS (
+            SELECT event_type, min(value) AS lo, max(value) AS hi
+            FROM events GROUP BY event_type
+        ),
+        bucketed AS (
+            SELECT e.event_type,
+                   least({ENTROPY_BUCKETS - 1},
+                         floor((e.value - b.lo)
+                               / ((b.hi - b.lo) / {ENTROPY_BUCKETS}))::INT)
+                       AS bucket,
+                   count(*) AS n
+            FROM events e JOIN bounds b USING (event_type)
+            GROUP BY 1, 2
+        ),
+        plogp AS (
+            SELECT event_type, n,
+                   -(n * 1.0 / sum(n) OVER (PARTITION BY event_type))
+                   * log2(n * 1.0 / sum(n) OVER (PARTITION BY event_type))
+                       AS plogp
+            FROM bucketed
+        )
+        SELECT event_type,
+               sum(n)::BIGINT AS n_rows,
+               count(*) AS n_buckets_hit,
+               round(sum(plogp) / log2({ENTROPY_BUCKETS}.0), 6)
+                   AS norm_entropy
+        FROM plogp GROUP BY event_type
+    """,
+    "q_agg_gini": """
+        WITH ranked AS (
+            SELECT o_orderpriority, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice) AS i
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(2 * sum(i * o_totalprice)
+                     / (count(*) * sum(o_totalprice))
+                     - (count(*) + 1) * 1.0 / count(*),
+                     6) AS gini
+        FROM ranked GROUP BY o_orderpriority
+    """,
     "q_dq_outlier_mad": f"""
         WITH med AS (
             SELECT event_type, quantile_cont(value, 0.5) AS med

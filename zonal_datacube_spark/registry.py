@@ -85,6 +85,9 @@ KEY_ORDER = (
     "q_ts_moving_median",
     "q_basket_affinity",
     "q_window_salted",
+    "q_agg_geomean",
+    "q_agg_entropy",
+    "q_agg_gini",
     # q_dedup_simhash must stay inside the 50-entry window (round-1 blind
     # spot list, tests/test_registry_bench.py) — the round-4 block above
     # would otherwise push it to position 51
@@ -95,8 +98,6 @@ KEY_ORDER = (
     # driver-green row; every key they displace already has green rows in
     # CORRECTNESS_r01/r02
     "q_dedup_span",
-    "q_text_contamination",
-    "q_sample_weighted",
     "q_pack_sequences",
     "q_embed_quantize",
     "q_window_running_distinct",
@@ -122,6 +123,8 @@ KEY_ORDER = (
     "q_dedup_minhash",
     # r03 keys displaced from the window by the round-4 additions —
     # each already has a driver-green row in CORRECTNESS_r03.json
+    "q_text_contamination",
+    "q_sample_weighted",
     "q_er_fuzzy_block",
     "q_scd2_pit_join",
     "q_text_lm_score",
