@@ -107,7 +107,6 @@ KEY_ORDER = (
     "q_ts_time_weighted_avg",
     "q_ts_ohlc",
     "q_ts_transitions",
-    "q_prep_pipeline_full",
     # remaining window slots: the round-1 blind-spot keys (must stay in
     # the top 50 — tests/test_registry_bench.py), then the r03 keys the
     # round-4 additions displaced (all driver-green in r03), then
@@ -123,6 +122,7 @@ KEY_ORDER = (
     "q_dedup_minhash",
     # r03 keys displaced from the window by the round-4 additions —
     # each already has a driver-green row in CORRECTNESS_r03.json
+    "q_prep_pipeline_full",
     "q_text_contamination",
     "q_sample_weighted",
     "q_er_fuzzy_block",
