@@ -63,3 +63,14 @@ def test_resample_matches_numpy_interp(spark):
         assert abs(r.avg_interp - iv.mean()) < 1e-5
         assert abs(r.min_interp - iv.min()) < 1e-5
         assert abs(r.max_interp - iv.max()) < 1e-5
+
+
+def test_drawdown_monotone_peak_and_bounds(spark):
+    from zonal_datacube_spark.operators.timeseries import q_ts_drawdown
+
+    rows = q_ts_drawdown(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.max_drawdown < 1.0
+        assert 0.0 <= r.underwater_share <= 1.0
+        assert r.all_time_peak > 0

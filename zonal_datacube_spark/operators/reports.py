@@ -357,7 +357,62 @@ def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q7_YEARS = (1996, 1997)
+
+
+def q_report_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): the cross-border revenue matrix
+    — (supplier nation → customer nation, ship year) with summed
+    discounted revenue, cross-nation flows only. Fact table joins two
+    broadcast dimension chains (supplier→nation, orders→customer→nation);
+    the year band reaches the parquet scan as a pushed filter; one final
+    groupBy on the (nation, nation, year) matrix key. The classic
+    star-join report at 100 TB: the fact scan never shuffles until the
+    matrix rollup, and the rollup key is matrix-sized."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(*Q7_YEARS)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    supp_n = F.broadcast(
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = F.broadcast(
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
+    "q_report_trade_matrix": q_report_trade_matrix,
     "q_report_shipping_priority": q_report_shipping_priority,
     "q_report_nation_volume": q_report_nation_volume,
     "q_report_revenue_change": q_report_revenue_change,
@@ -376,6 +431,22 @@ _Q19_ARMS_SQL = " OR ".join(
 )
 
 ORACLE = {
+    "q_report_trade_matrix": f"""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE year(l_shipdate) IN {Q7_YEARS}
+          AND sn.n_name != cn.n_name
+        GROUP BY 1, 2, 3
+    """,
     "q_report_nation_volume": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,

@@ -407,8 +407,37 @@ def q_ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series: the deepest relative drop from a
+    running peak — the risk metric every portfolio/SLO dashboard tracks
+    (for metrics: worst degradation from best-seen). The running peak is
+    a GROWING max window (incremental, O(n)); drawdown compares each
+    point against it; one aggregate finds the trough. Also reports time
+    underwater (share of points below 90% of the running peak)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = ev.select(
+        "event_type",
+        "value",
+        F.max("value").over(w).alias("peak"),
+    ).withColumn("dd", (F.col("peak") - F.col("value")) / F.col("peak"))
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.max("dd"), 6).alias("max_drawdown"),
+        F.round(
+            F.avg((F.col("dd") > 0.1).cast("double")), 6
+        ).alias("underwater_share"),
+        F.round(F.max("peak"), 2).alias("all_time_peak"),
+    )
+
+
 QUERIES = {
     "q_ts_time_weighted_avg": q_ts_time_weighted_avg,
+    "q_ts_drawdown": q_ts_drawdown,
     "q_ts_moving_median": q_ts_moving_median,
     "q_ts_ewma": q_ts_ewma,
     "q_ts_resample_interp": q_ts_resample_interp,
@@ -420,6 +449,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_ts_drawdown": """
+        WITH scored AS (
+            SELECT event_type, value,
+                   max(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS peak
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_points,
+               round(max((peak - value) / peak), 6) AS max_drawdown,
+               round(avg(CASE WHEN (peak - value) / peak > 0.1
+                              THEN 1.0 ELSE 0.0 END), 6)
+                   AS underwater_share,
+               round(max(peak), 2) AS all_time_peak
+        FROM scored GROUP BY event_type
+    """,
     "q_ts_moving_median": f"""
         WITH scored AS (
             SELECT event_type, value,

@@ -88,6 +88,8 @@ KEY_ORDER = (
     "q_agg_geomean",
     "q_agg_entropy",
     "q_agg_gini",
+    "q_ts_drawdown",
+    "q_report_trade_matrix",
     # q_dedup_simhash must stay inside the 50-entry window (round-1 blind
     # spot list, tests/test_registry_bench.py) — the round-4 block above
     # would otherwise push it to position 51
@@ -97,8 +99,6 @@ KEY_ORDER = (
     # round-3 keys — all 39 inside the window so each gets its first
     # driver-green row; every key they displace already has green rows in
     # CORRECTNESS_r01/r02
-    "q_dedup_span",
-    "q_pack_sequences",
     "q_embed_quantize",
     "q_window_running_distinct",
     "q_join_salted",
@@ -122,6 +122,8 @@ KEY_ORDER = (
     "q_dedup_minhash",
     # r03 keys displaced from the window by the round-4 additions —
     # each already has a driver-green row in CORRECTNESS_r03.json
+    "q_dedup_span",
+    "q_pack_sequences",
     "q_prep_pipeline_full",
     "q_text_contamination",
     "q_sample_weighted",
