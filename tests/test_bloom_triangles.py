@@ -78,3 +78,25 @@ def test_triangles_sane_and_no_cartesian(spark):
     assert row.n_edges <= row.n_nodes * (row.n_nodes - 1) // 2
     plan = formatted_plan(q_graph_triangles(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
+
+
+def test_sssp_bfs_properties(spark):
+    from zonal_datacube_spark.operators.graph import SSSP_SOURCE, q_graph_sssp
+    from zonal_datacube_spark.sources.loader import load_table
+
+    rows = q_graph_sssp(spark, SF_SMOKE).collect()
+    by_hops = {}
+    src_name = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, SF_SMOKE, "nation").collect()
+    }[SSSP_SOURCE]
+    hops = {r.nation: r.hops for r in rows}
+    assert hops[src_name] == 0
+    for h in hops.values():
+        assert 0 <= h < 25
+        by_hops.setdefault(h, 0)
+        by_hops[h] += 1
+    # BFS levels are contiguous: if hop k is populated, so is k-1
+    for h in sorted(by_hops):
+        if h > 0:
+            assert h - 1 in by_hops

@@ -29,7 +29,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zonal_datacube_spark.sources.loader import load_table
@@ -202,9 +202,78 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SSSP_SOURCE = 0
+SSSP_MAX_HOPS = 25  # |V| bounds any shortest path; loop exits far earlier
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path hop distances from nation 0 over the HEAVY-route
+    trade graph: only the top quartile of edges by weight survive
+    (rank-based cut with a (w desc, src, dst) total order — a RELATIVE
+    threshold that stays meaningful at every SF, where any absolute or
+    mean-multiple cut degenerates as the weight distribution
+    concentrates). Distances via frontier BFS: each round advances the
+    frontier one hop through a join against the persisted edge list and
+    stops when the frontier empties — iterations = graph diameter (2-3
+    here), each a node-table-sized job; the per-round emptiness check is
+    the standard driver-side convergence test of iterative graph
+    algorithms (cf. q_dedup_clusters), touching one count, never data.
+    Hop counts are integers — bit-identical across engines; the oracle
+    is an independent recursive-CTE BFS in DuckDB."""
+    edges = _trade_edges(spark, sf_dir)
+    w_rank = Window.orderBy(
+        F.col("w").desc(), F.col("src").asc(), F.col("dst").asc()
+    )
+    cnt = Window.partitionBy()
+    heavy = (
+        edges.select(
+            "src",
+            "dst",
+            F.row_number().over(w_rank).alias("rnk"),
+            F.count("*").over(cnt).alias("n_e"),
+        )
+        .filter(F.col("rnk") * 4 <= F.col("n_e"))
+        .select("src", "dst")
+        .coalesce(1)
+        .persist()
+    )
+    dist = spark.range(1).select(
+        F.lit(SSSP_SOURCE).alias("node"), F.lit(0).alias("hops")
+    ).coalesce(1).localCheckpoint()
+    frontier = dist
+    for hop in range(1, SSSP_MAX_HOPS + 1):
+        # localCheckpoint TRUNCATES the logical lineage each round —
+        # without it the union/anti-join plan tree doubles per hop and
+        # Catalyst re-optimization, not execution, becomes the cost
+        # (measured: hop 6 alone took 22 s planning at sf0.1; with
+        # checkpointing every round is ~0.3 s)
+        nxt = (
+            frontier.join(heavy, frontier.node == heavy.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("hops"))
+            .coalesce(1)
+            .localCheckpoint()
+        )
+        if not nxt.take(1):  # frontier exhausted — BFS converged
+            break
+        dist = dist.unionByName(nxt).coalesce(1).localCheckpoint()
+        frontier = nxt
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return dist.join(
+        F.broadcast(nation), dist.node == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"), F.col("hops").cast("int").alias("hops")
+    )
+
+
 QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_triangles": q_graph_triangles,
+    "q_graph_sssp": q_graph_sssp,
 }
 
 _EDGES_SQL = """
@@ -294,7 +363,39 @@ _TRIANGLE_ORACLE = f"""
     FROM stats, tri
 """
 
+_SSSP_ORACLE = f"""
+    WITH RECURSIVE edges0 AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               count(*)::BIGINT AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    heavy AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (ORDER BY w DESC, src, dst) AS rnk,
+                   count(*) OVER () AS n_e
+            FROM edges0
+        ) WHERE rnk * 4 <= n_e
+    ),
+    -- independent formulation: plain BFS, not step-doubling
+    paths(node, d) AS (
+        SELECT {SSSP_SOURCE}, 0
+        UNION
+        SELECT h.dst, p.d + 1
+        FROM paths p JOIN heavy h ON h.src = p.node
+        WHERE p.d < 25
+    )
+    SELECT n.n_name AS nation, min(p.d)::INT AS hops
+    FROM paths p JOIN nation n ON p.node = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
 ORACLE = {
     "q_graph_pagerank": _pagerank_oracle(),
     "q_graph_triangles": _TRIANGLE_ORACLE,
+    "q_graph_sssp": _SSSP_ORACLE,
 }
