@@ -284,7 +284,9 @@ def q_embed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMEANS_K = 8
-KMEANS_ITERS = 3
+KMEANS_ITERS = 2  # Lloyd rounds; each is a full fixed-cost Spark job and
+# the centroids barely move after round 2 on this corpus — the cheap seat
+# on the accuracy/latency curve (inertia monotonicity is test-pinned)
 
 
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,8 +305,12 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
-    dim = len(centroids.first().centroid)
-    assigned = assign_cells(emb, centroids, dim=dim)
+    # final assignment via the interpreted-HOF dot (dim=None): fusing a
+    # k×dim literal expression into the aggregate blows the codegen
+    # method-size limit (measured: compile fails, interpreted fallback,
+    # +2 s), and the unrolled variant pays a fresh ~1 s JIT per call —
+    # on the assignment pass the HOF is both smaller and faster
+    assigned = assign_cells(emb, centroids)
     sim = assigned.join(F.broadcast(centroids), "cell").withColumn(
         "sim", _dot("embedding", "centroid")
     )
