@@ -47,3 +47,19 @@ def test_stream_dedup_counts(spark):
     # watermark horizon; on this fixture (no duplicate beyond horizon)
     # that equals the exact distinct count
     assert n_stream == n_batch
+
+
+def test_stream_outer_join_emits_unmatched_views(spark):
+    from zonal_datacube_spark.operators.streaming_batch import (
+        q_stream_outer_join,
+    )
+
+    rows = q_stream_outer_join(spark, SF_SMOKE).collect()
+    assert rows
+    total_unmatched = sum(r.n_unmatched for r in rows)
+    # the fixture has views with no purchase inside the hour — the
+    # outer join must surface them as null-purchase rows
+    assert total_unmatched > 0
+    for r in rows:
+        assert r.n_rows >= r.n_views  # multi-purchase views add rows
+        assert 0 <= r.n_unmatched <= r.n_rows

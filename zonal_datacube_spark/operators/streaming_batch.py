@@ -325,6 +325,56 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream LEFT OUTER interval join: unmatched views must
+    be HELD in state until the watermark proves no qualifying purchase
+    can still arrive, then emitted once with a null purchase — the
+    append-mode outer-join contract (inner joins emit matches eagerly
+    and never face this). Result rolls up per day after cutting to
+    v_ts < max_ts − (join bound + watermark + 1 s margin): beyond that
+    horizon, null-emission depends on where the final watermark stops —
+    both engine and oracle apply the identical cutoff, so the compared
+    region is exactly the deterministic one."""
+    import tempfile
+
+    from zonal_datacube_spark.streaming.demo import (
+        events_stream,
+        run_stream_append,
+        view_purchase_left_join,
+    )
+
+    out = tempfile.mkdtemp(prefix="zds_ssouter_")
+    with _stream_shuffle_partitions(spark):
+        run_stream_append(
+            view_purchase_left_join(events_stream(spark, sf_dir)), spark, out
+        )
+    res = spark.read.parquet(out)
+    cutoff = F.broadcast(
+        load_table(spark, sf_dir, "events").agg(
+            F.expr(
+                "cast(max(ts) AS timestamp)"
+                " - INTERVAL 2 HOURS - INTERVAL 1 SECOND"
+            ).alias("cut")
+        )
+    )
+    return (
+        res.crossJoin(cutoff)
+        .filter(F.col("v_ts") < F.col("cut"))
+        .groupBy(
+            F.date_format(F.date_trunc("day", "v_ts"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("view_id").alias("n_views"),
+            F.sum(F.col("purchase_id").isNull().cast("bigint")).alias(
+                "n_unmatched"
+            ),
+        )
+    )
+
+
 def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE custom stateful streaming (applyInPandasWithState) as an
     oracle-checked key: per-user profiles (count, sum, last-seen µs)
@@ -349,6 +399,7 @@ QUERIES = {
     "q_stream_stateful_profile": q_stream_stateful_profile,
     "q_stream_enrich_join": q_stream_enrich_join,
     "q_stream_stream_join": q_stream_stream_join,
+    "q_stream_outer_join": q_stream_outer_join,
     "q_stream_tumbling_partitioned": q_stream_tumbling_partitioned,
     "q_stream_foreach_roundtrip": q_stream_foreach_roundtrip,
     "q_stream_upsert_roundtrip": q_stream_upsert_roundtrip,
@@ -374,6 +425,34 @@ ORACLE = {
                count(*)::BIGINT AS n_events,
                round(sum(e.value), 2) AS sum_value
         FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+        GROUP BY 1
+    """,
+    "q_stream_outer_join": """
+        WITH cutoff AS (
+            SELECT max(ts) - INTERVAL 2 HOUR - INTERVAL 1 SECOND AS cut
+            FROM events
+        ),
+        v AS (
+            SELECT user_id, event_id AS view_id, ts AS v_ts
+            FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id, event_id AS purchase_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT v.view_id, v.v_ts, p.purchase_id
+            FROM v LEFT JOIN p
+              ON v.user_id = p.user_id
+             AND p.p_ts >= v.v_ts
+             AND p.p_ts < v.v_ts + INTERVAL 1 HOUR
+        )
+        SELECT strftime(date_trunc('day', v_ts), '%Y-%m-%d') AS day,
+               count(*) AS n_rows,
+               count(DISTINCT view_id) AS n_views,
+               sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_unmatched
+        FROM j, cutoff WHERE v_ts < cut
         GROUP BY 1
     """,
     "q_stream_stream_join": """

@@ -91,6 +91,7 @@ KEY_ORDER = (
     "q_ts_drawdown",
     "q_report_trade_matrix",
     "q_graph_sssp",
+    "q_stream_outer_join",
     # q_dedup_simhash must stay inside the 50-entry window (round-1 blind
     # spot list, tests/test_registry_bench.py) — the round-4 block above
     # would otherwise push it to position 51
@@ -102,7 +103,6 @@ KEY_ORDER = (
     # CORRECTNESS_r01/r02
     "q_embed_quantize",
     "q_join_salted",
-    "q_view_ivm_join",
     "q_split_train_test",
     "q_ts_time_weighted_avg",
     "q_ts_ohlc",
@@ -127,6 +127,7 @@ KEY_ORDER = (
     "q_prep_pipeline_full",
     "q_text_contamination",
     "q_sample_weighted",
+    "q_view_ivm_join",
     "q_window_running_distinct",
     "q_er_fuzzy_block",
     "q_scd2_pit_join",

@@ -298,6 +298,48 @@ def view_purchase_join(stream: DataFrame, watermark: str = "1 hour") -> DataFram
     )
 
 
+def view_purchase_left_join(
+    stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view eventually
+    emits — matched (view, purchase) pairs immediately, an unmatched
+    view as ONE null-purchase row only once the watermark passes its
+    join bound (the engine must hold the view in state until no
+    qualifying purchase can still arrive — THE semantic difference from
+    the inner join, and why outer stream joins demand watermarks on
+    both sides). The final no-data micro-batch flushes remaining state,
+    so after availableNow drains, rows with v_ts safely inside the
+    watermark horizon are complete and batch-comparable."""
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts AND p_ts < v_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"), "view_id", "v_ts", "purchase_id"
+    )
+
+
 def run_stream_append(
     stream_result: DataFrame, spark: SparkSession, out_dir: str
 ) -> None:
