@@ -75,3 +75,25 @@ def test_partitioned_layout_one_dir_per_type(spark):
     dirs = sorted(d for d in os.listdir(path) if d.startswith("event_type="))
     assert f"event_type={PRUNE_EVENT_TYPE}" in dirs
     assert len(dirs) == 5  # click, error, purchase, signup, view
+
+
+def test_dynamic_overwrite_replaces_only_tail_partitions(spark):
+    from pyspark.sql import functions as F
+
+    from zonal_datacube_spark.operators.sources_ext import (
+        q_sink_dynamic_overwrite,
+    )
+    from zonal_datacube_spark.sources.loader import load_table
+
+    rows = {r.event_type: r for r in q_sink_dynamic_overwrite(spark, SF_SMOKE).collect()}
+    n_days_all = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    # purchases keep every day; other types lose the rewritten tail days
+    assert rows["purchase"].n_days == n_days_all
+    for t, r in rows.items():
+        if t != "purchase":
+            assert r.n_days <= n_days_all - 1

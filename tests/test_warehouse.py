@@ -60,3 +60,15 @@ def test_label_centroid_no_explode_two_shuffles(spark):
     assert {r.label for r in rows} == set(range(10))
     # unit vectors scoring against their own centroid: cosine in [-1, 1]
     assert all(-1.0 <= r.min_cos <= r.avg_cos <= 1.0 for r in rows)
+
+
+def test_cdc_diff_ops_partition_and_delta_signs(spark):
+    from zonal_datacube_spark.operators.warehouse import q_cdc_diff
+
+    rows = {r.op: r for r in q_cdc_diff(spark, SF_SMOKE).collect()}
+    assert set(rows) <= {"I", "U", "D"}
+    assert rows, "snapshots a year apart must differ"
+    if "I" in rows:
+        assert rows["I"].spend_delta > 0  # inserts only add spend
+    if "D" in rows:
+        assert rows["D"].spend_delta < 0  # deletes only remove spend

@@ -293,7 +293,58 @@ def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERWRITE_TAIL_DAYS = 3
+
+
+def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the idempotent-backfill primitive:
+    re-running a day's job replaces exactly that day's partition and
+    leaves the rest of the table untouched (static overwrite mode would
+    TRUNCATE the whole table — the classic production data-loss
+    footgun). Demonstrated end-to-end: a full daily×type rollup lands
+    partitioned by day; a corrected job (purchases only) then rewrites
+    the last 3 day-partitions under
+    spark.sql.sources.partitionOverwriteMode=dynamic; the read-back
+    shows old days intact and tail days fully replaced. The oracle
+    computes that exact blend relationally."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_v"))
+    out = tempfile.mkdtemp(prefix="zds_dynover_")
+    daily.write.mode("overwrite").partitionBy("day").parquet(out)
+    cutoff = ev.agg(
+        F.date_format(
+            F.date_trunc("day", F.max("ts"))
+            - F.expr(f"INTERVAL {OVERWRITE_TAIL_DAYS - 1} DAYS"),
+            "yyyy-MM-dd",
+        )
+    ).collect()[0][0]  # one scalar: the first rewritten day
+    corrected = daily.filter(
+        (F.col("day") >= cutoff) & (F.col("event_type") == "purchase")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        corrected.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("day").alias("n_days"),
+            F.sum("n").alias("total_n"),
+            F.round(F.sum("sum_v"), 2).alias("total_v"),
+        )
+    )
+
+
 QUERIES = {
+    "q_sink_dynamic_overwrite": q_sink_dynamic_overwrite,
     "q_source_csv_roundtrip": q_source_csv_roundtrip,
     "q_source_python_ds": q_source_python_ds,
     "q_source_csv_corrupt": q_source_csv_corrupt,
@@ -307,6 +358,30 @@ QUERIES = {
 _CATS_VALUES = ", ".join(f"('{t}', '{c}')" for t, c in EVENT_CATEGORIES)
 
 ORACLE = {
+    "q_sink_dynamic_overwrite": f"""
+        WITH daily AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type,
+                   count(*) AS n,
+                   sum(value) AS sum_v
+            FROM events GROUP BY 1, 2
+        ),
+        cutoff AS (
+            SELECT strftime(date_trunc('day', max(ts))
+                            - INTERVAL {OVERWRITE_TAIL_DAYS - 1} DAY,
+                            '%Y-%m-%d') AS cut
+            FROM events
+        ),
+        blended AS (
+            SELECT d.* FROM daily d, cutoff
+            WHERE d.day < cut OR d.event_type = 'purchase'
+        )
+        SELECT event_type,
+               count(DISTINCT day) AS n_days,
+               sum(n)::BIGINT AS total_n,
+               round(sum(sum_v), 2) AS total_v
+        FROM blended GROUP BY event_type
+    """,
     "q_source_python_ds": f"""
         WITH cells AS (
             SELECT (i % {PYDS_N}) AS x, (i // {PYDS_N}) AS y,

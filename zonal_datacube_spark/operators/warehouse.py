@@ -326,7 +326,76 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_CUT_A = "2000-01-01"
+CDC_CUT_B = "2001-01-01"
+
+
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed GENERATION (the inverse of q_merge_upsert's
+    apply): diff two snapshots of the "active customer" dimension —
+    customers with any order in the trailing 12 months of each cutoff,
+    carrying (order count, spend) — into INSERT / UPDATE / DELETE ops
+    with their spend deltas. One full-outer join on the key; op
+    classification is pure projection; unchanged rows drop out. This is
+    how a warehouse without a CDC log bootstraps one from periodic
+    snapshots (I=appeared, D=went inactive, U=state moved)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def snapshot(cut: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") < F.lit(cut).cast("timestamp_ntz"))
+                & (
+                    F.col("o_orderdate")
+                    >= F.lit(cut).cast("timestamp_ntz")
+                    - F.expr("INTERVAL 12 MONTHS")
+                )
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            )
+        )
+
+    a = snapshot(CDC_CUT_A).select(
+        F.col("o_custkey").alias("k"),
+        F.col("n_orders").alias("n_a"),
+        F.col("spend").alias("s_a"),
+    )
+    b = snapshot(CDC_CUT_B).select(
+        F.col("o_custkey").alias("k"),
+        F.col("n_orders").alias("n_b"),
+        F.col("spend").alias("s_b"),
+    )
+    diff = (
+        a.join(b, "k", "full_outer")
+        .select(
+            "k",
+            F.when(F.col("n_a").isNull(), F.lit("I"))
+            .when(F.col("n_b").isNull(), F.lit("D"))
+            .when(
+                (F.col("n_a") != F.col("n_b"))
+                | (F.col("s_a") != F.col("s_b")),
+                F.lit("U"),
+            )
+            .alias("op"),
+            (F.coalesce("s_b", F.lit(0.0)) - F.coalesce("s_a", F.lit(0.0))).alias(
+                "delta"
+            ),
+        )
+        .filter(F.col("op").isNotNull())  # unchanged rows are not changes
+    )
+    return diff.groupBy("op").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("delta"), 2).alias("spend_delta"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
 QUERIES = {
+    "q_cdc_diff": q_cdc_diff,
     "q_scd2_build": q_scd2_build,
     "q_scd2_pit_join": q_scd2_pit_join,
     "q_dq_checks": q_dq_checks,
@@ -338,6 +407,40 @@ QUERIES = {
 _EVENT_TYPES_SQL = ", ".join(f"'{t}'" for t in EVENT_TYPES)
 
 ORACLE = {
+    "q_cdc_diff": f"""
+        WITH a AS (
+            SELECT o_custkey AS k, count(*) AS n_a,
+                   round(sum(o_totalprice), 2) AS s_a
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '{CDC_CUT_A}'
+              AND o_orderdate >= TIMESTAMP '{CDC_CUT_A}' - INTERVAL 12 MONTH
+            GROUP BY o_custkey
+        ),
+        b AS (
+            SELECT o_custkey AS k, count(*) AS n_b,
+                   round(sum(o_totalprice), 2) AS s_b
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '{CDC_CUT_B}'
+              AND o_orderdate >= TIMESTAMP '{CDC_CUT_B}' - INTERVAL 12 MONTH
+            GROUP BY o_custkey
+        ),
+        diff AS (
+            SELECT coalesce(a.k, b.k) AS k,
+                   CASE WHEN a.k IS NULL THEN 'I'
+                        WHEN b.k IS NULL THEN 'D'
+                        WHEN a.n_a != b.n_b OR a.s_a != b.s_b THEN 'U'
+                   END AS op,
+                   coalesce(s_b, 0.0) - coalesce(s_a, 0.0) AS delta
+            FROM a FULL OUTER JOIN b ON a.k = b.k
+        )
+        SELECT op,
+               count(*) AS n_customers,
+               round(sum(delta), 2) AS spend_delta,
+               min(k) AS min_key,
+               max(k) AS max_key
+        FROM diff WHERE op IS NOT NULL
+        GROUP BY op
+    """,
     "q_report_revenue_bridge": f"""
         WITH per_cust AS (
             SELECT o_custkey,
