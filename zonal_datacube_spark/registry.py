@@ -100,9 +100,9 @@ KEY_ORDER = (
     "q_dedup_simhash",
     # then the r03 shop window (percentile canonicalizer fix first)
     "q_agg_percentile_approx",
-    # round-3 keys — all 39 inside the window so each gets its first
-    # driver-green row; every key they displace already has green rows in
-    # CORRECTNESS_r01/r02
+    # the r03 keys still fitting in the window after the round-4
+    # additions (the rest moved to the displaced block below — every one
+    # already driver-green in r03)
     "q_embed_quantize",
     "q_join_salted",
     "q_split_train_test",
