@@ -74,3 +74,32 @@ def test_drawdown_monotone_peak_and_bounds(spark):
         assert 0.0 <= r.max_drawdown < 1.0
         assert 0.0 <= r.underwater_share <= 1.0
         assert r.all_time_peak > 0
+
+
+def test_peaks_bounded_by_points(spark):
+    from zonal_datacube_spark.operators.timeseries import (
+        PEAK_MIN_VALUE,
+        q_ts_peaks,
+    )
+
+    rows = q_ts_peaks(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # interior strict peaks can never exceed half the points
+        assert 0 <= r.n_peaks <= r.n_points // 2
+        if r.n_peaks:
+            assert r.tallest_peak > PEAK_MIN_VALUE
+
+
+def test_rank_migration_movers_ordered(spark):
+    from zonal_datacube_spark.operators.reports import (
+        RANK_TOPN,
+        q_report_rank_migration,
+    )
+
+    rows = q_report_rank_migration(spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= RANK_TOPN
+    deltas = [abs(r.delta) for r in rows]
+    assert deltas == sorted(deltas, reverse=True)
+    for r in rows:
+        assert r.delta == r.rank_a - r.rank_b

@@ -23,7 +23,7 @@ tie-break on a unique key so LIMIT is deterministic on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zonal_datacube_spark.sources.loader import load_table
@@ -411,8 +411,59 @@ def q_report_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANK_YEARS = (1996, 1997)
+RANK_TOPN = 10
+
+
+def q_report_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-migration report: each supplier's revenue RANK in 1996 vs
+    1997 and the top-10 movers by absolute rank change — the
+    competitive-dynamics readout (league-table deltas) that needs two
+    ranked windows over one grouped pass, then a self-alignment on the
+    entity. Suppliers absent in a year rank past everyone present
+    (coalesce to +∞ revenue rank via null-last ordering). Both ranking
+    and the final cut order on integers + the unique key, so the limit
+    is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(*RANK_YEARS)
+    )
+    per_year = li.groupBy(
+        "l_suppkey", F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("rev")
+    )
+    w = Window.partitionBy("yr").orderBy(
+        F.col("rev").desc(), F.col("l_suppkey").asc()
+    )
+    ranked = per_year.select(
+        "l_suppkey", "yr", F.rank().over(w).cast("bigint").alias("rnk")
+    )
+    a = ranked.filter(F.col("yr") == RANK_YEARS[0]).select(
+        "l_suppkey", F.col("rnk").alias("rank_a")
+    )
+    b = ranked.filter(F.col("yr") == RANK_YEARS[1]).select(
+        "l_suppkey", F.col("rnk").alias("rank_b")
+    )
+    return (
+        a.join(b, "l_suppkey")  # movers need a rank in BOTH years
+        .select(
+            "l_suppkey",
+            "rank_a",
+            "rank_b",
+            (F.col("rank_a") - F.col("rank_b")).alias("delta"),
+        )
+        .orderBy(
+            F.abs("delta").desc(), F.col("l_suppkey").asc()
+        )
+        .limit(RANK_TOPN)
+    )
+
+
 QUERIES = {
     "q_report_trade_matrix": q_report_trade_matrix,
+    "q_report_rank_migration": q_report_rank_migration,
     "q_report_shipping_priority": q_report_shipping_priority,
     "q_report_nation_volume": q_report_nation_volume,
     "q_report_revenue_change": q_report_revenue_change,
@@ -431,6 +482,29 @@ _Q19_ARMS_SQL = " OR ".join(
 )
 
 ORACLE = {
+    "q_report_rank_migration": f"""
+        WITH per_year AS (
+            SELECT l_suppkey, year(l_shipdate) AS yr,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+            FROM lineitem
+            WHERE year(l_shipdate) IN {RANK_YEARS}
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT l_suppkey, yr,
+                   rank() OVER (PARTITION BY yr
+                                ORDER BY rev DESC, l_suppkey) AS rnk
+            FROM per_year
+        )
+        SELECT a.l_suppkey,
+               a.rnk AS rank_a,
+               b.rnk AS rank_b,
+               (a.rnk - b.rnk)::BIGINT AS delta
+        FROM ranked a JOIN ranked b USING (l_suppkey)
+        WHERE a.yr = {RANK_YEARS[0]} AND b.yr = {RANK_YEARS[1]}
+        ORDER BY abs(a.rnk - b.rnk) DESC, a.l_suppkey
+        LIMIT {RANK_TOPN}
+    """,
     "q_report_trade_matrix": f"""
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,

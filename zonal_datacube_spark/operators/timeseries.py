@@ -435,8 +435,41 @@ def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PEAK_MIN_VALUE = 150.0
+
+
+def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection: points strictly above BOTH neighbors and
+    above an absolute floor — the spike census monitoring systems run
+    before alert tuning (prominence-0 peaks). One lag/lead window pass
+    on the series key; ties with a neighbor disqualify (a plateau is
+    not a peak), endpoints disqualify (missing neighbor). Rolled up per
+    series with the tallest peak."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+    ).withColumn(
+        "is_peak",
+        (F.col("value") > F.col("prev_v"))
+        & (F.col("value") > F.col("next_v"))
+        & (F.col("value") > PEAK_MIN_VALUE),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.col("is_peak").cast("bigint")).alias("n_peaks"),
+        F.round(
+            F.max(F.when(F.col("is_peak"), F.col("value"))), 2
+        ).alias("tallest_peak"),
+    )
+
+
 QUERIES = {
     "q_ts_time_weighted_avg": q_ts_time_weighted_avg,
+    "q_ts_peaks": q_ts_peaks,
     "q_ts_drawdown": q_ts_drawdown,
     "q_ts_moving_median": q_ts_moving_median,
     "q_ts_ewma": q_ts_ewma,
@@ -449,6 +482,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_ts_peaks": f"""
+        WITH flagged AS (
+            SELECT event_type, value,
+                   lag(value) OVER w AS prev_v,
+                   lead(value) OVER w AS next_v
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        )
+        SELECT event_type,
+               count(*) AS n_points,
+               sum(CASE WHEN value > prev_v AND value > next_v
+                             AND value > {PEAK_MIN_VALUE}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_peaks,
+               round(max(CASE WHEN value > prev_v AND value > next_v
+                                   AND value > {PEAK_MIN_VALUE}
+                              THEN value END), 2) AS tallest_peak
+        FROM flagged GROUP BY event_type
+    """,
     "q_ts_drawdown": """
         WITH scored AS (
             SELECT event_type, value,
