@@ -63,3 +63,28 @@ def test_stream_outer_join_emits_unmatched_views(spark):
     for r in rows:
         assert r.n_rows >= r.n_views  # multi-purchase views add rows
         assert 0 <= r.n_unmatched <= r.n_rows
+
+
+def test_state_reader_matches_batch_rollup(spark):
+    from pyspark.sql import functions as F
+
+    from zonal_datacube_spark.operators.streaming_batch import (
+        q_stream_state_reader,
+    )
+    from zonal_datacube_spark.sources.loader import load_table
+
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in q_stream_state_reader(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want

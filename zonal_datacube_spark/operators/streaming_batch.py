@@ -375,6 +375,45 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store OBSERVABILITY (Spark 4 state data source): run a
+    per-user streaming aggregation to completion, then read its state
+    store back as a batch DataFrame — the debugging/auditing surface for
+    stateful pipelines (inspect exactly what the operator holds, offline,
+    without touching the running query). The state of an unwindowed
+    per-user aggregate IS the full per-user rollup, so the oracle is the
+    plain batch groupBy: hash-matching it proves the store's contents,
+    the reader's decode, and the stream's exactly-once accumulation all
+    at once."""
+    import tempfile
+    import uuid
+
+    from zonal_datacube_spark.streaming.demo import events_stream
+
+    ckpt = tempfile.mkdtemp(prefix="zds_statereader_")
+    with _stream_shuffle_partitions(spark):
+        agg = (
+            events_stream(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_v"))
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(f"zds_sr_{uuid.uuid4().hex[:8]}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+        F.round(F.col("value.sum"), 2).alias("sum_value"),
+    )
+
+
 def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE custom stateful streaming (applyInPandasWithState) as an
     oracle-checked key: per-user profiles (count, sum, last-seen µs)
@@ -400,6 +439,7 @@ QUERIES = {
     "q_stream_enrich_join": q_stream_enrich_join,
     "q_stream_stream_join": q_stream_stream_join,
     "q_stream_outer_join": q_stream_outer_join,
+    "q_stream_state_reader": q_stream_state_reader,
     "q_stream_tumbling_partitioned": q_stream_tumbling_partitioned,
     "q_stream_foreach_roundtrip": q_stream_foreach_roundtrip,
     "q_stream_upsert_roundtrip": q_stream_upsert_roundtrip,
@@ -426,6 +466,12 @@ ORACLE = {
                round(sum(e.value), 2) AS sum_value
         FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
         GROUP BY 1
+    """,
+    "q_stream_state_reader": """
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY user_id
     """,
     "q_stream_outer_join": """
         WITH cutoff AS (

@@ -96,6 +96,7 @@ KEY_ORDER = (
     "q_cdc_diff",
     "q_ts_peaks",
     "q_report_rank_migration",
+    "q_stream_state_reader",
     # q_dedup_simhash must stay inside the 50-entry window (round-1 blind
     # spot list, tests/test_registry_bench.py) — the round-4 block above
     # would otherwise push it to position 51
@@ -106,7 +107,6 @@ KEY_ORDER = (
     # additions (the rest moved to the displaced block below — every one
     # already driver-green in r03)
     "q_embed_quantize",
-    "q_join_salted",
     # remaining window slots: the round-1 blind-spot keys (must stay in
     # the top 50 — tests/test_registry_bench.py), then the r03 keys the
     # round-4 additions displaced (all driver-green in r03), then
@@ -125,6 +125,7 @@ KEY_ORDER = (
     "q_prep_pipeline_full",
     "q_text_contamination",
     "q_sample_weighted",
+    "q_join_salted",
     "q_split_train_test",
     "q_ts_time_weighted_avg",
     "q_ts_ohlc",
