@@ -97,3 +97,20 @@ def test_dynamic_overwrite_replaces_only_tail_partitions(spark):
     for t, r in rows.items():
         if t != "purchase":
             assert r.n_days <= n_days_all - 1
+
+
+def test_binary_files_digests_match_hashlib(spark):
+    import hashlib
+    import os
+
+    from zonal_datacube_spark.operators.sources_ext import (
+        q_source_binary_files,
+    )
+
+    rows = q_source_binary_files(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        path = os.path.join(SF_SMOKE, r.file_name)
+        blob = open(path, "rb").read()
+        assert r.length == len(blob)
+        assert r.content_md5 == hashlib.md5(blob).hexdigest()

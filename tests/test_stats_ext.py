@@ -196,3 +196,17 @@ def test_gini_bounds_and_known_cases(spark):
     for r in rows:
         # Gini of positive values lies in [0, 1)
         assert 0.0 <= r.gini < 1.0
+
+
+def test_pmi_symmetric_in_definition(spark):
+    from zonal_datacube_spark.operators.text import PMI_TOPK, q_text_pmi
+
+    rows = q_text_pmi(spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= PMI_TOPK
+    counts = [r.n_ab for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.w1 < r.w2
+        # co-occurrence can't exceed either unigram doc count, so
+        # PMI ≤ ln(N / max(n_a, n_b)) ≤ ln(N); loose sanity bound
+        assert r.pmi <= 20

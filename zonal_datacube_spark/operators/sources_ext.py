@@ -343,7 +343,30 @@ def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingestion via the ``binaryFile`` source — the front
+    door for multimodal corpora (images/audio/video land as binary
+    columns with path/length/mtime metadata; operators/media.py picks up
+    from exactly this shape). Globbed over the fixture's parquet files
+    as stand-in blobs: name, byte length, and md5 digest per file.
+    Rows-only: DuckDB 1.0 cannot hash BLOBs (its BLOB→VARCHAR cast
+    escapes bytes), so the digest parity pin lives in
+    tests/test_sources_ext.py against hashlib instead."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            "length",
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("file_name")
+    )
+
+
 QUERIES = {
+    "q_source_binary_files": q_source_binary_files,
     "q_sink_dynamic_overwrite": q_sink_dynamic_overwrite,
     "q_source_csv_roundtrip": q_source_csv_roundtrip,
     "q_source_python_ds": q_source_python_ds,

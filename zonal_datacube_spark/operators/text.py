@@ -418,7 +418,59 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_TOPK = 20
+
+
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of within-document word pairs — the
+    collocation/topic-coherence statistic (word2vec's SGNS factorizes
+    exactly this matrix). Documents collapse to DISTINCT (doc, token)
+    first, so a token repeated 100× in one doc contributes one row and
+    the per-doc pair expansion is bounded by distinct-vocab-per-doc²
+    (31-word fixture vocabulary ⇒ tiny; at corpus scale, cap to a
+    top-K df vocabulary first). PMI = ln(n_ab·N/(n_a·n_b)) with
+    broadcast unigram counts; the top-20 cut orders on the INTEGER pair
+    count + the pair itself, so the limit is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
+    ).distinct()
+    n_docs_df = F.broadcast(
+        docs.agg(F.count("*").alias("n_docs"))
+    )
+    uni = dt.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.tok") < F.col("b.tok"))
+        .groupBy(F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2"))
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ua = F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_a")))
+    ub = F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_b")))
+    return (
+        pairs.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(n_docs_df)
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.col("n_docs")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("n_ab").desc(), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
+
+
 QUERIES = {
+    "q_text_pmi": q_text_pmi,
     "q_text_tokens": q_text_tokens,
     "q_text_lm_score": q_text_lm_score,
     "q_text_zipf": q_text_zipf,
@@ -439,6 +491,28 @@ QUERIES = {
 _TOKS = "string_split(lower(text), ' ')"
 
 ORACLE = {
+    "q_text_pmi": f"""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        n_docs AS (SELECT count(*) AS n_docs FROM documents),
+        uni AS (SELECT tok, count(*) AS n_tok FROM dt GROUP BY tok),
+        pairs AS (
+            SELECT a.tok AS w1, b.tok AS w2, count(*) AS n_ab
+            FROM dt a JOIN dt b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2
+        )
+        SELECT w1, w2, n_ab,
+               round(ln(n_ab * 1.0 * n.n_docs
+                        / (ua.n_tok * ub.n_tok)), 6) AS pmi
+        FROM pairs
+        JOIN uni ua ON ua.tok = w1
+        JOIN uni ub ON ub.tok = w2
+        CROSS JOIN n_docs n
+        ORDER BY n_ab DESC, w1, w2
+        LIMIT {PMI_TOPK}
+    """,
     "q_text_hapax": f"""
         WITH counts AS (
             SELECT tok, count(*) AS c

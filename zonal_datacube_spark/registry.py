@@ -97,20 +97,17 @@ KEY_ORDER = (
     "q_ts_peaks",
     "q_report_rank_migration",
     "q_stream_state_reader",
+    "q_text_pmi",
+    "q_source_binary_files",
     # q_dedup_simhash must stay inside the 50-entry window (round-1 blind
     # spot list, tests/test_registry_bench.py) — the round-4 block above
     # would otherwise push it to position 51
     "q_dedup_simhash",
     # then the r03 shop window (percentile canonicalizer fix first)
-    "q_agg_percentile_approx",
-    # the r03 keys still fitting in the window after the round-4
-    # additions (the rest moved to the displaced block below — every one
-    # already driver-green in r03)
-    "q_embed_quantize",
     # remaining window slots: the round-1 blind-spot keys (must stay in
     # the top 50 — tests/test_registry_bench.py), then the r03 keys the
-    # round-4 additions displaced (all driver-green in r03), then
-    # flagship + the rest of the contract
+    # round-4 additions displaced (all driver-green in r03, including
+    # the percentile canonicalizer fix), then flagship + the contract
     "q_dedup_near",
     "q_dedup_exact",
     "q_distinct_rows",
@@ -122,9 +119,11 @@ KEY_ORDER = (
     "q_dedup_minhash",
     # r03 keys displaced from the window by the round-4 additions —
     # each already has a driver-green row in CORRECTNESS_r03.json
+    "q_agg_percentile_approx",
     "q_prep_pipeline_full",
     "q_text_contamination",
     "q_sample_weighted",
+    "q_embed_quantize",
     "q_join_salted",
     "q_split_train_test",
     "q_ts_time_weighted_avg",
