@@ -210,3 +210,32 @@ def test_pmi_symmetric_in_definition(spark):
         # co-occurrence can't exceed either unigram doc count, so
         # PMI ≤ ln(N / max(n_a, n_b)) ≤ ln(N); loose sanity bound
         assert r.pmi <= 20
+
+
+def test_quantiles_multi_monotone(spark):
+    from zonal_datacube_spark.operators.stats_ext import (
+        QUANTILE_PS,
+        q_agg_quantiles_multi,
+    )
+
+    rows = q_agg_quantiles_multi(spark, SF_SMOKE).collect()
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, {})[r.p] = r.q
+    for qs in by_flag.values():
+        assert set(qs) == set(QUANTILE_PS)
+        ordered = [qs[p] for p in sorted(qs)]
+        assert ordered == sorted(ordered)  # quantiles are monotone in p
+
+
+def test_ltv_deciles_shares_sum_to_one(spark):
+    from zonal_datacube_spark.operators.stats_ext import (
+        LTV_DECILES,
+        q_report_ltv_deciles,
+    )
+
+    rows = sorted(q_report_ltv_deciles(spark, SF_SMOKE).collect(), key=lambda r: r.decile)
+    assert len(rows) == LTV_DECILES
+    assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-4
+    revs = [r.revenue / r.n_customers for r in rows]
+    assert revs == sorted(revs, reverse=True)  # avg spend falls by decile

@@ -334,8 +334,74 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_agg_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-quantile summary in ONE pass: the five standard cut points
+    per group from a single percentile(array(...)) aggregate — one sort
+    buffer per group instead of five (how a monitoring rollup computes
+    its full latency profile). The array result EXPLODES to one row per
+    (group, p) because the driver canonicalizer hashes scalar cells
+    only — the same lesson the r02 percentile_approx crash taught."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps_sql = ", ".join(str(p) for p in QUANTILE_PS)
+    qs = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, array({ps_sql}))").alias("qs")
+    )
+    labels = F.array(*[F.lit(p) for p in QUANTILE_PS])
+    return qs.select(
+        "l_returnflag",
+        F.explode(F.arrays_zip(labels.alias("p"), F.col("qs").alias("q"))).alias(
+            "z"
+        ),
+    ).select(
+        "l_returnflag",
+        F.col("z.p").alias("p"),
+        F.round("z.q", 6).alias("q"),
+    )
+
+
+LTV_DECILES = 10
+
+
+def q_report_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value decile table: customers ranked by total
+    spend into 10 equal-population buckets, each reporting population,
+    revenue, and revenue share — the "top decile drives X%" marketing
+    readout. The ntile runs over the CUSTOMER-grain rollup (output-
+    bounded — the fact table never enters a global window), ordered by
+    (spend, custkey) so equal spends split deterministically."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    tiled = per_cust.select(
+        "spend", F.ntile(LTV_DECILES).over(w).alias("decile")
+    )
+    tot = Window.partitionBy()
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("revenue"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            F.round(F.col("revenue") / F.sum("revenue").over(tot), 6).alias(
+                "rev_share"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "q_agg_corr_regr": q_agg_corr_regr,
+    "q_agg_quantiles_multi": q_agg_quantiles_multi,
+    "q_report_ltv_deciles": q_report_ltv_deciles,
     "q_agg_geomean": q_agg_geomean,
     "q_agg_entropy": q_agg_entropy,
     "q_agg_gini": q_agg_gini,
@@ -348,6 +414,36 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_agg_quantiles_multi": f"""
+        SELECT l_returnflag, p, round(q, 6) AS q
+        FROM (
+            SELECT l_returnflag,
+                   unnest([{", ".join(str(p) for p in QUANTILE_PS)}]) AS p,
+                   unnest(quantile_cont(l_extendedprice,
+                          [{", ".join(str(p) for p in QUANTILE_PS)}])) AS q
+            FROM lineitem GROUP BY l_returnflag
+        )
+    """,
+    "q_report_ltv_deciles": f"""
+        WITH per_cust AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+            FROM orders GROUP BY o_custkey
+        ),
+        tiled AS (
+            SELECT spend,
+                   ntile({LTV_DECILES}) OVER (ORDER BY spend DESC,
+                                              o_custkey ASC) AS decile
+            FROM per_cust
+        ),
+        rolled AS (
+            SELECT decile, count(*) AS n_customers,
+                   round(sum(spend), 2) AS revenue
+            FROM tiled GROUP BY decile
+        )
+        SELECT decile, n_customers, revenue,
+               round(revenue / sum(revenue) OVER (), 6) AS rev_share
+        FROM rolled
+    """,
     "q_agg_geomean": """
         SELECT o_orderpriority,
                count(*) AS n_orders,

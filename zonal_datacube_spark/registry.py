@@ -99,6 +99,8 @@ KEY_ORDER = (
     "q_stream_state_reader",
     "q_text_pmi",
     "q_source_binary_files",
+    "q_agg_quantiles_multi",
+    "q_report_ltv_deciles",
     # q_dedup_simhash must stay inside the 50-entry window (round-1 blind
     # spot list, tests/test_registry_bench.py) — the round-4 block above
     # would otherwise push it to position 51
@@ -120,12 +122,12 @@ KEY_ORDER = (
     # r03 keys displaced from the window by the round-4 additions —
     # each already has a driver-green row in CORRECTNESS_r03.json
     "q_agg_percentile_approx",
-    "q_prep_pipeline_full",
-    "q_text_contamination",
-    "q_sample_weighted",
     "q_embed_quantize",
     "q_join_salted",
     "q_split_train_test",
+    "q_prep_pipeline_full",
+    "q_text_contamination",
+    "q_sample_weighted",
     "q_ts_time_weighted_avg",
     "q_ts_ohlc",
     "q_ts_transitions",
