@@ -100,3 +100,41 @@ def test_sssp_bfs_properties(spark):
     for h in sorted(by_hops):
         if h > 0:
             assert h - 1 in by_hops
+
+
+def test_triangles_match_bruteforce(spark):
+    """Degree-oriented count vs a plain Python triple-loop on the
+    smoke-SF co-purchase graph — catches any orientation bug the
+    SQL oracle (itself join-based) could share."""
+    from itertools import combinations
+
+    from zonal_datacube_spark.operators.graph import (
+        TRIANGLE_PRIORITY,
+        q_graph_triangles,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "lineitem").join(
+        load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == TRIANGLE_PRIORITY
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    baskets = {}
+    for r in ev.select("o_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r.o_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    n_tri = sum(
+        1
+        for (a, b) in edges
+        for c in adj.get(b, ())
+        if (a, c) in edges
+    )
+    row = q_graph_triangles(spark, SF_SMOKE).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == n_tri

@@ -239,3 +239,23 @@ def test_ltv_deciles_shares_sum_to_one(spark):
     assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-4
     revs = [r.revenue / r.n_customers for r in rows]
     assert revs == sorted(revs, reverse=True)  # avg spend falls by decile
+
+
+def test_skyline_matches_bruteforce(spark):
+    """Sort-based sweep vs the O(n²) definition evaluated in Python —
+    independent of BOTH the Spark plan and the SQL oracle."""
+    parts = load_table(spark, SF_SMOKE, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    brute = {
+        p.p_partkey
+        for p in parts
+        if not any(
+            q.p_retailprice <= p.p_retailprice
+            and q.p_size >= p.p_size
+            and (q.p_retailprice < p.p_retailprice or q.p_size > p.p_size)
+            for q in parts
+        )
+    }
+    got = {r.p_partkey for r in q_skyline_dominance(spark, SF_SMOKE).collect()}
+    assert got == brute
