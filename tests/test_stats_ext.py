@@ -259,3 +259,30 @@ def test_skyline_matches_bruteforce(spark):
     }
     got = {r.p_partkey for r in q_skyline_dominance(spark, SF_SMOKE).collect()}
     assert got == brute
+
+
+def test_concurrency_sweep_matches_bruteforce(spark):
+    """+1/−1 sweep vs the O(n²) point-stabbing count at every interval
+    start — the maximum overlap is always attained at some start."""
+    import datetime
+
+    from zonal_datacube_spark.operators.timeseries import (
+        CONCURRENCY_DAYS,
+        q_ts_concurrency,
+    )
+
+    got = {
+        r.o_orderpriority: r.max_concurrent
+        for r in q_ts_concurrency(spark, SF_SMOKE).collect()
+    }
+    span = datetime.timedelta(days=CONCURRENCY_DAYS)
+    starts = {}
+    for r in load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority", "o_orderdate"
+    ).collect():
+        starts.setdefault(r.o_orderpriority, []).append(r.o_orderdate)
+    for prio, ss in starts.items():
+        brute = max(
+            sum(1 for t in ss if t <= s < t + span) for s in ss
+        )
+        assert got[prio] == brute, prio
