@@ -286,3 +286,18 @@ def test_concurrency_sweep_matches_bruteforce(spark):
             sum(1 for t in ss if t <= s < t + span) for s in ss
         )
         assert got[prio] == brute, prio
+
+
+def test_zonal_change_epochs_partition_cells(spark):
+    from zonal_datacube_spark.operators.zonal import (
+        q_zonal_change,
+        q_zonal_stats,
+    )
+
+    change = {r.zone_id: r for r in q_zonal_change(spark, SF_SMOKE).collect()}
+    totals = {r.zone_id: r.n_cells for r in q_zonal_stats(spark, SF_SMOKE).collect()}
+    assert change
+    for z, r in change.items():
+        assert r.n_p1 + r.n_p2 == totals[z]  # epochs partition every zone
+        if r.mean_p1 and r.mean_p2:
+            assert abs(r.delta - round(r.mean_p2 - r.mean_p1, 6)) < 1e-9

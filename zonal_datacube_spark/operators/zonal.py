@@ -163,8 +163,62 @@ def q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal CHANGE DETECTION between two epochs — the reference
+    domain's signature workflow (forest-cover loss per zone between
+    years: wri/zonal-datacube's whole reason to exist). The time span
+    splits at its midpoint (computed in exact epoch-µs arithmetic from
+    a broadcast 1-row min/max aggregate — SF-invariant, no calendar
+    constants), each epoch aggregates per zone in the SAME broadcast
+    range join + partial-agg pass as q_zonal_stats (conditional
+    aggregates, one scan, one shuffle), and the output is the per-zone
+    delta and relative change."""
+    cells = load_table(spark, sf_dir, "events")
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+    bounds = F.broadcast(
+        cells.agg(
+            F.expr(
+                f"({us.format('min(ts)')} + {us.format('max(ts)')}) div 2"
+            ).alias("mid_us")
+        )
+    )
+    zones = F.broadcast(zones_df(spark))
+    joined = (
+        cells.join(
+            zones, (cells.value >= zones.lo) & (cells.value < zones.hi)
+        )
+        .crossJoin(bounds)
+        .withColumn(
+            "in_p1", F.expr(us.format("ts")) < F.col("mid_us")
+        )
+    )
+    p1v = F.when(F.col("in_p1"), F.col("value"))
+    p2v = F.when(~F.col("in_p1"), F.col("value"))
+    return (
+        joined.groupBy("zone_id")
+        .agg(
+            F.count(p1v).alias("n_p1"),
+            F.count(p2v).alias("n_p2"),
+            F.round(F.avg(p1v), 6).alias("mean_p1"),
+            F.round(F.avg(p2v), 6).alias("mean_p2"),
+        )
+        .select(
+            "zone_id",
+            "n_p1",
+            "n_p2",
+            "mean_p1",
+            "mean_p2",
+            F.round(F.col("mean_p2") - F.col("mean_p1"), 6).alias("delta"),
+            F.round(
+                (F.col("mean_p2") - F.col("mean_p1")) / F.col("mean_p1"), 6
+            ).alias("rel_change"),
+        )
+    )
+
+
 QUERIES = {
     "q_zonal_stats": q_zonal_stats,
+    "q_zonal_change": q_zonal_change,
     "q_zonal_weighted": q_zonal_weighted,
     "q_zonal_categorical": q_zonal_categorical,
     "q_zonal_timeseries": q_zonal_timeseries,
@@ -172,6 +226,39 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_zonal_change": f"""
+        WITH bounds AS (
+            SELECT (date_diff('microsecond',
+                              TIMESTAMP '1970-01-01 00:00:00', min(ts))
+                    + date_diff('microsecond',
+                                TIMESTAMP '1970-01-01 00:00:00', max(ts)))
+                   // 2 AS mid_us
+            FROM events
+        ),
+        joined AS (
+            SELECT z.zone_id, e.value,
+                   date_diff('microsecond',
+                             TIMESTAMP '1970-01-01 00:00:00', e.ts)
+                       < b.mid_us AS in_p1
+            FROM events e
+            JOIN (VALUES {ZONES_SQL_VALUES}) AS z(zone_id, lo, hi)
+              ON e.value >= z.lo AND e.value < z.hi
+            CROSS JOIN bounds b
+        ),
+        agg AS (
+            SELECT zone_id,
+                   count(CASE WHEN in_p1 THEN value END) AS n_p1,
+                   count(CASE WHEN NOT in_p1 THEN value END) AS n_p2,
+                   round(avg(CASE WHEN in_p1 THEN value END), 6) AS mean_p1,
+                   round(avg(CASE WHEN NOT in_p1 THEN value END), 6)
+                       AS mean_p2
+            FROM joined GROUP BY zone_id
+        )
+        SELECT zone_id, n_p1, n_p2, mean_p1, mean_p2,
+               round(mean_p2 - mean_p1, 6) AS delta,
+               round((mean_p2 - mean_p1) / mean_p1, 6) AS rel_change
+        FROM agg
+    """,
     "q_zonal_weighted": f"""
         WITH zones(zone_id, lo, hi) AS (VALUES {ZONES_SQL_VALUES}),
         cells AS (
