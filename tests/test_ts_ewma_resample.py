@@ -103,3 +103,49 @@ def test_rank_migration_movers_ordered(spark):
     assert deltas == sorted(deltas, reverse=True)
     for r in rows:
         assert r.delta == r.rank_a - r.rank_b
+
+
+def test_ewma_truncation_invisible_at_rounding(spark):
+    """The docstring claims 0.5^40 weights are six orders below the 1e-6
+    output rounding — verify by recomputing with a 60-lag window: the
+    truncated tail must move the answer by far less than the rounding
+    grain."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from zonal_datacube_spark.operators.timeseries import q_ts_ewma
+    from zonal_datacube_spark.sources.loader import load_table
+
+    got = {r.event_type: r.ewma_last for r in q_ts_ewma(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events")
+    span = 60
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(span - 1), 0)
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wide = (
+        ev.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.collect_list("value").over(w).alias("vals"),
+        )
+        .withColumn(
+            "ewma",
+            F.expr(
+                "aggregate(transform(vals, (x, i) ->"
+                "  x * power(0.5, size(vals) - 1 - i)),"
+                " cast(0.0 as double), (acc, x) -> acc + x)"
+                " / (2.0 - power(0.5, size(vals) - 1))"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    for r in wide:
+        assert abs(r.ewma - got[r.event_type]) < 1e-7
