@@ -148,4 +148,6 @@ def test_ewma_truncation_invisible_at_rounding(spark):
         .collect()
     )
     for r in wide:
-        assert abs(r.ewma - got[r.event_type]) < 1e-7
+        # the declared key rounds at 6; the truncated tail must not be
+        # able to move the ROUNDED value (tail ≲1e-7 ≪ the 5e-7 grain)
+        assert round(r.ewma, 6) == got[r.event_type]
