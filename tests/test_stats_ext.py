@@ -301,3 +301,15 @@ def test_zonal_change_epochs_partition_cells(spark):
         assert r.n_p1 + r.n_p2 == totals[z]  # epochs partition every zone
         if r.mean_p1 and r.mean_p2:
             assert abs(r.delta - round(r.mean_p2 - r.mean_p1, 6)) < 1e-9
+
+
+def test_raster_focal_neighborhood_classes(spark):
+    from zonal_datacube_spark.operators.zonal import RASTER_N, q_raster_focal
+
+    rows = {r.n_nbrs: r for r in q_raster_focal(spark, SF_SMOKE).collect()}
+    assert set(rows) == {4, 6, 9}
+    assert rows[4].n_cells == 4  # corners
+    assert rows[6].n_cells == 4 * (RASTER_N - 2)  # edges
+    assert rows[9].n_cells == (RASTER_N - 2) ** 2  # interior
+    for r in rows.values():
+        assert 0 <= r.min_focal_mean <= r.avg_focal_mean <= r.max_focal_mean <= 96

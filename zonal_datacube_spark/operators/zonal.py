@@ -216,9 +216,63 @@ def q_zonal_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raster_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOCAL (neighborhood) statistics — the raster-algebra smoothing
+    kernel (3×3 focal mean, the moving-window op beside zonal in every
+    raster engine). Expressed as scatter-gather: each cell EXPLODES to
+    its 9 neighbor positions and the per-target mean folds in one
+    partial+final aggregate keyed by cell — no self-join on coordinates,
+    and at 100 TB the shuffle is 9× the raster, partitioned by target
+    cell (in production, tile the grid so the halo exchange touches
+    tile borders only — the chunk+halo pattern of
+    functions/chunked_window.py in two dimensions). Edge cells average
+    over their existing neighbors (count 4/6/9 for corner/edge/
+    interior); the output rolls up per neighborhood class."""
+    n = RASTER_N
+    cells = spark.range(0, n * n).select(
+        (F.col("id") % n).alias("x"),
+        F.floor(F.col("id") / n).alias("y"),
+    ).select(
+        "x",
+        "y",
+        ((F.col("x") * 31 + F.col("y") * 17) % 97).alias("val"),
+    )
+    offsets = F.expr(
+        "flatten(transform(sequence(-1, 1), dx ->"
+        " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+    )
+    scattered = (
+        cells.select(
+            "x", "y", "val", F.explode(offsets).alias("o")
+        )
+        .select(
+            (F.col("x") + F.col("o.dx")).alias("tx"),
+            (F.col("y") + F.col("o.dy")).alias("ty"),
+            "val",
+        )
+        .filter(
+            (F.col("tx") >= 0)
+            & (F.col("tx") < n)
+            & (F.col("ty") >= 0)
+            & (F.col("ty") < n)
+        )
+    )
+    focal = scattered.groupBy("tx", "ty").agg(
+        F.count("*").alias("n_nbrs"),
+        F.avg("val").alias("fmean"),
+    )
+    return focal.groupBy("n_nbrs").agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.avg("fmean"), 6).alias("avg_focal_mean"),
+        F.round(F.min("fmean"), 6).alias("min_focal_mean"),
+        F.round(F.max("fmean"), 6).alias("max_focal_mean"),
+    )
+
+
 QUERIES = {
     "q_zonal_stats": q_zonal_stats,
     "q_zonal_change": q_zonal_change,
+    "q_raster_focal": q_raster_focal,
     "q_zonal_weighted": q_zonal_weighted,
     "q_zonal_categorical": q_zonal_categorical,
     "q_zonal_timeseries": q_zonal_timeseries,
@@ -226,6 +280,31 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_raster_focal": f"""
+        WITH cells AS (
+            SELECT (i % {RASTER_N}) AS x, (i // {RASTER_N}) AS y,
+                   ((i % {RASTER_N}) * 31 + (i // {RASTER_N}) * 17) % 97
+                       AS val
+            FROM generate_series(0, {RASTER_N * RASTER_N - 1}) AS t(i)
+        ),
+        scattered AS (
+            SELECT c.x + dx.d AS tx, c.y + dy.d AS ty, c.val
+            FROM cells c,
+                 (VALUES (-1), (0), (1)) AS dx(d),
+                 (VALUES (-1), (0), (1)) AS dy(d)
+            WHERE c.x + dx.d BETWEEN 0 AND {RASTER_N - 1}
+              AND c.y + dy.d BETWEEN 0 AND {RASTER_N - 1}
+        ),
+        focal AS (
+            SELECT tx, ty, count(*) AS n_nbrs, avg(val) AS fmean
+            FROM scattered GROUP BY tx, ty
+        )
+        SELECT n_nbrs, count(*) AS n_cells,
+               round(avg(fmean), 6) AS avg_focal_mean,
+               round(min(fmean), 6) AS min_focal_mean,
+               round(max(fmean), 6) AS max_focal_mean
+        FROM focal GROUP BY n_nbrs
+    """,
     "q_zonal_change": f"""
         WITH bounds AS (
             SELECT (date_diff('microsecond',

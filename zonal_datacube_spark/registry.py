@@ -102,6 +102,7 @@ KEY_ORDER = (
     "q_agg_quantiles_multi",
     "q_report_ltv_deciles",
     "q_zonal_change",
+    "q_raster_focal",
     # q_dedup_simhash must stay inside the 50-entry window (round-1 blind
     # spot list, tests/test_registry_bench.py) — the round-4 block above
     # would otherwise push it to position 51
