@@ -65,6 +65,7 @@ FAMILIES: dict[str, list[str]] = {
     "salted-window (r4)": ["q_window_salted"],
     "behavior (r4)": ["q_basket_affinity", "q_set_overlap_jaccard"],
     "text/graph (r4b)": ["q_text_pmi", "q_graph_sssp", "q_ts_peaks"],
+    "zonal (r4b)": ["q_zonal_change", "q_raster_focal"],
 }
 
 N_RUNS = 3  # median of 3 warm runs
