@@ -151,3 +151,30 @@ def test_ewma_truncation_invisible_at_rounding(spark):
         # the declared key rounds at 6; the truncated tail must not be
         # able to move the ROUNDED value (tail ≲1e-7 ≪ the 5e-7 grain)
         assert round(r.ewma, 6) == got[r.event_type]
+
+
+def test_moving_median_matches_numpy(spark):
+    """Trailing-21-row interpolated median vs numpy's percentile on the
+    same trailing windows (linear interpolation = the same estimator)."""
+    import numpy as np
+
+    from zonal_datacube_spark.operators.timeseries import (
+        MOVMED_ROWS,
+        q_ts_moving_median,
+    )
+
+    got = {r.event_type: r for r in q_ts_moving_median(spark, SF_SMOKE).collect()}
+    pdf = _events_pdf()
+    for etype, g in pdf.groupby("event_type"):
+        v = g["value"].to_numpy()
+        meds = np.array(
+            [
+                np.percentile(v[max(0, i - MOVMED_ROWS + 1) : i + 1], 50)
+                for i in range(len(v))
+            ]
+        )
+        r = got[etype]
+        assert r.n_points == len(v)
+        assert abs(r.avg_moving_med - meds.mean()) < 1e-5
+        assert abs(r.min_moving_med - meds.min()) < 1e-5
+        assert abs(r.max_moving_med - meds.max()) < 1e-5
