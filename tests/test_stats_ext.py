@@ -313,3 +313,32 @@ def test_raster_focal_neighborhood_classes(spark):
     assert rows[9].n_cells == (RASTER_N - 2) ** 2  # interior
     for r in rows.values():
         assert 0 <= r.min_focal_mean <= r.avg_focal_mean <= r.max_focal_mean <= 96
+
+
+def test_entropy_matches_numpy(spark):
+    """Bucketed Shannon entropy vs a numpy histogram on identical
+    equal-width edges."""
+    import numpy as np
+
+    from zonal_datacube_spark.operators.stats_ext import (
+        ENTROPY_BUCKETS,
+        q_agg_entropy,
+    )
+
+    got = {r.event_type: r for r in q_agg_entropy(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "value")
+    by_type = {}
+    for r in ev.collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for etype, vals in by_type.items():
+        v = np.asarray(vals)
+        lo, hi = v.min(), v.max()
+        idx = np.minimum(
+            ENTROPY_BUCKETS - 1,
+            np.floor((v - lo) / ((hi - lo) / ENTROPY_BUCKETS)).astype(int),
+        )
+        counts = np.bincount(idx, minlength=ENTROPY_BUCKETS)
+        p = counts[counts > 0] / counts.sum()
+        ref = float(-(p * np.log2(p)).sum() / np.log2(ENTROPY_BUCKETS))
+        assert abs(got[etype].norm_entropy - ref) < 1e-5
+        assert got[etype].n_buckets_hit == int((counts > 0).sum())
