@@ -71,16 +71,37 @@ def main() -> int:
     # Materialize via Arrow (toPandas): full result transfer at columnar
     # speed — collect()'s per-Row Python object construction would bench
     # the driver's deserializer, not the engine.
-    timings: dict[str, float] = {}
-    for key in sorted(queries):
-        t0 = time.perf_counter()
-        queries[key](spark, sf_dir).toPandas()
-        timings[key] = round(time.perf_counter() - t0, 4)
+    #
+    # $SPARK_GRAFT_BENCH_RUNS > 1 repeats the measured loop and reports
+    # the per-key MEDIAN (noise hardening, VERDICT r04 next-round #7: a
+    # single loaded-machine run can't masquerade as a regression; the
+    # repo's own 3-run medians live in BENCH_FULL.json). Default stays 1
+    # so the driver's per-round budget is unchanged.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    samples: dict[str, list[float]] = {k: [] for k in queries}
+    for _ in range(n_runs):
+        for key in sorted(queries):
+            t0 = time.perf_counter()
+            queries[key](spark, sf_dir).toPandas()
+            samples[key].append(round(time.perf_counter() - t0, 4))
+    timings = {k: sorted(v)[len(v) // 2] for k, v in samples.items()}
 
     # Full-precision per-query detail for human/judge consumption — the
     # stdout line below is width-budgeted for the driver's tail buffer.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
-        json.dump({"sf": sf, "queries": timings, "total": round(sum(timings.values()), 4)}, f)
+        json.dump(
+            {
+                "sf": sf,
+                "n_runs": n_runs,
+                "queries": timings,
+                "spread": {
+                    k: {"min": min(v), "median": timings[k], "max": max(v)}
+                    for k, v in samples.items()
+                },
+                "total": round(sum(timings.values()), 4),
+            },
+            f,
+        )
     print(bench_json_line(timings, sf))
     return 0
 

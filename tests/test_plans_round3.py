@@ -64,4 +64,14 @@ def test_streaks_has_no_self_join(spark):
 def test_pareto_bounded_shuffles(spark):
     plan = formatted_plan(q_window_pareto(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
-    assert _tree_exchanges(plan) <= 5  # join, rollup, window, final agg
+    # r05: the brand-partitioned running sum became the range-bucketed
+    # two-level prefix sweep — the plan re-evaluates the part-grain
+    # rollup once per sweep level (bounds / window path / bucket totals;
+    # AQE's ReuseExchange dedupes identical branches at runtime), so the
+    # static exchange count rises while the worst TASK shrinks from "one
+    # reducer sorts a brand" to "one bucket of one brand". Lock the
+    # structural invariants instead of the raw exchange count: every
+    # data-path window is bucket-keyed, and the exchange count stays
+    # bounded by the sweep's fixed 3-branch shape.
+    assert "_zds_ps_bucket" in plan
+    assert _tree_exchanges(plan) <= 12

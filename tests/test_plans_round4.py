@@ -30,12 +30,28 @@ def test_zonal_change_single_scan_broadcast_join(spark):
 
 
 def test_weighted_median_no_global_fact_window(spark):
+    import re
+
     plan = _plan(spark, "q_agg_weighted_median")
-    # the cumulative sweep runs AFTER the per-price collapse: the node
-    # directly above the fact scan is the collapsing aggregate, so no
-    # Window ever sees fact-table rows
-    assert "Window" in plan
-    assert "(2) HashAggregate" in plan
+    # the cumulative sweep runs AFTER the per-price collapse AND through
+    # the range-bucketed two-level prefix sweep: every Window node over
+    # the data path is keyed by the internal bucket column, so neither
+    # the fact table nor the distinct-price table ever enters a window
+    # whose partition count is the 3-value flag enum (r05 rewrite)
+    tree = plan.split("\n\n")[0]
+    win_lines = [ln for ln in tree.splitlines() if re.search(r"\+- Window", ln)]
+    assert win_lines, plan
+    detail = re.findall(r"\(\d+\) Window\nInput.*\nArguments: \[.*?windowspecdefinition\(([^)]*)\)", plan)
+    assert "_zds_ps_bucket" in plan
+    # the DATA window is keyed by (flag, bucket); at most one residual
+    # flag-only window remains — the offsets sweep over the bucket-grain
+    # totals table, which is bounded at n_buckets rows per flag
+    data_windows = [a for a in detail if "_zds_ps_bucket" in a]
+    flag_only = [
+        a for a in detail if "l_returnflag" in a and "_zds_ps_bucket" not in a
+    ]
+    assert data_windows, plan
+    assert len(flag_only) <= 1, flag_only
 
 
 def test_bloom_semi_filter_below_join(spark):
@@ -58,6 +74,10 @@ def test_quantiles_multi_single_aggregate(spark):
 
 def test_ltv_deciles_window_on_rollup_not_fact(spark):
     plan = _plan(spark, "q_report_ltv_deciles")
-    # same shape: the per-customer rollup sits directly on the scan; the
-    # ntile window only ever sees customer-grain rows
-    assert "(2) HashAggregate" in plan
+    # the per-customer rollup sits directly on the scan; the global row
+    # number comes from the bucket-partitioned prefix sweep (r05), so no
+    # customer-grain row ever enters a single-partition data window —
+    # F.ntile itself must be GONE from the plan (it is reconstructed
+    # arithmetically from row_number + total count)
+    assert "_zds_ps_bucket" in plan
+    assert "ntile" not in plan.lower()

@@ -13,39 +13,48 @@ from bench import bench_json_line
 from zonal_datacube_spark.registry import KEY_ORDER, all_oracle_sql, all_queries
 
 
+CHANGED_IN_R05 = (
+    # the prefix-sweep family + minute-grain anomaly + oracle/guard edits
+    "q_ts_anomaly",
+    "q_agg_weighted_median",
+    "q_skyline_dominance",
+    "q_agg_gini",
+    "q_report_ltv_deciles",
+    "q_agg_entropy",
+    "q_window_pareto",
+    "q_report_abc_class",
+    "q_sort_limit_with_ties",
+    "q_sink_dynamic_overwrite",
+)
+
+
 def test_registry_order_puts_priority_keys_first():
-    """Window policy: the driver records CORRECTNESS rows for the first
-    ~50 keys only, so the front of the registry must hold (a) every key
-    with NO driver-green row from any prior round — their first
-    verification — and (b) every key whose implementation changed this
-    round. Keys already green in an earlier CORRECTNESS artifact may
-    slip past 50 (the judge aggregates across rounds)."""
+    """Window policy (VERDICT r04 next-round #5): the driver records
+    CORRECTNESS rows for the first ~50 keys only. Round-5 window = (a)
+    every key whose implementation changed this round (fresh driver
+    attestation for the rewrites), then (b) keys that have NEVER been in
+    any driver CORRECTNESS window — at least 40 of them, pushing
+    driver-attested coverage past 80% after this round. The dark set is
+    derived from the CORRECTNESS_r0x artifacts themselves, so this test
+    re-validates whenever a new artifact lands."""
+    import glob
+    import json
     import os
 
     keys = list(all_queries())
     assert keys[: len(KEY_ORDER)] == list(KEY_ORDER)
     window = set(keys[:50])
 
-    # round membership comes from the r03 parity artifact
-
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r03_keys: set[str] = set()
-    with open(os.path.join(root, "PARITY_r03.txt")) as fh:
-        for line in fh:
-            if line.startswith("["):
-                r03_keys.add(line.split("]", 1)[1].split(":")[0].strip())
-    new_in_r04 = [k for k in keys if k not in r03_keys]
-    # every round-4 key needs its FIRST driver row → must be in window
-    overflow = [k for k in new_in_r04 if k not in window]
-    assert not overflow, f"round-4 keys outside the driver window: {overflow}"
-    # ...and keys whose implementation changed in round 4 must be too
-    for k in (
-        "q_ts_anomaly",
-        "q_sim_join",
-        "q_dedup_simhash",
-        "q_sort_keyset_pagination",
-        "q_mv_rewrite",
-    ):
+    sampled: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-4].json"))):
+        with open(path) as fh:
+            sampled |= set(json.load(fh))
+    dark_in_window = [k for k in keys[:50] if k not in sampled]
+    assert len(dark_in_window) >= 40, (
+        f"only {len(dark_in_window)} never-sampled keys in the window"
+    )
+    for k in CHANGED_IN_R05:
         assert k in window, k
 
 

@@ -1,0 +1,80 @@
+"""q_ts_anomaly's r05 moment-grain rewrite: the per-(type, minute)
+moment table + sliding frame + exact mean/std reconstruction must give
+the SAME scores as a direct per-row minute-range window (the naive plan
+the rewrite replaces). VERDICT r04 next-round #4's equivalence guard."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from zonal_datacube_spark.operators.timeseries import (
+    ANOMALY_WINDOW_MIN,
+    ANOMALY_Z,
+    q_ts_anomaly,
+)
+from zonal_datacube_spark.sources.loader import load_table
+
+
+def _direct(spark):
+    """Single-partition-per-type direct window — correct but
+    density-superlinear; the reference implementation for this test."""
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "epm",
+        F.expr(
+            "timestampdiff(MINUTE, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epm")
+        .rangeBetween(-ANOMALY_WINDOW_MIN, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    ).filter(F.col("sd").isNotNull() & (F.col("sd") > 0))
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_scored"),
+        F.sum((F.abs(z) > ANOMALY_Z).cast("bigint")).alias("n_anomalies"),
+        F.round(F.max(F.abs(z)), 4).alias("max_abs_z"),
+    )
+
+
+def test_moment_grain_equals_direct_window(spark):
+    got = {r.event_type: r for r in q_ts_anomaly(spark, SF_SMOKE).collect()}
+    want = {r.event_type: r for r in _direct(spark).collect()}
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t].n_scored == want[t].n_scored, t
+        assert got[t].n_anomalies == want[t].n_anomalies, t
+        # z folds exactly from the centered moments; 4dp rounding should
+        # agree bit-for-bit, but allow the last ulp of the reconstruction
+        assert abs(got[t].max_abs_z - want[t].max_abs_z) <= 1e-3, t
+
+
+def test_grain_table_is_time_bounded_not_row_bounded(spark):
+    """The design claim: the moment table's size is bounded by the time
+    span × type cardinality, independent of event density."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_types = ev.select("event_type").distinct().count()
+    span_min = ev.select(
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("s")
+    ).first()["s"] / 60
+    grain_rows = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "timestampdiff(MINUTE, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("epm"),
+        )
+        .distinct()
+        .count()
+    )
+    assert grain_rows <= n_types * (span_min + 1)

@@ -66,6 +66,15 @@ FAMILIES: dict[str, list[str]] = {
     "behavior (r4)": ["q_basket_affinity", "q_set_overlap_jaccard"],
     "text/graph (r4b)": ["q_text_pmi", "q_graph_sssp", "q_ts_peaks"],
     "zonal (r4b)": ["q_zonal_change", "q_raster_focal"],
+    # r5: the range-bucketed prefix-sweep family + the ties pre-filter —
+    # these rows are the evidence that VERDICT r04's ordered-sweep
+    # weaknesses actually flattened (target ≤ ~1.5× per 10× data)
+    "prefix-sweep (r5)": [
+        "q_agg_gini",
+        "q_window_pareto",
+        "q_report_ltv_deciles",
+        "q_sort_limit_with_ties",
+    ],
 }
 
 N_RUNS = 3  # median of 3 warm runs

@@ -1,0 +1,233 @@
+"""Range-bucketed two-level prefix aggregation — the distributed rewrite
+of ordered cumulative sweeps (VERDICT r04 next-round #1).
+
+Problem: ``Window.partitionBy(enum_key).orderBy(v)`` (or worse, a global
+``Window.orderBy(v)``) computes running sums / running maxes / row
+numbers with parallelism capped at the cardinality of the partition key —
+1 for a global sweep. Correct at any SF, but at 100 TB the ordered pass
+is a single-reducer sort of a data-scaled table: the job IS that one
+straggler task.
+
+Rewrite (the standard distributed prefix-sum / scan decomposition):
+
+1. bucket the order column into ``n_buckets`` equal-width value ranges
+   per partition key (per-key min/max from one tiny broadcast aggregate —
+   equal VALUES always share a bucket, so ordering by value across
+   buckets is total);
+2. run the window INSIDE each (key, bucket) — parallelism is now
+   ``n_keys × n_buckets`` and grows with however many buckets you ask
+   for, not with key cardinality;
+3. roll each bucket up to one totals row, sweep THOSE (a window over the
+   bucket-grain table — at most ``n_keys × n_buckets`` rows, broadcast
+   sized by construction) to get each bucket's prefix offset, and
+   broadcast the offsets back: ``global_prefix = in_bucket_prefix +
+   offset_of_all_earlier_buckets``.
+
+The in-bucket frame sees exactly the rows before it in its bucket and the
+offset contributes exactly the full earlier buckets, so every row's
+global prefix is IDENTICAL to the single-partition window's — same
+answer, two data-parallel passes + one broadcast-sized sweep. Supported
+prefix shapes: inclusive running sum, exclusive (strict) running sum,
+exclusive running max, and global row_number — enough for cumulative
+shares (Pareto/ABC), weighted medians, rank sweeps (Gini), skyline
+frontiers, and ntile assignment.
+
+FP note: integer inputs (counts, quantized weights) stay exact — addition
+order is irrelevant. Double inputs reassociate (bucket partials + offset
+instead of one left-to-right chain), the same class of reassociation any
+distributed SUM already performs; callers that compare a double prefix to
+a threshold inherit the usual last-ulp caveat they already had with
+distributed aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_P, _B = "_zds_ps_part", "_zds_ps_bucket"
+
+DEFAULT_BUCKETS = 64
+
+
+def prefix_sweep(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    *,
+    descending: bool = False,
+    tiebreak: Sequence[str] = (),
+    sum_cols: Mapping[str, str] | None = None,
+    strict_sum_cols: Mapping[str, str] | None = None,
+    strict_max_cols: Mapping[str, str] | None = None,
+    row_number_col: str | None = None,
+    total_sum_cols: Mapping[str, str] | None = None,
+    total_count_col: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """``df`` + the requested global-prefix columns, computed with
+    (part, value-bucket) parallelism instead of one sort per part key.
+
+    ``sum_cols`` / ``strict_sum_cols`` / ``strict_max_cols`` map
+    ``out_name -> input_col``: inclusive running sum (frame …, CURRENT
+    ROW), exclusive running sum, and exclusive running max over the
+    ``(order_col, *tiebreak)`` total order. ``row_number_col`` adds the
+    global 1-based row number. ``order_col`` must be numeric and
+    non-null; ties on ``order_col`` are ordered by ``tiebreak`` within a
+    bucket (equal values never straddle buckets, so the cross-bucket
+    order needs no tiebreak).
+
+    Exclusive ("strict") frames are ROW-based like the single-partition
+    window they replace: a row's strict frame includes earlier tiebreak
+    peers at the same order value. Callers needing value-strict
+    semantics (skyline) should pass a table already distinct on
+    ``order_col``.
+
+    ``total_sum_cols`` / ``total_count_col`` additionally attach each
+    part's FULL total (sum of ``input_col`` / row count) — computed on
+    the bucket-grain totals table, i.e. for free: callers that need
+    cumulative SHARES or ntile denominators should take totals from
+    here instead of re-aggregating the input, which would re-evaluate
+    the whole upstream subtree a third time (Spark plans, not caches,
+    shared DataFrame branches).
+    """
+    sums = dict(sum_cols or {})
+    ssums = dict(strict_sum_cols or {})
+    smaxes = dict(strict_max_cols or {})
+    tsums = dict(total_sum_cols or {})
+    if not (sums or ssums or smaxes or row_number_col or tsums or total_count_col):
+        raise ValueError("no prefix columns requested")
+
+    parts = list(part_cols)
+    work = df
+    if not parts:
+        work = work.withColumn(_P, F.lit(1))
+        parts = [_P]
+
+    bounds = work.groupBy(*parts).agg(
+        F.min(order_col).alias("_zds_lo"), F.max(order_col).alias("_zds_hi")
+    )
+    lo, hi = F.col("_zds_lo"), F.col("_zds_hi")
+    width = (hi - lo) / F.lit(float(n_buckets))
+    # equal-width value buckets; a degenerate (constant-value) part maps
+    # wholly to bucket 0. least/greatest guard the hi edge and FP dust.
+    bucket = (
+        F.when(
+            hi > lo,
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(
+                    F.lit(0), F.floor((F.col(order_col) - lo) / width)
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    work = (
+        work.join(F.broadcast(bounds), parts)
+        .withColumn(_B, bucket)
+        .drop("_zds_lo", "_zds_hi")
+    )
+
+    # ---- level 1: the window inside each (part, bucket) ----
+    order_exprs = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ] + [F.col(c).asc() for c in tiebreak]
+    in_w = Window.partitionBy(*parts, _B).orderBy(*order_exprs)
+    incl = in_w.rowsBetween(Window.unboundedPreceding, 0)
+    excl = in_w.rowsBetween(Window.unboundedPreceding, -1)
+    local: dict[str, Column] = {}
+    for out, src in sums.items():
+        local[out] = F.sum(src).over(incl)
+    for out, src in ssums.items():
+        local[out] = F.sum(src).over(excl)
+    for out, src in smaxes.items():
+        local[out] = F.max(src).over(excl)
+    if row_number_col:
+        local[row_number_col] = F.row_number().over(in_w)
+
+    # ---- level 2: bucket totals → prefix offsets (broadcast-sized) ----
+    tot_aggs: list[Column] = []
+    sum_srcs = sorted(set(sums.values()) | set(ssums.values()) | set(tsums.values()))
+    max_srcs = sorted(set(smaxes.values()))
+    need_counts = bool(row_number_col or total_count_col)
+    for src in sum_srcs:
+        tot_aggs.append(F.sum(src).alias(f"_zds_ts_{src}"))
+    for src in max_srcs:
+        tot_aggs.append(F.max(src).alias(f"_zds_tm_{src}"))
+    if need_counts:
+        tot_aggs.append(F.count(F.lit(1)).alias("_zds_tn"))
+    totals = work.groupBy(*parts, _B).agg(*tot_aggs)
+
+    off_order = F.col(_B).desc() if descending else F.col(_B).asc()
+    off_w = (
+        Window.partitionBy(*parts)
+        .orderBy(off_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    full_w = Window.partitionBy(*parts)
+    off_sel: list[Column] = [F.col(c) for c in (*parts, _B)]
+    for src in sum_srcs:
+        off_sel.append(F.sum(f"_zds_ts_{src}").over(off_w).alias(f"_zds_os_{src}"))
+    for src in max_srcs:
+        off_sel.append(F.max(f"_zds_tm_{src}").over(off_w).alias(f"_zds_om_{src}"))
+    if row_number_col:
+        off_sel.append(F.sum("_zds_tn").over(off_w).alias("_zds_on"))
+    # per-part TOTALS ride the same bucket-grain table (n_buckets rows
+    # per part) — a full-partition window here is bounded, not data-scaled
+    for out, src in tsums.items():
+        off_sel.append(F.sum(f"_zds_ts_{src}").over(full_w).alias(out))
+    if total_count_col:
+        off_sel.append(F.sum("_zds_tn").over(full_w).alias(total_count_col))
+    offsets = totals.select(*off_sel)
+
+    # ---- stitch: local prefix + earlier-bucket offset ----
+    swept = work.select("*", *[c.alias(n) for n, c in local.items()]).join(
+        F.broadcast(offsets), [*parts, _B]
+    )
+    out_cols: dict[str, Column] = {}
+    for out, src in sums.items():
+        out_cols[out] = F.col(out) + F.coalesce(F.col(f"_zds_os_{src}"), F.lit(0))
+    for out, src in ssums.items():
+        off = F.coalesce(F.col(f"_zds_os_{src}"), F.lit(0))
+        # a bucket-leading row has a null (empty) strict local frame: its
+        # strict global prefix is exactly the earlier buckets — but stays
+        # null when there are none (first row overall), matching the
+        # single-partition window.
+        out_cols[out] = F.when(
+            F.col(out).isNotNull(), F.col(out) + off
+        ).otherwise(F.col(f"_zds_os_{src}"))
+    for out, src in smaxes.items():
+        # greatest() skips nulls; null iff both frames are empty
+        out_cols[out] = F.greatest(F.col(out), F.col(f"_zds_om_{src}"))
+    if row_number_col:
+        out_cols[row_number_col] = (
+            F.col(row_number_col) + F.coalesce(F.col("_zds_on"), F.lit(0))
+        ).cast("long")
+
+    result = swept
+    for name, col in out_cols.items():
+        result = result.withColumn(name, col)
+    drop = [_B] + [c for c in result.columns if c.startswith("_zds_o")]
+    if _P in result.columns:
+        drop.append(_P)
+    return result.drop(*drop)
+
+
+def ntile_from_row_number(rn: Column, n_rows: Column, k: int) -> Column:
+    """SQL NTILE(k) reconstructed from a global row number and the total
+    row count — the distributed replacement for ``F.ntile(k).over(global
+    window)``. The first ``n_rows % k`` tiles get ``ceil(n/k)`` rows, the
+    rest ``floor(n/k)`` (the ANSI allocation). Exact for any n ≥ 1."""
+    q = F.floor(n_rows / k)
+    r = n_rows - q * k
+    head = r * (q + 1)
+    return (
+        F.when(q == F.lit(0), rn)  # fewer rows than tiles: tile == rn
+        .when(rn <= head, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - head - 1) / q) + 1)
+        .cast("int")
+    )

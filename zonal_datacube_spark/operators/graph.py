@@ -241,25 +241,32 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(SSSP_SOURCE).alias("node"), F.lit(0).alias("hops")
     ).coalesce(1).localCheckpoint()
     frontier = dist
-    for hop in range(1, SSSP_MAX_HOPS + 1):
-        # localCheckpoint TRUNCATES the logical lineage each round —
-        # without it the union/anti-join plan tree doubles per hop and
-        # Catalyst re-optimization, not execution, becomes the cost
-        # (measured: hop 6 alone took 22 s planning at sf0.1; with
-        # checkpointing every round is ~0.3 s)
-        nxt = (
-            frontier.join(heavy, frontier.node == heavy.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(dist.select("node"), "node", "left_anti")
-            .select("node", F.lit(hop).alias("hops"))
-            .coalesce(1)
-            .localCheckpoint()
-        )
-        if not nxt.take(1):  # frontier exhausted — BFS converged
-            break
-        dist = dist.unionByName(nxt).coalesce(1).localCheckpoint()
-        frontier = nxt
+    try:
+        for hop in range(1, SSSP_MAX_HOPS + 1):
+            # localCheckpoint TRUNCATES the logical lineage each round —
+            # without it the union/anti-join plan tree doubles per hop and
+            # Catalyst re-optimization, not execution, becomes the cost
+            # (measured: hop 6 alone took 22 s planning at sf0.1; with
+            # checkpointing every round is ~0.3 s)
+            nxt = (
+                frontier.join(heavy, frontier.node == heavy.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(dist.select("node"), "node", "left_anti")
+                .select("node", F.lit(hop).alias("hops"))
+                .coalesce(1)
+                .localCheckpoint()
+            )
+            if not nxt.take(1):  # frontier exhausted — BFS converged
+                break
+            dist = dist.unionByName(nxt).coalesce(1).localCheckpoint()
+            frontier = nxt
+    finally:
+        # the final dist checkpoint is already materialized, so the
+        # returned plan no longer reads `heavy` — drop its cached blocks
+        # now instead of leaking them into executor storage for the
+        # session's lifetime (ADVICE r04)
+        heavy.unpersist()
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )

@@ -420,10 +420,11 @@ def q_report_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     1997 and the top-10 movers by absolute rank change — the
     competitive-dynamics readout (league-table deltas) that needs two
     ranked windows over one grouped pass, then a self-alignment on the
-    entity. Suppliers absent in a year rank past everyone present
-    (coalesce to +∞ revenue rank via null-last ordering). Both ranking
-    and the final cut order on integers + the unique key, so the limit
-    is engine-stable."""
+    entity. Movers need a rank in BOTH years: the year alignment is an
+    INNER join, so suppliers active in only one year drop out of the
+    migration table (entries/exits are a churn report, not a rank
+    delta). Both ranking and the final cut order on integers + the
+    unique key, so the limit is engine-stable."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.year("l_shipdate").isin(*RANK_YEARS)
     )

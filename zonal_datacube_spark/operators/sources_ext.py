@@ -395,9 +395,20 @@ ORACLE = {
                             '%Y-%m-%d') AS cut
             FROM events
         ),
+        -- dynamic overwrite only rewrites partitions PRESENT in the
+        -- corrected batch: a tail day with zero purchase rows keeps its
+        -- old contents (ADVICE r04 — the blend is per-day, not global)
+        rewritten AS (
+            SELECT DISTINCT day FROM daily, cutoff
+            WHERE day >= cut AND event_type = 'purchase'
+        ),
         blended AS (
             SELECT d.* FROM daily d, cutoff
-            WHERE d.day < cut OR d.event_type = 'purchase'
+            WHERE d.day < cut
+               OR (d.event_type = 'purchase'
+                   AND d.day IN (SELECT day FROM rewritten))
+               OR (d.day >= cut
+                   AND d.day NOT IN (SELECT day FROM rewritten))
         )
         SELECT event_type,
                count(DISTINCT day) AS n_days,
