@@ -1,0 +1,685 @@
+"""Round-5 analytics additions (SURVEY.md §2.16): batch sessionization,
+series autocorrelation, CUSUM drift detection, higher-moment statistics,
+boolean aggregates, winsorized means, RFM segmentation, year-over-year
+growth, inter-order gap statistics, and nearest-event alignment — the
+next ring of the analytics surface a warehouse/behavioral user expects,
+each with an independent DuckDB oracle.
+
+Determinism: counts and day/second gaps are integers (bit-identical);
+double outputs round at 6 (4 for cusum extrema) after both engines
+aggregate the SAME closed-form expressions; ranked/ntile orders always
+carry a unique key tie-break.
+
+Scale notes (100 TB):
+- sessionize/order-gap windows partition on user/customer — natural
+  high-cardinality keys, skew-free.
+- autocorr/cusum first collapse events to the per-(type, minute) grain
+  (bounded by time span × types, not row count — the q_ts_anomaly r05
+  lesson); cusum's running sum goes through the range-bucketed
+  prefix sweep (functions/prefix_sweep.py), never an enum-partitioned
+  full sort.
+- RFM's three quintile assignments each run through the prefix sweep's
+  distributed row_number + arithmetic ntile — no global window ever
+  sees the customer-grain table.
+- yoy joins orders→customer (shuffled hash join on the natural key),
+  then windows over the (nation, year) rollup — bounded output grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.functions.prefix_sweep import (
+    ntile_from_row_number,
+    prefix_sweep,
+)
+from zonal_datacube_spark.sources.loader import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a user's events belong to one session while
+    consecutive gaps stay ≤ 30 minutes (the island starts where the gap
+    exceeds it) — the batch twin of q_stream_session, reported as global
+    session statistics. One user-keyed window pass builds session ids
+    (cumulative sum of gap-break flags), one rollup per session, one
+    global aggregate; durations are integer seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        # MICROSECOND diffs: at the storage precision both engines'
+        # boundary-counting and truncating semantics coincide exactly —
+        # a SECOND-granularity diff on sub-second timestamps does not
+        # (DuckDB counts second-boundary crossings, Spark truncates the
+        # true delta; a 1800.2 s gap straddling a boundary flips them)
+        F.when(
+            F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                   "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+            > SESSION_GAP_MIN * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_id"
+        ),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))")
+            / 1_000_000.0
+        ).alias("dur_s"),
+    )
+    return per_session.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+        F.round(F.avg("dur_s"), 6).alias("avg_session_seconds"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.max("dur_s"), 6).alias("max_session_seconds"),
+    )
+
+
+def _minute_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, minute) mean value — the bounded series every
+    minute-grain analysis here shares. Means round at 6 BEFORE any
+    downstream arithmetic so both engines start from identical series."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.expr(
+            "timestampdiff(MINUTE, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("epm"),
+    ).agg(F.round(F.avg("value"), 6).alias("mv"))
+
+
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each type's minute-mean series — THE
+    one-number memory/whiteness screen (near 0 = noise; near 1 = strong
+    persistence, a different animal for forecasting and anomaly
+    thresholds). The series is the bounded minute grain; the lag pairs
+    come from one type-keyed window over it and feed a plain corr
+    aggregate."""
+    g = _minute_grain(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("epm")
+    paired = g.select(
+        "event_type", "mv", F.lag("mv").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return paired.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.corr("mv", "prev"), 6).alias("autocorr_lag1"),
+    )
+
+
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection: the running sum of each minute-mean's
+    deviation from its series mean; the max/min excursions are the
+    standard change-point evidence (a sustained level shift walks the
+    cusum away from zero long before any single point trips a z-score).
+    The cumulative sweep runs over the bounded minute grain THROUGH the
+    range-bucketed prefix sweep — a deliberate second user of
+    functions/prefix_sweep.py on the time axis (cusum at 100 TB is
+    exactly the enum-partition straggler shape q_agg_gini had)."""
+    g = _minute_grain(spark, sf_dir)
+    centered = g.join(
+        F.broadcast(
+            g.groupBy("event_type").agg(F.avg("mv").alias("tm"))
+        ),
+        "event_type",
+    ).select(
+        "event_type", "epm", (F.col("mv") - F.col("tm")).alias("dev")
+    )
+    swept = prefix_sweep(
+        centered,
+        ["event_type"],
+        "epm",
+        sum_cols={"cusum": "dev"},
+    )
+    return swept.groupBy("event_type").agg(
+        F.count("*").alias("n_minutes"),
+        F.round(F.max("cusum"), 4).alias("max_cusum"),
+        F.round(F.min("cusum"), 4).alias("min_cusum"),
+    )
+
+
+def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis of extended price per return flag,
+    from explicitly-centered moments: broadcast the group mean back onto
+    the scan, aggregate avg((x−m)^k) for k=2,3,4, and fold g1 = m3/m2^1.5,
+    g2 = m4/m2² − 3. Centering first kills the power-sum cancellation
+    (avg(x⁴) carries ~30× the central moment's magnitude here) AND pins
+    both engines to the same population-moment definition — Spark's
+    skewness() and DuckDB's skewness() disagree on sample corrections,
+    so neither builtin is used."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    means = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("m")
+    )
+    d = li.join(F.broadcast(means), "l_returnflag").select(
+        "l_returnflag", (F.col("l_extendedprice") - F.col("m")).alias("d")
+    )
+    mom = d.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.avg(F.col("d") * F.col("d")).alias("m2"),
+        F.avg(F.col("d") * F.col("d") * F.col("d")).alias("m3"),
+        F.avg(F.col("d") * F.col("d") * F.col("d") * F.col("d")).alias("m4"),
+    )
+    return mom.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(F.col("m3") / F.pow("m2", 1.5), 6).alias("skewness_g1"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6).alias(
+            "excess_kurtosis_g2"
+        ),
+    )
+
+
+BOOL_HI_PRICE = 400_000.0
+BOOL_LO_PRICE = 1_000.0
+
+
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates per order priority: BOOL_AND / BOOL_OR /
+    COUNT_IF — the SQL:2023 EVERY/ANY surface DQ rules compile to
+    ("every row priced", "any whale order", "how many finished").
+    Integer/boolean-exact, fully partial-aggregable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr(f"bool_and(o_totalprice > {BOOL_LO_PRICE})").alias(
+            "all_priced"
+        ),
+        F.expr(f"bool_or(o_totalprice > {BOOL_HI_PRICE})").alias(
+            "any_whale"
+        ),
+        F.expr("count_if(o_orderstatus = 'F')").alias("n_finished"),
+    )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean: clamp each price into [p05, p95] then average —
+    the robust-mean partner of the trimmed mean (q_udaf_zonal_trimmed_
+    mean) that KEEPS the tail rows at the fence instead of dropping
+    them. Exact interpolating percentiles per group, broadcast back onto
+    the same scan, one final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    fences = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(l_extendedprice, {WINSOR_HI})").alias("hi"),
+    )
+    clamped = li.join(F.broadcast(fences), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.greatest(
+            F.col("lo"), F.least(F.col("hi"), F.col("l_extendedprice"))
+        ).alias("wx"),
+        (
+            (F.col("l_extendedprice") < F.col("lo"))
+            | (F.col("l_extendedprice") > F.col("hi"))
+        ).alias("clipped"),
+    )
+    return clamped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("wx"), 6).alias("winsorized_mean"),
+        F.round(F.avg("l_extendedprice"), 6).alias("raw_mean"),
+        F.sum(F.col("clipped").cast("bigint")).alias("n_clipped"),
+    )
+
+
+RFM_TILES = 5
+
+
+def q_behavior_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1–5 on Recency (days
+    since last order — lower is better), Frequency (order count), and
+    Monetary (total spend), then the segment census — the classic
+    marketing cube. Each quintile assignment is a distributed
+    row_number through the range-bucketed prefix sweep plus the
+    arithmetic ANSI ntile (functions/prefix_sweep.py) — the
+    customer-grain table never enters a global window. Ties split
+    deterministically on custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("maxd"), F.max("o_orderdate")).alias(
+                "recency_d"
+            ),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+
+    def tile(col: str, out: str, descending: bool) -> DataFrame:
+        # one score table per dimension, joined back on the natural key:
+        # three INDEPENDENT shallow sweeps beat one three-deep chain
+        # (each prefix_sweep re-evaluates its input subtree; chaining
+        # compounds that geometrically, joining keeps it linear)
+        swept = prefix_sweep(
+            per_cust.select("o_custkey", col),
+            [],
+            col,
+            descending=descending,
+            tiebreak=["o_custkey"],
+            row_number_col="_rn",
+            total_count_col="_n",
+        )
+        return swept.select(
+            "o_custkey",
+            ntile_from_row_number(F.col("_rn"), F.col("_n"), RFM_TILES).alias(
+                out
+            ),
+        )
+
+    scored = (
+        per_cust.select("o_custkey", "monetary")
+        .join(tile("recency_d", "r_score", descending=False), "o_custkey")
+        .join(tile("frequency", "f_score", descending=True), "o_custkey")
+        .join(tile("monetary", "m_score", descending=True), "o_custkey")
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+    )
+
+
+def q_report_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: the (nation, year)
+    revenue rollup (orders→customer shuffled hash join, broadcast
+    nation names) with the previous year's revenue aligned by one lag
+    over the bounded year axis; revenue rounds to 2dp BEFORE the ratio
+    so near-tie growth rates are engine-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+    )
+    rolled = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    return (
+        rolled.select(
+            "n_name",
+            "yr",
+            "rev",
+            F.lag("rev").over(w).alias("prev_rev"),
+        )
+        .filter(F.col("prev_rev").isNotNull())
+        .select(
+            "n_name",
+            "yr",
+            "rev",
+            "prev_rev",
+            F.round(
+                (F.col("rev") - F.col("prev_rev")) / F.col("prev_rev"), 6
+            ).alias("yoy_pct"),
+        )
+    )
+
+
+def q_report_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per market segment: the day gaps between a
+    customer's consecutive orders (one customer-keyed window pass),
+    rolled to median / p90 / mean per segment — the replenishment-cycle
+    readout behind "order every N days" lifecycle campaigns. Gaps are
+    integer days; percentiles interpolate identically on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("gap_d"),
+        )
+        .filter(F.col("gap_d").isNotNull())
+    )
+    return (
+        gaps.join(cust, gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_d, 0.5)"), 6).alias("median_gap_d"),
+            F.round(F.expr("percentile(gap_d, 0.9)"), 6).alias("p90_gap_d"),
+            F.round(F.avg("gap_d"), 6).alias("mean_gap_d"),
+        )
+    )
+
+
+def q_join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event alignment: each purchase pairs with the temporally
+    closest non-purchase event of the same user, BEFORE or AFTER (ties
+    go to the earlier side) — the bidirectional generalization of the
+    as-of join that attribution and root-cause tooling ask for. One
+    user-keyed window pass computes both candidates (carry-forward and
+    carry-backward IGNORE NULLS), plain arithmetic picks the nearer;
+    never a per-purchase range join."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "eps",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ),
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase",
+        F.struct(F.col("eps").alias("t"), F.col("event_type").alias("ty")),
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("eps", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("eps", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    paired = ev.select(
+        "user_id",
+        "event_type",
+        "eps",
+        F.last(touch, ignorenulls=True).over(fwd).alias("prev_t"),
+        F.first(touch, ignorenulls=True).over(bwd).alias("next_t"),
+    ).filter(F.col("event_type") == "purchase")
+    d_prev = F.col("eps") - F.col("prev_t.t")
+    d_next = F.col("next_t.t") - F.col("eps")
+    pick_prev = F.col("next_t").isNull() | (
+        F.col("prev_t").isNotNull() & (d_prev <= d_next)
+    )
+    chosen = paired.filter(
+        F.col("prev_t").isNotNull() | F.col("next_t").isNotNull()
+    ).select(
+        F.when(pick_prev, F.col("prev_t.ty"))
+        .otherwise(F.col("next_t.ty"))
+        .alias("nearest_type"),
+        F.when(pick_prev, d_prev).otherwise(d_next).alias("dist_s"),
+        F.when(pick_prev, F.lit("before"))
+        .otherwise(F.lit("after"))
+        .alias("side"),
+    )
+    return chosen.groupBy("nearest_type", "side").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.avg("dist_s"), 2).alias("avg_dist_s"),
+        F.max("dist_s").alias("max_dist_s"),
+    )
+
+
+QUERIES = {
+    "q_ts_sessionize": q_ts_sessionize,
+    "q_ts_autocorr": q_ts_autocorr,
+    "q_ts_cusum": q_ts_cusum,
+    "q_agg_skew_kurt": q_agg_skew_kurt,
+    "q_agg_boolean": q_agg_boolean,
+    "q_agg_winsorized_mean": q_agg_winsorized_mean,
+    "q_behavior_rfm": q_behavior_rfm,
+    "q_report_yoy_growth": q_report_yoy_growth,
+    "q_report_order_gap_stats": q_report_order_gap_stats,
+    "q_join_nearest_event": q_join_nearest_event,
+}
+
+_MINUTE_GRAIN_SQL = """
+        grain AS (
+            SELECT event_type,
+                   date_diff('minute', TIMESTAMP '1970-01-01 00:00:00', ts)
+                       AS epm,
+                   round(avg(value), 6) AS mv
+            FROM events GROUP BY 1, 2
+        )
+"""
+
+ORACLE = {
+    "q_ts_sessionize": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN date_diff('microsecond',
+                                       lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id),
+                                       ts) > {SESSION_GAP_MIN * 60 * 1_000_000}
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_id
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   date_diff('microsecond', min(ts), max(ts)) * 1.0
+                       / 1000000 AS dur_s
+            FROM sess GROUP BY 1, 2
+        )
+        SELECT count(DISTINCT user_id) AS n_users,
+               count(*) AS n_sessions,
+               round(avg(n_events), 6) AS avg_events_per_session,
+               round(avg(dur_s), 6) AS avg_session_seconds,
+               max(n_events) AS max_session_events,
+               round(max(dur_s), 6) AS max_session_seconds
+        FROM per_session
+    """,
+    "q_ts_autocorr": f"""
+        WITH {_MINUTE_GRAIN_SQL.strip()},
+        paired AS (
+            SELECT event_type, mv,
+                   lag(mv) OVER (PARTITION BY event_type ORDER BY epm)
+                       AS prev
+            FROM grain
+        )
+        SELECT event_type,
+               count(*) AS n_pairs,
+               round(corr(mv, prev), 6) AS autocorr_lag1
+        FROM paired WHERE prev IS NOT NULL
+        GROUP BY event_type
+    """,
+    "q_ts_cusum": f"""
+        WITH {_MINUTE_GRAIN_SQL.strip()},
+        centered AS (
+            SELECT event_type, epm,
+                   mv - avg(mv) OVER (PARTITION BY event_type) AS dev
+            FROM grain
+        ),
+        swept AS (
+            SELECT event_type,
+                   sum(dev) OVER (PARTITION BY event_type ORDER BY epm
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cusum
+            FROM centered
+        )
+        SELECT event_type,
+               count(*) AS n_minutes,
+               round(max(cusum), 4) AS max_cusum,
+               round(min(cusum), 4) AS min_cusum
+        FROM swept GROUP BY event_type
+    """,
+    "q_agg_skew_kurt": """
+        WITH means AS (
+            SELECT l_returnflag, avg(l_extendedprice) AS m
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        mom AS (
+            SELECT li.l_returnflag,
+                   count(*) AS n_rows,
+                   avg(pow(l_extendedprice - m, 2)) AS m2,
+                   avg(pow(l_extendedprice - m, 3)) AS m3,
+                   avg(pow(l_extendedprice - m, 4)) AS m4
+            FROM lineitem li JOIN means USING (l_returnflag)
+            GROUP BY li.l_returnflag
+        )
+        SELECT l_returnflag, n_rows,
+               round(m3 / pow(m2, 1.5), 6) AS skewness_g1,
+               round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis_g2
+        FROM mom
+    """,
+    "q_agg_boolean": f"""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               bool_and(o_totalprice > {BOOL_LO_PRICE}) AS all_priced,
+               bool_or(o_totalprice > {BOOL_HI_PRICE}) AS any_whale,
+               count_if(o_orderstatus = 'F')::BIGINT AS n_finished
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_agg_winsorized_mean": f"""
+        WITH fences AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, {WINSOR_LO}) AS lo,
+                   quantile_cont(l_extendedprice, {WINSOR_HI}) AS hi
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT li.l_returnflag,
+               count(*) AS n_rows,
+               round(avg(greatest(lo, least(hi, l_extendedprice))), 6)
+                   AS winsorized_mean,
+               round(avg(l_extendedprice), 6) AS raw_mean,
+               sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                        THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+        FROM lineitem li JOIN fences f USING (l_returnflag)
+        GROUP BY li.l_returnflag
+    """,
+    "q_behavior_rfm": f"""
+        WITH anchor AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        per_cust AS (
+            SELECT o_custkey,
+                   date_diff('day', max(o_orderdate), any_value(maxd))
+                       AS recency_d,
+                   count(*) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders, anchor
+            GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT monetary,
+                   ntile({RFM_TILES}) OVER (ORDER BY recency_d ASC,
+                                            o_custkey ASC) AS r_score,
+                   ntile({RFM_TILES}) OVER (ORDER BY frequency DESC,
+                                            o_custkey ASC) AS f_score,
+                   ntile({RFM_TILES}) OVER (ORDER BY monetary DESC,
+                                            o_custkey ASC) AS m_score
+            FROM per_cust
+        )
+        SELECT r_score, f_score, m_score,
+               count(*) AS n_customers,
+               round(avg(monetary), 2) AS avg_monetary
+        FROM scored GROUP BY 1, 2, 3
+    """,
+    "q_report_yoy_growth": """
+        WITH rolled AS (
+            SELECT n.n_name, year(o.o_orderdate) AS yr,
+                   round(sum(o.o_totalprice), 2) AS rev
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT n_name, yr, rev,
+                   lag(rev) OVER (PARTITION BY n_name ORDER BY yr)
+                       AS prev_rev
+            FROM rolled
+        )
+        SELECT n_name, yr, rev, prev_rev,
+               round((rev - prev_rev) / prev_rev, 6) AS yoy_pct
+        FROM lagged WHERE prev_rev IS NOT NULL
+    """,
+    "q_report_order_gap_stats": """
+        WITH gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                    ORDER BY o_orderdate,
+                                                             o_orderkey),
+                             o_orderdate) AS gap_d
+            FROM orders
+        )
+        SELECT c.c_mktsegment,
+               count(*) AS n_gaps,
+               round(quantile_cont(gap_d, 0.5), 6) AS median_gap_d,
+               round(quantile_cont(gap_d, 0.9), 6) AS p90_gap_d,
+               round(avg(gap_d), 6) AS mean_gap_d
+        FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+        WHERE gap_d IS NOT NULL
+        GROUP BY c.c_mktsegment
+    """,
+    "q_join_nearest_event": """
+        WITH base AS (
+            SELECT user_id, event_id, event_type,
+                   date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                       AS eps
+            FROM events
+        ),
+        paired AS (
+            SELECT user_id, event_type, eps,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN struct_pack(t := eps,
+                                                    ty := event_type)
+                              END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY eps, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_t,
+                   first_value(CASE WHEN event_type <> 'purchase'
+                                    THEN struct_pack(t := eps,
+                                                     ty := event_type)
+                               END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY eps, event_id
+                             ROWS BETWEEN 1 FOLLOWING
+                                   AND UNBOUNDED FOLLOWING) AS next_t
+            FROM base
+        ),
+        chosen AS (
+            SELECT CASE WHEN next_t IS NULL
+                          OR (prev_t IS NOT NULL
+                              AND eps - prev_t.t <= next_t.t - eps)
+                        THEN prev_t.ty ELSE next_t.ty END AS nearest_type,
+                   CASE WHEN next_t IS NULL
+                          OR (prev_t IS NOT NULL
+                              AND eps - prev_t.t <= next_t.t - eps)
+                        THEN eps - prev_t.t ELSE next_t.t - eps
+                   END AS dist_s,
+                   CASE WHEN next_t IS NULL
+                          OR (prev_t IS NOT NULL
+                              AND eps - prev_t.t <= next_t.t - eps)
+                        THEN 'before' ELSE 'after' END AS side
+            FROM paired
+            WHERE event_type = 'purchase'
+              AND (prev_t IS NOT NULL OR next_t IS NOT NULL)
+        )
+        SELECT nearest_type, side,
+               count(*) AS n_purchases,
+               round(avg(dist_s), 2) AS avg_dist_s,
+               max(dist_s) AS max_dist_s
+        FROM chosen GROUP BY 1, 2
+    """,
+}

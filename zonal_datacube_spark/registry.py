@@ -43,6 +43,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.pipeline_ext",
     "zonal_datacube_spark.operators.timeseries",
     "zonal_datacube_spark.operators.stats_ext",
+    "zonal_datacube_spark.operators.analytics_r5",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
@@ -76,16 +77,6 @@ KEY_ORDER = (
     "q_report_important_stock",
     "q_report_late_shipment_priority",
     "q_report_local_supplier_volume",
-    "q_report_market_share",
-    "q_report_min_cost_supplier",
-    "q_report_nation_volume",
-    "q_report_order_priority",
-    "q_report_product_profit",
-    "q_report_promo_revenue",
-    "q_report_returned_items",
-    "q_report_revenue_change",
-    "q_report_shipping_priority",
-    "q_report_small_qty_revenue",
     "q_report_special_revenue",
     "q_report_supplier_part_counts",
     "q_report_top_supplier",
@@ -109,6 +100,17 @@ KEY_ORDER = (
     "q_join_bucketed",
     "q_text_prep_pipeline",
     "q_zonal_timeseries",
+    # --- (c) declared new in round 5 (§2.16): first attestation ---
+    "q_ts_sessionize",
+    "q_ts_autocorr",
+    "q_ts_cusum",
+    "q_agg_skew_kurt",
+    "q_agg_boolean",
+    "q_agg_winsorized_mean",
+    "q_behavior_rfm",
+    "q_report_yoy_growth",
+    "q_report_order_gap_stats",
+    "q_join_nearest_event",
 )
 
 
