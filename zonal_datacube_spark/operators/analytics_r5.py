@@ -129,26 +129,28 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cumulative sweep runs over the bounded minute grain THROUGH the
     range-bucketed prefix sweep — a deliberate second user of
     functions/prefix_sweep.py on the time axis (cusum at 100 TB is
-    exactly the enum-partition straggler shape q_agg_gini had)."""
-    g = _minute_grain(spark, sf_dir)
-    centered = g.join(
-        F.broadcast(
-            g.groupBy("event_type").agg(F.avg("mv").alias("tm"))
-        ),
-        "event_type",
-    ).select(
-        "event_type", "epm", (F.col("mv") - F.col("tm")).alias("dev")
-    )
+    exactly the enum-partition straggler shape q_agg_gini had). One
+    sweep suffices: cusum_i = Σ_{j≤i} mv_j − i·mean folds the centering
+    into the sweep's own totals (running sum, row number, and the
+    series mean's numerator/denominator all ride the same bucket-grain
+    offsets), so the grain subtree is never re-joined against a
+    separate mean aggregate."""
     swept = prefix_sweep(
-        centered,
+        _minute_grain(spark, sf_dir),
         ["event_type"],
         "epm",
-        sum_cols={"cusum": "dev"},
+        sum_cols={"cum_mv": "mv"},
+        row_number_col="rn",
+        total_sum_cols={"tot_mv": "mv"},
+        total_count_col="n_min",
+    )
+    cusum = F.col("cum_mv") - F.col("rn") * (
+        F.col("tot_mv") / F.col("n_min")
     )
     return swept.groupBy("event_type").agg(
         F.count("*").alias("n_minutes"),
-        F.round(F.max("cusum"), 4).alias("max_cusum"),
-        F.round(F.min("cusum"), 4).alias("min_cusum"),
+        F.round(F.max(cusum), 4).alias("max_cusum"),
+        F.round(F.min(cusum), 4).alias("min_cusum"),
     )
 
 
