@@ -186,3 +186,49 @@ def test_nearest_event_matches_bruteforce_sample(spark):
         for r in q_join_nearest_event(spark, SF_SMOKE).collect()
     }
     assert got == out
+
+
+def test_ols_multi_matches_numpy(spark):
+    from zonal_datacube_spark.operators.analytics_r5 import q_agg_ols_multi
+
+    got = {r.l_returnflag: r for r in q_agg_ols_multi(spark, SF_SMOKE).collect()}
+    pdf = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity", "l_discount")
+        .toPandas()
+    )
+    for flag, grp in pdf.groupby("l_returnflag"):
+        X = np.column_stack(
+            [np.ones(len(grp)), grp["l_quantity"], grp["l_discount"]]
+        )
+        y = grp["l_extendedprice"].to_numpy()
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        pred = X @ beta
+        r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        assert abs(got[flag].intercept - beta[0]) < 1e-3
+        assert abs(got[flag].beta_qty - beta[1]) < 1e-5
+        assert abs(got[flag].beta_disc - beta[2]) < 1e-2  # disc scale ~0.1
+        assert abs(got[flag].r2 - r2) < 1e-6
+
+
+def test_percentile_disc_returns_actual_values(spark):
+    from zonal_datacube_spark.operators.analytics_r5 import (
+        q_agg_percentile_disc,
+    )
+
+    rows = q_agg_percentile_disc(spark, SF_SMOKE).collect()
+    vals = {
+        r.l_returnflag: set()
+        for r in rows
+    }
+    pdf = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .toPandas()
+    )
+    for flag, grp in pdf.groupby("l_returnflag"):
+        vals[flag] = set(grp["l_quantity"])
+    for r in rows:
+        assert r.p25 <= r.p50 <= r.p75
+        for p in (r.p25, r.p50, r.p75):
+            assert p in vals[r.l_returnflag]  # discrete: actual data values

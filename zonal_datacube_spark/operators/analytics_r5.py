@@ -436,8 +436,88 @@ def q_join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-regressor OLS per return flag — price on (quantity, discount)
+    via the closed-form normal equations over CENTERED cross-moments:
+    one broadcast of the three means back onto the scan, one aggregate
+    of the five centered sums, driver-free arithmetic for β₁/β₂/β₀/R².
+    This is the distributed multiple-regression shape (the moment-matrix
+    reduction every scalable linear model uses — X'X is k×k regardless
+    of row count); SQL's REGR_* family stops at one regressor, so the
+    oracle spells out the identical closed form."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+    )
+    means = li.groupBy("l_returnflag").agg(
+        F.avg("y").alias("my"), F.avg("x1").alias("mx1"), F.avg("x2").alias("mx2")
+    )
+    c = li.join(F.broadcast(means), "l_returnflag").select(
+        "l_returnflag",
+        "my",
+        "mx1",
+        "mx2",
+        (F.col("y") - F.col("my")).alias("dy"),
+        (F.col("x1") - F.col("mx1")).alias("d1"),
+        (F.col("x2") - F.col("mx2")).alias("d2"),
+    )
+    s = c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.first("my").alias("my"),
+        F.first("mx1").alias("mx1"),
+        F.first("mx2").alias("mx2"),
+        F.sum(F.col("d1") * F.col("d1")).alias("s11"),
+        F.sum(F.col("d2") * F.col("d2")).alias("s22"),
+        F.sum(F.col("d1") * F.col("d2")).alias("s12"),
+        F.sum(F.col("d1") * F.col("dy")).alias("s1y"),
+        F.sum(F.col("d2") * F.col("dy")).alias("s2y"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det
+    b2 = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
+    sse = F.col("syy") - b1 * F.col("s1y") - b2 * F.col("s2y")
+    return s.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(b1, 6).alias("beta_qty"),
+        F.round(b2, 6).alias("beta_disc"),
+        F.round(
+            F.col("my") - b1 * F.col("mx1") - b2 * F.col("mx2"), 6
+        ).alias("intercept"),
+        F.round(1 - sse / F.col("syy"), 6).alias("r2"),
+    )
+
+
+PDISC_PS = (0.25, 0.5, 0.75)
+
+
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (percentile_disc / SQL:2008 inverse
+    distribution WITHIN GROUP): the smallest ACTUAL data value whose
+    cumulative distribution reaches p — the right quantile when the
+    domain is categorical-ish (quantities, latencies bucketed to ms)
+    and an interpolated fraction would be a value that never occurred.
+    Returned values are real data points, so engines compare exactly
+    with no rounding at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_quantity)"
+        ).alias(f"p{int(p * 100)}")
+        for p in PDISC_PS
+    ]
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"), *aggs
+    )
+
+
 QUERIES = {
     "q_ts_sessionize": q_ts_sessionize,
+    "q_agg_ols_multi": q_agg_ols_multi,
+    "q_agg_percentile_disc": q_agg_percentile_disc,
     "q_ts_autocorr": q_ts_autocorr,
     "q_ts_cusum": q_ts_cusum,
     "q_agg_skew_kurt": q_agg_skew_kurt,
@@ -460,6 +540,55 @@ _MINUTE_GRAIN_SQL = """
 """
 
 ORACLE = {
+    "q_agg_ols_multi": """
+        WITH means AS (
+            SELECT l_returnflag,
+                   avg(l_extendedprice) AS my,
+                   avg(l_quantity) AS mx1,
+                   avg(l_discount) AS mx2
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        s AS (
+            SELECT li.l_returnflag,
+                   count(*) AS n_rows,
+                   any_value(my) AS my,
+                   any_value(mx1) AS mx1,
+                   any_value(mx2) AS mx2,
+                   sum((l_quantity - mx1) * (l_quantity - mx1)) AS s11,
+                   sum((l_discount - mx2) * (l_discount - mx2)) AS s22,
+                   sum((l_quantity - mx1) * (l_discount - mx2)) AS s12,
+                   sum((l_quantity - mx1) * (l_extendedprice - my)) AS s1y,
+                   sum((l_discount - mx2) * (l_extendedprice - my)) AS s2y,
+                   sum((l_extendedprice - my) * (l_extendedprice - my))
+                       AS syy
+            FROM lineitem li JOIN means USING (l_returnflag)
+            GROUP BY li.l_returnflag
+        )
+        SELECT l_returnflag, n_rows,
+               round((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12), 6)
+                   AS beta_qty,
+               round((s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12), 6)
+                   AS beta_disc,
+               round(my - (s22 * s1y - s12 * s2y)
+                          / (s11 * s22 - s12 * s12) * mx1
+                        - (s11 * s2y - s12 * s1y)
+                          / (s11 * s22 - s12 * s12) * mx2, 6) AS intercept,
+               round(1 - (syy - (s22 * s1y - s12 * s2y)
+                                / (s11 * s22 - s12 * s12) * s1y
+                              - (s11 * s2y - s12 * s1y)
+                                / (s11 * s22 - s12 * s12) * s2y) / syy, 6)
+                   AS r2
+        FROM s
+    """,
+    "q_agg_percentile_disc": f"""
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               {", ".join(
+                   f"quantile_disc(l_quantity, {p}) AS p{int(p * 100)}"
+                   for p in PDISC_PS
+               )}
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "q_ts_sessionize": f"""
         WITH flagged AS (
             SELECT user_id, ts, event_id,

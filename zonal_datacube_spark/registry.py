@@ -77,8 +77,6 @@ KEY_ORDER = (
     "q_report_important_stock",
     "q_report_late_shipment_priority",
     "q_report_local_supplier_volume",
-    "q_report_special_revenue",
-    "q_report_supplier_part_counts",
     "q_report_top_supplier",
     "q_report_waiting_suppliers",
     "q_graph_pagerank",
@@ -111,6 +109,8 @@ KEY_ORDER = (
     "q_report_yoy_growth",
     "q_report_order_gap_stats",
     "q_join_nearest_event",
+    "q_agg_ols_multi",
+    "q_agg_percentile_disc",
 )
 
 
