@@ -145,6 +145,21 @@ def main() -> int:
         f.write(
             f"\nWorst marginal ratio: `{worst[1]}` at {worst[5]:.2f}x.\n"
         )
+        f.write(
+            "\nReading grain-bounded keys: q_ts_anomaly / q_ts_cusum / "
+            "q_ts_autocorr sweep a per-(type, minute) table bounded by "
+            "TIME SPAN (43,200 min/month x ~5 types), and "
+            "q_agg_weighted_median / q_agg_gini sweep distinct-VALUE "
+            "tables bounded by their price domains. Between sf0.01 and "
+            "sf0.1 those tables still grow ~8-10x (the fixtures sit "
+            "below the saturation density), so their marginal ratios "
+            "measure sub-linear scaling against ~10x GRAIN growth - the "
+            "flat asymptote only appears once density crosses one row "
+            "per grain cell, which is exactly the 100 TB regime the "
+            "rewrite targets. The r04->r05 trend drop (anomaly 3.76->"
+            "~2x, weighted median 2.57->~1.7x) is the rewrite's "
+            "measurable share at these SFs.\n"
+        )
     print(json.dumps({"keys": len(rows), "worst": worst[1], "worst_ratio": round(worst[5], 2)}))
     return 0
 
