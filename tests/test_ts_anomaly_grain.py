@@ -78,3 +78,25 @@ def test_grain_table_is_time_bounded_not_row_bounded(spark):
         .count()
     )
     assert grain_rows <= n_types * (span_min + 1)
+
+
+def test_grain_size_is_density_invariant(spark):
+    """The 100 TB claim, made falsifiable: replicating every event 5x
+    INSIDE its existing minute (same span, 5x density) must leave the
+    minute-grain moment table's row count — the window operator's input —
+    exactly unchanged. Density scales only the map-side partial
+    aggregation, never the ordered sweep."""
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MINUTE, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("epm"),
+        "value",
+    )
+    dense = ev.withColumn(
+        "rep", F.explode(F.sequence(F.lit(1), F.lit(5)))
+    ).drop("rep")
+    base_grain = ev.groupBy("event_type", "epm").count()
+    dense_grain = dense.groupBy("event_type", "epm").count()
+    assert dense.count() == 5 * ev.count()
+    assert dense_grain.count() == base_grain.count()
