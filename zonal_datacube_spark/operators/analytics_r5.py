@@ -39,6 +39,14 @@ from zonal_datacube_spark.sources.loader import load_table
 SESSION_GAP_MIN = 30
 
 
+def _round4_half_up(col: F.Column) -> F.Column:
+    """floor(x*1e4 + 0.5)/1e4 — HALF_UP 4dp rounding bit-identical in
+    Spark and DuckDB (DuckDB rounds doubles half-to-even; values feeding
+    ratios/ranks must round identically on both sides — FIXTURES.md
+    cookbook rule 6/8). Non-negative inputs only."""
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
 def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: a user's events belong to one session while
     consecutive gaps stay ≤ 30 minutes (the island starts where the gap
@@ -514,10 +522,174 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_report_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by FIRST-order month, revenue
+    tracked per months-since-acquisition — the (cohort × age) revenue
+    matrix behind every retention/payback chart. One customer-grain first
+    aggregate, one shuffled join back on the natural key, one matrix
+    rollup; month indices are pure integer arithmetic (y·12+m), so every
+    cell key is engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = orders.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym"))
+    joined = orders.join(firsts, "o_custkey").select(
+        "o_custkey",
+        "o_totalprice",
+        F.col("cohort_ym"),
+        (ym - F.col("cohort_ym")).alias("month_idx"),
+    )
+    return joined.groupBy(
+        (F.floor((F.col("cohort_ym") - 1) / 12)).cast("int").alias("cohort_year"),
+        ((F.col("cohort_ym") - 1) % 12 + 1).cast("int").alias("cohort_month"),
+        F.col("month_idx").cast("int").alias("month_idx"),
+    ).agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def q_report_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per brand via the Herfindahl–Hirschman
+    index (Σ market-share² × 10000 — the antitrust threshold scale):
+    supplier-grain revenue rolls up on the 1e-4 decimal grid, brand
+    totals fold from the same rollup, one final aggregate. Two shuffles
+    total; shares are ratios of identically-rounded sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(parts, li.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            _round4_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("rev")
+        )
+    )
+    tw = Window.partitionBy("p_brand")  # supplier-grain rollup: ≤ n_supp rows/brand
+    shared = rev.select(
+        "p_brand", (F.col("rev") / F.sum("rev").over(tw)).alias("share")
+    )
+    return shared.groupBy("p_brand").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(F.sum(F.col("share") * F.col("share")) * 10000, 4).alias("hhi"),
+        F.round(F.max("share"), 6).alias("top_share"),
+    )
+
+
+def q_ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal-seasonality strength per series: 1 − var(value − hour-of-
+    day mean)/var(value) — the variance-explained share of the 24-hour
+    cycle (the STL "strength of seasonality" statistic on the hour
+    component). Hour means broadcast back onto the same scan; both
+    variances aggregate in one pass."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hh"), "value"
+    )
+    hmeans = ev.groupBy("event_type", "hh").agg(
+        F.avg("value").alias("hm")
+    )
+    resid = ev.join(F.broadcast(hmeans), ["event_type", "hh"]).select(
+        "event_type", "value", (F.col("value") - F.col("hm")).alias("r")
+    )
+    return resid.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            1 - F.var_samp("r") / F.var_samp("value"), 6
+        ).alias("seasonal_strength"),
+    )
+
+
+def q_graph_2hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach over the HEAVY-route trade graph: for each nation,
+    the count of DISTINCT nations reachable in exactly two heavy hops
+    but NOT one (friend-of-friend discovery — the link-prediction
+    candidate set). The full nation graph is complete, so the same
+    SF-invariant top-quartile rank cut q_graph_sssp uses sparsifies it
+    first; then one self-equi-join on the edge rollup, a distinct, an
+    anti-join against the direct edges — every step hash-join sized on
+    the nation-grain table."""
+    from zonal_datacube_spark.operators.graph import _trade_edges
+
+    all_edges = _trade_edges(spark, sf_dir).filter(
+        F.col("src") != F.col("dst")
+    )
+    w_rank = Window.orderBy(
+        F.col("w").desc(), F.col("src").asc(), F.col("dst").asc()
+    )
+    cnt = Window.partitionBy()
+    edges_cut = (
+        all_edges.select(
+            "src",
+            "dst",
+            F.row_number().over(w_rank).alias("rnk"),
+            F.count("*").over(cnt).alias("n_e"),
+        )
+        .filter(F.col("rnk") * 4 <= F.col("n_e"))
+        .select("src", "dst")
+    )
+    # the nation-grain edge list is SCHEMA-bounded (≤ n_nations² = 625
+    # rows at any SF — nations don't scale with data volume), but its
+    # derivation is a 4-table fact join. The self-join + anti-join below
+    # reference it three times, and Spark re-evaluates shared subtrees
+    # per reference — so materialize the bounded rollup ONCE and rebuild
+    # it as a local relation (the same eager-bounded pattern as
+    # q_graph_sssp's frontier loop; cost: one fact pass instead of three)
+    edges = spark.createDataFrame(
+        edges_cut.collect(), schema="src long, dst long"
+    )
+    e2 = edges.select(
+        F.col("src").alias("mid"), F.col("dst").alias("dst2")
+    )
+    two_hop = (
+        edges.join(e2, edges.dst == e2.mid)
+        .select("src", "dst2")
+        .filter(F.col("src") != F.col("dst2"))
+        .distinct()
+        .join(
+            edges.select("src", F.col("dst").alias("dst2")),
+            ["src", "dst2"],
+            "left_anti",
+        )
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        two_hop.groupBy("src")
+        .agg(F.count("*").alias("n_two_hop_only"))
+        .join(nation, F.col("src") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "n_two_hop_only")
+    )
+
+
+def q_dq_daily_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily pipeline-health panel: events, distinct users, null/zero
+    values, and purchase share per day — the first dashboard any
+    ingestion pipeline grows. One day-grain rollup, integer counts plus
+    one rounded ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return ev.groupBy(day.alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            (F.col("value").isNull() | (F.col("value") == 0)).cast("bigint")
+        ).alias("n_null_or_zero"),
+        F.round(
+            F.avg((F.col("event_type") == "purchase").cast("double")), 6
+        ).alias("purchase_share"),
+    )
+
+
 QUERIES = {
     "q_ts_sessionize": q_ts_sessionize,
     "q_agg_ols_multi": q_agg_ols_multi,
     "q_agg_percentile_disc": q_agg_percentile_disc,
+    "q_report_cohort_ltv_curve": q_report_cohort_ltv_curve,
+    "q_report_supplier_hhi": q_report_supplier_hhi,
+    "q_ts_seasonal_strength": q_ts_seasonal_strength,
+    "q_graph_2hop_neighbors": q_graph_2hop_neighbors,
+    "q_dq_daily_health": q_dq_daily_health,
     "q_ts_autocorr": q_ts_autocorr,
     "q_ts_cusum": q_ts_cusum,
     "q_agg_skew_kurt": q_agg_skew_kurt,
@@ -528,6 +700,8 @@ QUERIES = {
     "q_report_order_gap_stats": q_report_order_gap_stats,
     "q_join_nearest_event": q_join_nearest_event,
 }
+
+from zonal_datacube_spark.operators.graph import _EDGES_SQL as _EDGES_FRAGMENT
 
 _MINUTE_GRAIN_SQL = """
         grain AS (
@@ -540,6 +714,100 @@ _MINUTE_GRAIN_SQL = """
 """
 
 ORACLE = {
+    "q_report_cohort_ltv_curve": """
+        WITH firsts AS (
+            SELECT o_custkey,
+                   min(year(o_orderdate) * 12 + month(o_orderdate))
+                       AS cohort_ym
+            FROM orders GROUP BY o_custkey
+        ),
+        joined AS (
+            SELECT o.o_custkey, o.o_totalprice, f.cohort_ym,
+                   (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                       - f.cohort_ym AS month_idx
+            FROM orders o JOIN firsts f USING (o_custkey)
+        )
+        SELECT ((cohort_ym - 1) // 12)::INT AS cohort_year,
+               ((cohort_ym - 1) % 12 + 1)::INT AS cohort_month,
+               month_idx::INT AS month_idx,
+               count(DISTINCT o_custkey) AS n_active,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM joined GROUP BY 1, 2, 3
+    """,
+    "q_report_supplier_hhi": """
+        WITH rev AS (
+            SELECT p.p_brand, l.l_suppkey,
+                   floor(sum(l.l_extendedprice * (1 - l.l_discount))
+                         * 10000 + 0.5) / 10000 AS rev
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ),
+        shared AS (
+            SELECT p_brand,
+                   rev / sum(rev) OVER (PARTITION BY p_brand) AS share
+            FROM rev
+        )
+        SELECT p_brand,
+               count(*) AS n_suppliers,
+               round(sum(share * share) * 10000, 4) AS hhi,
+               round(max(share), 6) AS top_share
+        FROM shared GROUP BY p_brand
+    """,
+    "q_ts_seasonal_strength": """
+        WITH hmeans AS (
+            SELECT event_type, hour(ts) AS hh, avg(value) AS hm
+            FROM events GROUP BY 1, 2
+        ),
+        resid AS (
+            SELECT e.event_type, e.value, e.value - h.hm AS r
+            FROM events e
+            JOIN hmeans h ON e.event_type = h.event_type
+                         AND hour(e.ts) = h.hh
+        )
+        SELECT event_type,
+               count(*) AS n_rows,
+               round(1 - var_samp(r) / var_samp(value), 6)
+                   AS seasonal_strength
+        FROM resid GROUP BY event_type
+    """,
+    "q_graph_2hop_neighbors": """
+        WITH """ + _EDGES_FRAGMENT + """,
+        ranked AS (
+            SELECT src, dst,
+                   row_number() OVER (ORDER BY w DESC, src ASC, dst ASC)
+                       AS rnk,
+                   count(*) OVER () AS n_e
+            FROM edges WHERE src <> dst
+        ),
+        direct AS (
+            SELECT DISTINCT src, dst FROM ranked WHERE rnk * 4 <= n_e
+        ),
+        two_hop AS (
+            SELECT DISTINCT a.src, b.dst AS dst2
+            FROM direct a JOIN direct b ON a.dst = b.src
+            WHERE a.src <> b.dst
+        ),
+        only2 AS (
+            SELECT t.src, t.dst2 FROM two_hop t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM direct d
+                WHERE d.src = t.src AND d.dst = t.dst2
+            )
+        )
+        SELECT n.n_name AS nation, count(*) AS n_two_hop_only
+        FROM only2 o JOIN nation n ON o.src = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "q_dq_daily_health": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               sum(CASE WHEN value IS NULL OR value = 0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_null_or_zero,
+               round(avg(CASE WHEN event_type = 'purchase'
+                              THEN 1.0 ELSE 0.0 END), 6) AS purchase_share
+        FROM events GROUP BY 1
+    """,
     "q_agg_ols_multi": """
         WITH means AS (
             SELECT l_returnflag,
