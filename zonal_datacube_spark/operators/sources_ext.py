@@ -365,9 +365,60 @@ def q_source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TICK_STREAM_TICKS = 512
+TICK_STREAM_ROWS = 16
+TICK_VAL_BUCKET = 10
+
+
+def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming from a CUSTOM PYTHON streaming source
+    (Spark 4 ``pyspark.sql.datasource`` streaming contract — offsets,
+    per-batch partition planning, exactly-once replay): the deterministic
+    tick feed (sources/tick_stream_source.py) streams through a
+    checkpointed parquet file sink until drained, and the landed table
+    aggregates to a value-bucket census. The oracle regenerates the
+    entire feed arithmetically via generate_series — row counts, tick
+    sums, and bucket populations all match iff the connector delivered
+    every offset exactly once."""
+    import tempfile
+
+    from zonal_datacube_spark.sources.tick_stream_source import (
+        TICK_STREAM_NAME,
+        register_tick_stream_source,
+    )
+
+    register_tick_stream_source(spark)
+    out = tempfile.mkdtemp(prefix="zds_tickstream_out_")
+    ck = tempfile.mkdtemp(prefix="zds_tickstream_ck_")
+    stream = (
+        spark.readStream.format(TICK_STREAM_NAME)
+        .option("ticks", TICK_STREAM_TICKS)
+        .option("rows_per_tick", TICK_STREAM_ROWS)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(out)
+    return landed.groupBy(
+        (F.col("val") / TICK_VAL_BUCKET).cast("int").alias("val_bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("tick").alias("n_ticks"),
+        F.sum(F.col("tick").cast("bigint")).alias("tick_sum"),
+        F.sum(F.col("i").cast("bigint")).alias("i_sum"),
+    )
+
+
 QUERIES = {
     "q_source_binary_files": q_source_binary_files,
     "q_sink_dynamic_overwrite": q_sink_dynamic_overwrite,
+    "q_source_python_stream": q_source_python_stream,
     "q_source_csv_roundtrip": q_source_csv_roundtrip,
     "q_source_python_ds": q_source_python_ds,
     "q_source_csv_corrupt": q_source_csv_corrupt,
@@ -381,6 +432,22 @@ QUERIES = {
 _CATS_VALUES = ", ".join(f"('{t}', '{c}')" for t, c in EVENT_CATEGORIES)
 
 ORACLE = {
+    "q_source_python_stream": f"""
+        WITH feed AS (
+            SELECT (i // {TICK_STREAM_ROWS}) AS tick,
+                   (i % {TICK_STREAM_ROWS}) AS ri,
+                   ((i // {TICK_STREAM_ROWS}) * 31
+                    + (i % {TICK_STREAM_ROWS}) * 17) % 97 AS val
+            FROM generate_series(0,
+                 {TICK_STREAM_TICKS * TICK_STREAM_ROWS - 1}) t(i)
+        )
+        SELECT (val // {TICK_VAL_BUCKET})::INT AS val_bucket,
+               count(*) AS n_rows,
+               count(DISTINCT tick) AS n_ticks,
+               sum(tick)::BIGINT AS tick_sum,
+               sum(ri)::BIGINT AS i_sum
+        FROM feed GROUP BY 1
+    """,
     "q_sink_dynamic_overwrite": f"""
         WITH daily AS (
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
