@@ -94,13 +94,90 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED Python scalar UDF (Spark 4 ``useArrow=True``):
+    the vowel-density scorer runs as a pandas-Series-in/Series-out
+    kernel over Arrow batches — the ~10-100× faster replacement for
+    row-at-a-time pickled UDFs, and the form any custom Python scalar
+    logic should ship in when no builtin expresses it. The declared key
+    keeps the input to the same deterministic 1-in-20 document slice as
+    the UDTF (Python off the hot path by design); integer counts make
+    the oracle exact."""
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def vowel_count(s: str) -> int:
+        return sum(c in "aeiou" for c in s.lower()) if s else 0
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        vowel_count("text").alias("n_vowels"),
+    ).withColumn(
+        "vowel_ratio",
+        F.round(F.col("n_vowels") / F.col("n_chars"), 6),
+    )
+
+
+PARAM_MIN_PRICE = 150_000.0
+PARAM_STATUS = "F"
+
+
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED spark.sql (Spark 4): named ``:param`` markers bound
+    server-side plus DataFrame interpolation via ``{df}`` — the
+    injection-safe templating surface an application layer builds on
+    (string-concatenated SQL is the classic injection + plan-cache-miss
+    footgun). Constant folding sees the bound literals, so pushdown is
+    identical to inlined SQL."""
+    orders = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM {orders}
+        WHERE o_totalprice > :minp AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"minp": PARAM_MIN_PRICE, "status": PARAM_STATUS},
+        orders=orders,
+    )
+
+
 QUERIES = {
     "q_udtf_tokenize": q_udtf_tokenize,
     "q_udaf_zonal_trimmed_mean": q_udaf_zonal_trimmed_mean,
     "q_udf_grouped_zscore": q_udf_grouped_zscore,
+    "q_udf_arrow_scalar": q_udf_arrow_scalar,
+    "q_sql_parameterized": q_sql_parameterized,
 }
 
 ORACLE = {
+    "q_udf_arrow_scalar": """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               (length(lower(text))
+                - length(regexp_replace(lower(text), '[aeiou]', '', 'g')))
+                   ::INT AS n_vowels,
+               round((length(lower(text))
+                      - length(regexp_replace(lower(text), '[aeiou]', '',
+                                              'g')))
+                     * 1.0 / length(text), 6) AS vowel_ratio
+        FROM documents WHERE doc_id % 20 = 0
+    """,
+    "q_sql_parameterized": f"""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_totalprice > {PARAM_MIN_PRICE}
+          AND o_orderstatus = '{PARAM_STATUS}'
+        GROUP BY o_orderpriority
+    """,
     "q_udtf_tokenize": """
         WITH toks AS (
             SELECT doc_id, string_split(lower(text), ' ') AS t
