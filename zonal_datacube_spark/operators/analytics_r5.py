@@ -306,9 +306,13 @@ def q_behavior_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tile("frequency", "f_score", descending=True), "o_custkey")
         .join(tile("monetary", "m_score", descending=True), "o_custkey")
     )
+    # cell SUM, not avg: monetary sits on the 1e-2 decimal grid, so the
+    # sum rounds exactly at 2dp on both engines — an avg divides by the
+    # cell count and can land exactly on a half-cent midpoint, where
+    # Spark (HALF_UP) and DuckDB (half-to-even) disagree (hit at sf0.001)
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),
-        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        F.round(F.sum("monetary"), 2).alias("cell_monetary"),
     )
 
 
@@ -991,7 +995,7 @@ ORACLE = {
         )
         SELECT r_score, f_score, m_score,
                count(*) AS n_customers,
-               round(avg(monetary), 2) AS avg_monetary
+               round(sum(monetary), 2) AS cell_monetary
         FROM scored GROUP BY 1, 2, 3
     """,
     "q_report_yoy_growth": """
