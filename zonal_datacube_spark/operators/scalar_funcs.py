@@ -176,7 +176,53 @@ def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATION (Spark 4): case-insensitive comparison semantics
+    as a COLUMN PROPERTY instead of lower()-wrapping every predicate —
+    the i18n-correct way to do CI grouping/joins (UTF8_LCASE here; ICU
+    locales in general, where lower() round-trips break for Turkish
+    dotted-I etc.). Part names land in deliberately mixed case; the
+    CI-collated distinct count collapses the case variants the binary
+    count keeps apart. The oracle expresses the same semantics with
+    lower(), exact for this ASCII domain."""
+    part = load_table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_name")
+    ).otherwise(F.lower("p_name"))
+    return part.select("p_brand", mixed.alias("name_mixed")).groupBy(
+        "p_brand"
+    ).agg(
+        F.count("*").alias("n_parts"),
+        F.countDistinct("name_mixed").alias("n_distinct_binary"),
+        F.countDistinct(
+            F.expr("collate(name_mixed, 'UTF8_LCASE')")
+        ).alias("n_distinct_ci"),
+    )
+
+
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 / modern-SQL shorthand): every non-aggregate
+    select item becomes a grouping key — removes the classic
+    stale-GROUP-BY-list bug when a report adds a dimension. The oracle
+    spells out the explicit grouping list; identical plans, identical
+    results."""
+    orders = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS yr,
+               o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM {orders}
+        GROUP BY ALL
+        """,
+        orders=orders,
+    )
+
+
 QUERIES = {
+    "q_str_collation": q_str_collation,
+    "q_sql_group_by_all": q_sql_group_by_all,
     "q_str_funcs": q_str_funcs,
     "q_str_regexp": q_str_regexp,
     "q_date_funcs": q_date_funcs,
@@ -190,6 +236,26 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_str_collation": """
+        WITH mixed AS (
+            SELECT p_brand,
+                   CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                        ELSE lower(p_name) END AS name_mixed
+            FROM part
+        )
+        SELECT p_brand,
+               count(*) AS n_parts,
+               count(DISTINCT name_mixed) AS n_distinct_binary,
+               count(DISTINCT lower(name_mixed)) AS n_distinct_ci
+        FROM mixed GROUP BY p_brand
+    """,
+    "q_sql_group_by_all": """
+        SELECT year(o_orderdate) AS yr,
+               o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    """,
     "q_str_funcs": """
         SELECT p_partkey,
                lower(p_name) AS name_lower,
