@@ -309,6 +309,35 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH QUALITY evaluation — the measurement a production dedup
+    pipeline ships next to its MinHash tier: candidate-generation
+    precision and recall against exact ground truth at the dedup
+    threshold. Ground truth = every pair with true Jaccard ≥ τ (the
+    lossless prefix-filtered exact pass, q_dedup_near); candidates = the
+    banded-MinHash pairs with their verified Jaccard (q_dedup_minhash).
+    A candidate with J ≥ τ IS a truth pair (the exact pass is lossless),
+    so TP needs no join — recall = TP/|truth| measures what the 3×3
+    banding misses, precision = TP/|candidates| measures wasted exact
+    verifications. One scalar row; both inputs reuse the session-wide
+    shingle/signature caches."""
+    cand = q_dedup_minhash(spark, sf_dir)
+    truth = q_dedup_near(spark, sf_dir)
+    stats = cand.agg(
+        F.count("*").alias("n_cand"),
+        F.sum((F.col("jaccard") >= NEAR_DUP_TAU).cast("bigint")).alias(
+            "n_tp"
+        ),
+    ).crossJoin(F.broadcast(truth.agg(F.count("*").alias("n_truth"))))
+    return stats.select(
+        "n_truth",
+        "n_cand",
+        "n_tp",
+        F.round(F.col("n_tp") / F.col("n_truth"), 6).alias("recall"),
+        F.round(F.col("n_tp") / F.col("n_cand"), 6).alias("precision"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph — the step a real
     dedup pipeline runs after pair generation: A≈B and B≈C must collapse
@@ -518,6 +547,7 @@ QUERIES = {
     "q_dedup_near": q_dedup_near,
     "q_dedup_containment": q_dedup_containment,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_minhash_eval": q_dedup_minhash_eval,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_semantic": q_dedup_semantic,
@@ -632,6 +662,64 @@ ORACLE = {
                bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    "q_dedup_minhash_eval": f"""
+        WITH {_SH_CTE},
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+                   min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+                   min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+                   min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7,
+                   min(md5('8|' || sh)) AS h8
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, 0 AS band, h0 || h1 || h2 AS bv FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, h3 || h4 || h5 AS bv FROM sig
+            UNION ALL
+            SELECT doc_id, 2 AS band, h6 || h7 || h8 AS bv FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        ),
+        cj AS (
+            SELECT c.a_id, c.b_id, count(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.a_id
+            JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+            GROUP BY 1, 2
+        ),
+        cand_j AS (
+            SELECT cj.a_id, cj.b_id,
+                   inter * 1.0 / (sa.n_sh + sb.n_sh - inter) AS j
+            FROM cj
+            JOIN sz sa ON cj.a_id = sa.doc_id
+            JOIN sz sb ON cj.b_id = sb.doc_id
+        ),
+        truth AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth_j AS (
+            SELECT t.a_id FROM truth t
+            JOIN sz sa ON t.a_id = sa.doc_id
+            JOIN sz sb ON t.b_id = sb.doc_id
+            WHERE t.inter * 1.0 / (sa.n_sh + sb.n_sh - t.inter)
+                  >= {NEAR_DUP_TAU}
+        )
+        SELECT (SELECT count(*) FROM truth_j) AS n_truth,
+               (SELECT count(*) FROM cand_j) AS n_cand,
+               (SELECT count(*) FROM cand_j WHERE j >= {NEAR_DUP_TAU})
+                   AS n_tp,
+               round((SELECT count(*) FROM cand_j WHERE j >= {NEAR_DUP_TAU})
+                     * 1.0 / (SELECT count(*) FROM truth_j), 6) AS recall,
+               round((SELECT count(*) FROM cand_j WHERE j >= {NEAR_DUP_TAU})
+                     * 1.0 / (SELECT count(*) FROM cand_j), 6) AS precision
     """,
     "q_dedup_minhash": f"""
         WITH {_SH_CTE},
