@@ -75,6 +75,19 @@ FAMILIES: dict[str, list[str]] = {
         "q_report_ltv_deciles",
         "q_sort_limit_with_ties",
     ],
+    # r5b (§2.17): hypothesis tests are single-pass moment folds (expect
+    # ~flat); the interval merge and NN join are the keys with a real
+    # data-scaled shuffle to watch
+    "stats-tests (r5b)": [
+        "q_stats_ttest",
+        "q_stats_mannwhitney",
+        "q_stats_chi2",
+    ],
+    "interval/leakage (r5b)": [
+        "q_ts_interval_merge",
+        "q_dedup_cross_source",
+        "q_geo_nearest_neighbor",
+    ],
 }
 
 N_RUNS = 3  # median of 3 warm runs

@@ -44,6 +44,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.timeseries",
     "zonal_datacube_spark.operators.stats_ext",
     "zonal_datacube_spark.operators.analytics_r5",
+    "zonal_datacube_spark.operators.analytics_r5b",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
@@ -111,6 +112,20 @@ KEY_ORDER = (
     "q_join_nearest_event",
     "q_agg_ols_multi",
     "q_agg_percentile_disc",
+    # --- (d) declared new in round 5b (§2.17): outside the ~50-key
+    # driver window by design — the (a)+(b)+(c) slots above are spoken
+    # for; these are parity-proofed in PARITY_r05 and rotate into the
+    # r06 driver window with the remaining dark keys ---
+    "q_sql_pipe_syntax",
+    "q_ts_interval_merge",
+    "q_stats_ttest",
+    "q_stats_chi2",
+    "q_stats_mannwhitney",
+    "q_ts_rolling_corr",
+    "q_behavior_stickiness",
+    "q_dedup_cross_source",
+    "q_geo_nearest_neighbor",
+    "q_window_percent_rank",
 )
 
 
