@@ -1,0 +1,116 @@
+"""Round-5c surface invariants (operators/sql_surface.py): plan-shape
+proofs that the SQL-scripting surface stays JVM-side and pushes down, the
+sink's manifest accounting, and numpy referees for the Neyman allocation
+and migration census."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from zonal_datacube_spark.operators.sql_surface import (
+    MIGRATION_TILES,
+    NEYMAN_TOTAL,
+    q_report_segment_migration,
+    q_sample_neyman,
+    q_sink_python_ds_write,
+    q_sql_lateral_alias,
+    q_sql_session_variable,
+    q_sql_udf,
+)
+from zonal_datacube_spark.plans.diagnostics import formatted_plan
+from zonal_datacube_spark.sources.loader import load_table
+
+
+def test_session_variable_folds_into_pushdown(spark):
+    df = q_sql_session_variable(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    # the variable-bound predicate reaches the parquet scan as a literal
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan and "l_returnflag" in plan
+    rows = df.collect()
+    assert {r.l_linestatus for r in rows} <= {"F", "O"}
+    assert all(r.n_rows > 0 for r in rows)
+
+
+def test_sql_udf_inlines_no_python(spark):
+    df = q_sql_udf(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    rows = {r.band: r for r in df.collect()}
+    assert set(rows) == {"low", "mid", "high"}
+
+
+def test_lateral_alias_chain_is_consistent(spark):
+    for r in q_sql_lateral_alias(spark, SF_SMOKE).collect():
+        assert abs(r.net - (r.gross - r.disc_amt)) < 1e-9
+        assert 0.9 < r.net_share < 1.0  # discounts are single-digit %
+
+
+def test_sink_write_manifest_accounts_every_row(spark):
+    import glob
+    import json
+
+    df = q_sink_python_ds_write(spark, SF_SMOKE)
+    rows = df.collect()
+    # recover the sink dir from the read path baked into the plan
+    files = df.inputFiles()
+    assert files, "read-back should come from sink files"
+    out = files[0].rsplit("/", 1)[0].replace("file:", "")
+    manifest = json.load(open(f"{out}/_MANIFEST.json"))
+    assert manifest["total_rows"] == len(rows)
+    assert sum(n for _, n in manifest["files"]) == len(rows)
+    on_disk = {f.rsplit("/", 1)[1] for f in glob.glob(f"{out}/part-*.jsonl")}
+    assert {f for f, _ in manifest["files"]} <= on_disk
+    # read-back equals direct computation
+    direct = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"))
+        .collect()
+    )
+    got = {(r.l_returnflag, r.l_linestatus): r.n_rows for r in rows}
+    for d in direct:
+        assert got[(d.l_returnflag, d.l_linestatus)] == d.n_rows
+
+
+def test_segment_migration_census_conserves_customers(spark):
+    rows = q_report_segment_migration(spark, SF_SMOKE).collect()
+    assert rows
+    by_from: dict[int, int] = {}
+    for r in rows:
+        assert 1 <= r.q_from <= MIGRATION_TILES
+        assert 1 <= r.q_to <= MIGRATION_TILES
+        by_from[r.q_from] = by_from.get(r.q_from, 0) + r.n_customers
+        assert 0 < r.row_share <= 1.0
+    # quartiles of the SAME joined population are near-balanced per origin
+    sizes = list(by_from.values())
+    assert max(sizes) - min(sizes) <= max(2, int(0.5 * max(sizes)))
+    for q in by_from:
+        share_sum = sum(r.row_share for r in rows if r.q_from == q)
+        assert abs(share_sum - 1.0) < 1e-3
+
+
+def test_neyman_allocation_matches_numpy(spark):
+    rows = q_sample_neyman(spark, SF_SMOKE).collect()
+    assert rows
+    pdf = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select("c_mktsegment", "c_acctbal")
+        .toPandas()
+    )
+    weights = {}
+    for seg, grp in pdf.groupby("c_mktsegment"):
+        s = np.floor(grp["c_acctbal"].std(ddof=1) * 100 + 0.5) / 100
+        weights[seg] = len(grp) * s
+    wtot = sum(weights.values())
+    total_alloc = 0
+    for r in rows:
+        expect = int(np.floor(NEYMAN_TOTAL * weights[r.c_mktsegment] / wtot + 0.5))
+        assert r.n_alloc == min(r.n_stratum, expect)
+        assert r.n_alloc <= r.n_stratum
+        total_alloc += r.n_alloc
+    # floor-half-up quotas sum to ~the target (off by at most one per stratum)
+    assert abs(total_alloc - NEYMAN_TOTAL) <= len(rows)

@@ -1,0 +1,422 @@
+"""Round-5c surface additions (SURVEY.md §2.17, second wave): the Spark 4
+SQL-scripting surface (session variables + EXECUTE IMMEDIATE, SQL-macro
+UDFs, lateral column aliases), a custom Python DataSource WRITER proven
+lossless end-to-end, spend-quartile migration through the distributed
+ntile, and Neyman-allocation stratified sampling — each with an
+independent DuckDB oracle.
+
+Scale notes (100 TB):
+- SQL UDFs and lateral aliases are pure Catalyst expression macros:
+  they inline into whole-stage codegen, so the "function" surface costs
+  nothing at runtime (PLANS.md shows no Python eval for these keys).
+- session variables bind on the driver at ANALYSIS time — the executor
+  plan carries resolved literals, so predicate pushdown sees the value
+  exactly like a hand-inlined constant (asserted in tests).
+- the jsonl sink writes one file per partition on executors with a
+  driver-side manifest commit (sources/jsonl_sink.py) — no collect.
+- segment migration ranks each year's customer-spend table through the
+  range-bucketed prefix sweep + arithmetic ANSI ntile — two shallow
+  independent sweeps joined on the natural key, never a global window.
+- Neyman allocation needs one tiny per-stratum moment aggregate
+  (broadcast) and one hash-rank window PER STRATUM (market segments are
+  balanced, skew-free keys); the deterministic md5 rank replaces an RNG
+  so both engines and any re-run select the identical sample.
+
+Determinism: stddev quantizes to the 1e-2 grid BEFORE the allocation
+arithmetic, making every downstream double op identical on both engines
+(FIXTURES.md rule 8's grid-exactness discipline); migration counts and
+allocations are exact integers; money sums round on their data grid.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.functions.prefix_sweep import (
+    ntile_from_row_number,
+    prefix_sweep,
+)
+from zonal_datacube_spark.sources.loader import load_table
+
+VAR_MIN_QTY = 30.0
+VAR_FLAG = "R"
+
+
+def q_sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables + EXECUTE IMMEDIATE: DECLARE/SET VAR
+    binds typed, injection-safe parameters on the driver; the final
+    statement runs through EXECUTE IMMEDIATE (the SQL-scripting dispatch
+    path). Variables resolve at analysis time, so the executor plan is
+    bit-identical to hand-inlined literals — including parquet pushdown
+    of the variable-bound predicate. The oracle inlines the same
+    constants."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "zds_li_var"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE zds_min_qty DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE zds_flag STRING DEFAULT 'A'")
+    spark.sql(f"SET VAR zds_min_qty = {VAR_MIN_QTY}")
+    spark.sql(f"SET VAR zds_flag = '{VAR_FLAG}'")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT l_linestatus,
+                count(*) AS n_rows,
+                floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+                    / 10000 AS revenue
+         FROM zds_li_var
+         WHERE l_quantity >= zds_min_qty AND l_returnflag = zds_flag
+         GROUP BY l_linestatus
+         ORDER BY l_linestatus'
+        """
+    )
+
+
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-macro UDFs (Spark 4 CREATE FUNCTION … RETURN <expr>): named,
+    reusable business logic that inlines into Catalyst as expressions —
+    zero runtime cost, full codegen/pushdown, the form shared logic
+    should ship in BEFORE anyone reaches for Python. One UDF composes
+    the other (banding over discounted revenue); the oracle spells out
+    the expanded expressions."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "zds_li_udf"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION zds_rev(p DOUBLE, d DOUBLE)"
+        " RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION zds_qband(q DOUBLE)"
+        " RETURNS STRING RETURN CASE WHEN q < 10 THEN 'low'"
+        " WHEN q < 30 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT zds_qband(l_quantity) AS band,
+               count(*) AS n_rows,
+               floor(sum(zds_rev(l_extendedprice, l_discount)) * 10000 + 0.5)
+                   / 10000 AS revenue
+        FROM zds_li_udf
+        GROUP BY zds_qband(l_quantity)
+        ORDER BY band
+        """
+    )
+
+
+def q_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases: later select items reference earlier ones
+    by alias (gross → disc_amt → net → net_ratio), killing the
+    copy-pasted-subexpression bug class; Catalyst expands the chain into
+    one projection. Derived values stay grid-exact because each link
+    rounds on its data grid before reuse; DuckDB evaluates the identical
+    chain natively."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "zds_li_lat"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS gross,
+               floor(sum(l_extendedprice * l_discount) * 10000 + 0.5)
+                   / 10000 AS disc_amt,
+               gross - disc_amt AS net,
+               floor(net / gross * 1000000 + 0.5) / 1000000 AS net_share
+        FROM zds_li_lat
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+def q_sink_python_ds_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (sources/jsonl_sink.py): the
+    revenue rollup streams partition-parallel through the Spark 4 sink
+    API (executor write() → driver commit() manifest), then reads back
+    with an explicit schema and returns — the DuckDB oracle computes the
+    same rollup directly, so a hash match proves the custom write path
+    is lossless end-to-end (full-precision JSON float round-trip) and
+    the manifest's two-phase commit published every partition exactly
+    once."""
+    from zonal_datacube_spark.sources.jsonl_sink import (
+        JSONL_SINK_NAME,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    result = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("revenue"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="zds_jsonl_sink_")
+    result.write.format(JSONL_SINK_NAME).option("path", out).mode(
+        "append"
+    ).save()
+    return (
+        spark.read.schema(
+            "l_returnflag string, l_linestatus string,"
+            " n_rows bigint, revenue double"
+        )
+        # pathGlobFilter (not a glob-in-path) keeps the non-data manifest
+        # out of the scan without tripping the reader's metadata probe
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(out)
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+MIGRATION_TILES = 4
+MIGRATION_Y0, MIGRATION_Y1 = 1996, 1997
+
+
+def q_report_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-quartile migration matrix: customers ranked into annual-spend
+    quartiles in 1996 and again in 1997; the 4×4 transition census (plus
+    each origin quartile's row share) is the churn/upsell mobility chart.
+    Each year's quartile assignment is a distributed row_number through
+    the range-bucketed prefix sweep + arithmetic ANSI ntile — the
+    customer-grain tables never enter a global window; the two score
+    tables join on the natural key. Counts are exact integers; the one
+    share ratio floors half-up at 6dp."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_tiles(year: int, out: str) -> DataFrame:
+        spend = (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        )
+        swept = prefix_sweep(
+            spend,
+            [],
+            "spend",
+            descending=True,
+            tiebreak=["o_custkey"],
+            row_number_col="_rn",
+            total_count_col="_n",
+        )
+        return swept.select(
+            "o_custkey",
+            ntile_from_row_number(
+                F.col("_rn"), F.col("_n"), MIGRATION_TILES
+            ).alias(out),
+        )
+
+    cells = (
+        year_tiles(MIGRATION_Y0, "q_from")
+        .join(year_tiles(MIGRATION_Y1, "q_to"), "o_custkey")
+        .groupBy("q_from", "q_to")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    row_tot = F.sum("n_customers").over(Window.partitionBy("q_from"))
+    return cells.select(
+        "q_from",
+        "q_to",
+        "n_customers",
+        (
+            F.floor(F.col("n_customers") / row_tot * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("row_share"),
+    ).orderBy("q_from", "q_to")
+
+
+NEYMAN_TOTAL = 100
+
+
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: the variance-optimal
+    allocation n_h ∝ N_h·S_h over market-segment strata of customer
+    balances, drawn DETERMINISTICALLY by md5-hash rank within each
+    stratum (the distributed, re-runnable replacement for an RNG draw —
+    q_sample_hash's discipline). The per-stratum stddev quantizes to the
+    1e-2 grid BEFORE the allocation arithmetic so both engines run
+    identical exact doubles into the floor-half-up quota. Output: stratum
+    size, optimal quota, and the sampled balance mean against the true
+    stratum mean — the design-effect readout."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    moments = cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_h"),
+        (F.floor(F.stddev_samp("c_acctbal") * 100 + F.lit(0.5)) / 100).alias(
+            "s_h"
+        ),
+        F.round(F.avg("c_acctbal"), 6).alias("true_mean"),
+    )
+    tot = moments.agg(
+        F.sum(F.col("n_h") * F.col("s_h")).alias("weight_total")
+    )
+    alloc = moments.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "n_h",
+        "true_mean",
+        F.least(
+            F.col("n_h"),
+            F.floor(
+                F.lit(NEYMAN_TOTAL)
+                * F.col("n_h")
+                * F.col("s_h")
+                / F.col("weight_total")
+                + F.lit(0.5)
+            ),
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    picked = (
+        cust.select(
+            "c_mktsegment", "c_acctbal", F.row_number().over(w).alias("rnk")
+        )
+        .join(F.broadcast(alloc), "c_mktsegment")
+        .filter(F.col("rnk") <= F.col("n_alloc"))
+    )
+    return (
+        picked.groupBy("c_mktsegment")
+        .agg(
+            F.first("n_h").alias("n_stratum"),
+            F.first("n_alloc").alias("n_alloc"),
+            F.round(F.avg("c_acctbal"), 6).alias("sample_mean"),
+            F.first("true_mean").alias("true_mean"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES = {
+    "q_sql_session_variable": q_sql_session_variable,
+    "q_sql_udf": q_sql_udf,
+    "q_sql_lateral_alias": q_sql_lateral_alias,
+    "q_sink_python_ds_write": q_sink_python_ds_write,
+    "q_report_segment_migration": q_report_segment_migration,
+    "q_sample_neyman": q_sample_neyman,
+}
+
+ORACLE = {
+    "q_sql_session_variable": f"""
+        SELECT l_linestatus,
+               count(*) AS n_rows,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+                   / 10000 AS revenue
+        FROM lineitem
+        WHERE l_quantity >= {VAR_MIN_QTY} AND l_returnflag = '{VAR_FLAG}'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "q_sql_udf": """
+        SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                    WHEN l_quantity < 30 THEN 'mid'
+                    ELSE 'high' END AS band,
+               count(*) AS n_rows,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+                   / 10000 AS revenue
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY band
+    """,
+    "q_sql_lateral_alias": """
+        SELECT l_returnflag,
+               floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS gross,
+               floor(sum(l_extendedprice * l_discount) * 10000 + 0.5)
+                   / 10000 AS disc_amt,
+               gross - disc_amt AS net,
+               floor(net / gross * 1000000 + 0.5) / 1000000 AS net_share
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q_sink_python_ds_write": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+                   / 10000 AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q_report_segment_migration": f"""
+        WITH y0 AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+            FROM orders WHERE year(o_orderdate) = {MIGRATION_Y0}
+            GROUP BY o_custkey
+        ),
+        y1 AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+            FROM orders WHERE year(o_orderdate) = {MIGRATION_Y1}
+            GROUP BY o_custkey
+        ),
+        t0 AS (
+            SELECT o_custkey,
+                   ntile({MIGRATION_TILES}) OVER (ORDER BY spend DESC,
+                                                  o_custkey) AS q_from
+            FROM y0
+        ),
+        t1 AS (
+            SELECT o_custkey,
+                   ntile({MIGRATION_TILES}) OVER (ORDER BY spend DESC,
+                                                  o_custkey) AS q_to
+            FROM y1
+        ),
+        cells AS (
+            SELECT q_from, q_to, count(*)::BIGINT AS n_customers
+            FROM t0 JOIN t1 USING (o_custkey)
+            GROUP BY 1, 2
+        )
+        SELECT q_from, q_to, n_customers,
+               floor(n_customers
+                     / (sum(n_customers) OVER (PARTITION BY q_from))::DOUBLE
+                     * 1000000 + 0.5) / 1000000 AS row_share
+        FROM cells
+        ORDER BY q_from, q_to
+    """,
+    "q_sample_neyman": f"""
+        WITH moments AS (
+            SELECT c_mktsegment, count(*)::BIGINT AS n_h,
+                   floor(stddev_samp(c_acctbal) * 100 + 0.5) / 100 AS s_h,
+                   round(avg(c_acctbal), 6) AS true_mean
+            FROM customer GROUP BY c_mktsegment
+        ),
+        tot AS (SELECT sum(n_h * s_h) AS weight_total FROM moments),
+        alloc AS (
+            SELECT c_mktsegment, n_h, true_mean,
+                   least(n_h,
+                         floor({NEYMAN_TOTAL} * n_h * s_h / weight_total
+                               + 0.5)::BIGINT) AS n_alloc
+            FROM moments, tot
+        ),
+        ranked AS (
+            SELECT c_mktsegment, c_acctbal,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY md5(c_custkey::VARCHAR), c_custkey) AS rnk
+            FROM customer
+        )
+        SELECT r.c_mktsegment,
+               any_value(a.n_h) AS n_stratum,
+               any_value(a.n_alloc) AS n_alloc,
+               round(avg(r.c_acctbal), 6) AS sample_mean,
+               any_value(a.true_mean) AS true_mean
+        FROM ranked r JOIN alloc a USING (c_mktsegment)
+        WHERE r.rnk <= a.n_alloc
+        GROUP BY r.c_mktsegment
+        ORDER BY r.c_mktsegment
+    """,
+}

@@ -45,6 +45,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.stats_ext",
     "zonal_datacube_spark.operators.analytics_r5",
     "zonal_datacube_spark.operators.analytics_r5b",
+    "zonal_datacube_spark.operators.sql_surface",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
@@ -126,6 +127,12 @@ KEY_ORDER = (
     "q_dedup_cross_source",
     "q_geo_nearest_neighbor",
     "q_window_percent_rank",
+    "q_sql_session_variable",
+    "q_sql_udf",
+    "q_sql_lateral_alias",
+    "q_sink_python_ds_write",
+    "q_report_segment_migration",
+    "q_sample_neyman",
 )
 
 

@@ -1,0 +1,94 @@
+"""Custom Python DataSource WRITER (Spark 4 public sink API): a
+partition-parallel JSON-lines sink with a driver-side commit manifest —
+the write-path twin of sources/raster_source.py's reader.
+
+Why this matters for the engine: results leave a pipeline through sinks,
+and beyond the built-in formats a deployment writes to custom stores
+(feature stores, HTTP ingestion endpoints, internal queues). The Python
+DataSource writer API is the public way to add one: Spark calls
+``write(iterator)`` once per input partition ON EXECUTORS (each returns a
+``WriterCommitMessage``), then exactly one driver-side ``commit(messages)``
+— the same two-phase task-commit contract a JVM DataSourceV2 sink gets,
+which is what makes the write atomic-at-the-job level: a failed/speculated
+task's file simply never makes it into the manifest.
+
+Scale design: each partition streams its rows to its own file (no
+driver collect, no cross-partition coordination until the O(partitions)
+commit message list); the manifest records per-file row counts so readers
+and audits can verify completeness without rescanning the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+JSONL_SINK_NAME = "zds_jsonl_sink"
+MANIFEST = "_MANIFEST.json"
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename, self.n_rows = filename, n_rows
+
+
+class JsonlDirWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator: Iterator) -> _FileCommit:
+        """Executor-side: stream one partition to one jsonl file."""
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(name, n)
+
+    def commit(self, messages: list[_FileCommit]) -> None:
+        """Driver-side: publish the manifest — files absent from it (from
+        aborted or speculated tasks) are invisible to readers."""
+        with open(os.path.join(self.path, MANIFEST), "w") as fh:
+            json.dump(
+                {
+                    "files": sorted(
+                        [[m.filename, m.n_rows] for m in messages]
+                    ),
+                    "total_rows": sum(m.n_rows for m in messages),
+                },
+                fh,
+            )
+
+    def abort(self, messages: list[_FileCommit]) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return JSONL_SINK_NAME
+
+    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:  # noqa: D102
+        return JsonlDirWriter(self.options)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as fh:
+        return json.load(fh)
