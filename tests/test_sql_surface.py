@@ -114,3 +114,54 @@ def test_neyman_allocation_matches_numpy(spark):
         total_alloc += r.n_alloc
     # floor-half-up quotas sum to ~the target (off by at most one per stratum)
     assert abs(total_alloc - NEYMAN_TOTAL) <= len(rows)
+
+
+def test_grouping_flags_distinguish_subtotals(spark):
+    from zonal_datacube_spark.operators.sql_surface import q_agg_grouping_flags
+
+    rows = q_agg_grouping_flags(spark, SF_SMOKE).collect()
+    gids = [r.gid for r in rows]
+    assert set(gids) == {0, 1, 3}  # detail, per-flag subtotal, grand total
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1 and grand[0].l_returnflag is None
+    detail_n = sum(r.n_rows for r in rows if r.gid == 0)
+    assert grand[0].n_rows == detail_n
+    for r in rows:
+        assert r.gid == 2 * r.g_flag + r.g_status
+
+
+def test_range_interval_window_matches_direct_frame(spark):
+    """The chunked-halo rewrite must reproduce the literal ANSI interval
+    frame Spark itself evaluates (the oracle proves DuckDB equivalence;
+    this pins Spark-vs-Spark)."""
+    from zonal_datacube_spark.operators.sql_surface import (
+        q_ts_range_interval_window,
+    )
+
+    got = {r.event_type: r for r in q_ts_range_interval_window(spark, SF_SMOKE).collect()}
+    load_table(spark, SF_SMOKE, "events").createOrReplaceTempView("zds_ev_riw")
+    direct = {
+        r.event_type: r
+        for r in spark.sql(
+            """
+            WITH w AS (
+                SELECT event_type,
+                       count(*) OVER win AS n1h,
+                       round(sum(value) OVER win, 4) AS s1h
+                FROM zds_ev_riw
+                WINDOW win AS (PARTITION BY event_type ORDER BY ts
+                               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+            )
+            SELECT event_type, count(*) AS n_rows, max(n1h) AS max_hourly_n,
+                   max(s1h) AS max_hourly_sum
+            FROM w GROUP BY event_type
+            """
+        ).collect()
+    }
+    assert set(got) == set(direct)
+    for ty, d in direct.items():
+        g = got[ty]
+        assert g.n_rows == d.n_rows
+        assert g.max_hourly_n == d.max_hourly_n
+        assert abs(g.max_hourly_sum - d.max_hourly_sum) < 1e-9

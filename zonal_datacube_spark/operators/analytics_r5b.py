@@ -410,34 +410,40 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs before splitting train/eval by source (full-text md5
     match finds almost nothing — the fixture's copied SPANS live inside
     otherwise-distinct documents, the q_dedup_span signal). Documents
-    explode to distinct (shingle-digest, source) pairs — the shuffle key
-    is the 16-byte md5 of the shingle, never the text — then a
-    digest-keyed self-join emits each unordered source pair once and a
-    count-distinct rollup scores it. Per-digest join fan-out is bounded
-    by the SOURCE count (pairs are pre-distinct), not the duplicate
-    count, so a shingle copied a million times still contributes at most
-    |sources|² join rows."""
+    explode to (shingle-digest, source) rows — the shuffle key is the
+    16-byte md5 of the shingle, never the text — then ONE digest-keyed
+    aggregation collects each digest's distinct source set (bounded by
+    the source count, ≤20 here) and the unordered pairs expand IN-ROW
+    from that bounded array: no self-join ever touches the data-scaled
+    table, and a shingle copied a million times still contributes at
+    most |sources|²/2 pair rows. (The first cut self-joined the distinct
+    (digest, source) table — correct, but its 10×-data wall-time ratio
+    was 3.3× vs ~1.5× for this shape: the join re-shuffled the whole
+    pair table a second time; SCALING.md tracks the fix.)"""
     from zonal_datacube_spark.functions.text_funcs import shingles, tokens
 
     docs = load_table(spark, sf_dir, "documents").select(
         "source", tokens("text").alias("t")
     )
-    d = (
+    src_sets = (
         docs.filter(F.size("t") >= CROSS_SHINGLE_N)
         .select(
             "source",
             F.explode(shingles("t", CROSS_SHINGLE_N)).alias("sh"),
         )
         .select(F.md5("sh").alias("dg"), "source")
-        .distinct()
+        .groupBy("dg")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
     )
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(b, "dg").filter(F.col("a.source") < F.col("b.source"))
+    pairs = (
+        src_sets.select(F.posexplode("srcs").alias("pa", "src_a"), "srcs")
+        .select("src_a", "pa", F.posexplode("srcs").alias("pb", "src_b"))
+        .filter(F.col("pa") < F.col("pb"))
+    )
     return (
-        pairs.groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
-        )
-        .agg(F.count_distinct("dg").alias("n_shared"))
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
         .orderBy(F.desc("n_shared"), "src_a", "src_b")
         .limit(CROSS_SOURCE_TOP)
     )

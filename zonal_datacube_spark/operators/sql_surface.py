@@ -301,6 +301,84 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING()/GROUPING_ID() flags — the surface that
+    disambiguates a genuine NULL group value from a subtotal row (the
+    classic reporting-layer bug q_agg_rollup alone cannot catch). The
+    DataFrame rollup + F.grouping/grouping_id compile to one
+    Expand+partial-agg plan; the oracle reconstructs grouping_id as
+    2·g(flag) + g(status), pinning the bit encoding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_rows"),
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("revenue"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+HOUR_US = 3_600_000_000
+
+
+def q_ts_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame (trailing 1 hour per event type),
+    reported as per-type hourly-load extremes. Spark 4 accepts the ANSI
+    `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW` frame
+    directly — but an enum-partitioned interval window caps parallelism
+    at |event types| and becomes the straggler at 100 TB, so the engine
+    ships the time-chunk+halo rewrite (functions/chunked_window.py) over
+    integer epoch µs: identical frame multisets, (type × chunk)
+    parallelism. The DuckDB oracle uses the literal ANSI interval frame,
+    so the hash match IS the equivalence proof. Window sums round at 4dp
+    before the max (frame accumulation order differs per engine);
+    counts are exact."""
+    from zonal_datacube_spark.functions.chunked_window import (
+        with_trailing_range_window,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.expr(_EPOCH_US_EV).alias("ep_us")
+    )
+    windowed = with_trailing_range_window(
+        ev,
+        ["event_type"],
+        "ep_us",
+        HOUR_US,
+        lambda w: {
+            "n1h": F.count("*").over(w),
+            "s1h": F.round(F.sum("value").over(w), 4),
+        },
+        upper_bound=0,
+    )
+    return (
+        windowed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("n1h").alias("max_hourly_n"),
+            F.max("s1h").alias("max_hourly_sum"),
+            F.round(F.avg("n1h"), 6).alias("avg_hourly_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EPOCH_US_EV = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+)
+
+
 QUERIES = {
     "q_sql_session_variable": q_sql_session_variable,
     "q_sql_udf": q_sql_udf,
@@ -308,6 +386,8 @@ QUERIES = {
     "q_sink_python_ds_write": q_sink_python_ds_write,
     "q_report_segment_migration": q_report_segment_migration,
     "q_sample_neyman": q_sample_neyman,
+    "q_agg_grouping_flags": q_agg_grouping_flags,
+    "q_ts_range_interval_window": q_ts_range_interval_window,
 }
 
 ORACLE = {
@@ -386,6 +466,36 @@ ORACLE = {
                      * 1000000 + 0.5) / 1000000 AS row_share
         FROM cells
         ORDER BY q_from, q_to
+    """,
+    "q_agg_grouping_flags": """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag)::INT AS g_flag,
+               grouping(l_linestatus)::INT AS g_status,
+               (grouping(l_returnflag) * 2 + grouping(l_linestatus))::INT
+                   AS gid,
+               count(*) AS n_rows,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+                   / 10000 AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    "q_ts_range_interval_window": """
+        WITH w AS (
+            SELECT event_type,
+                   count(*) OVER win AS n1h,
+                   round(sum(value) OVER win, 4) AS s1h
+            FROM events
+            WINDOW win AS (PARTITION BY event_type ORDER BY ts
+                           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+        )
+        SELECT event_type,
+               count(*)::BIGINT AS n_rows,
+               max(n1h)::BIGINT AS max_hourly_n,
+               max(s1h) AS max_hourly_sum,
+               round(avg(n1h), 6) AS avg_hourly_n
+        FROM w GROUP BY event_type ORDER BY event_type
     """,
     "q_sample_neyman": f"""
         WITH moments AS (

@@ -133,6 +133,8 @@ KEY_ORDER = (
     "q_sink_python_ds_write",
     "q_report_segment_migration",
     "q_sample_neyman",
+    "q_agg_grouping_flags",
+    "q_ts_range_interval_window",
 )
 
 
