@@ -165,3 +165,40 @@ def test_range_interval_window_matches_direct_frame(spark):
         assert g.n_rows == d.n_rows
         assert g.max_hourly_n == d.max_hourly_n
         assert abs(g.max_hourly_sum - d.max_hourly_sum) < 1e-9
+
+
+def test_matryoshka_recall_matches_numpy(spark):
+    from zonal_datacube_spark.operators.similarity import (
+        MRL_DIM,
+        MRL_K,
+        MRL_PROBE_MOD,
+        q_embed_matryoshka_eval,
+    )
+
+    got = {
+        r.p_label: r for r in q_embed_matryoshka_eval(spark, SF_SMOKE).collect()
+    }
+    pdf = load_table(spark, SF_SMOKE, "embeddings").toPandas()
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    probe_mask = ids % MRL_PROBE_MOD == 0
+    t = vecs[:, :MRL_DIM]
+    tn = t / np.linalg.norm(t, axis=1, keepdims=True)
+    recalls: dict[int, list] = {}
+    for pi in np.flatnonzero(probe_mask):
+        others = ids != ids[pi]
+        full_s = np.round(vecs[others] @ vecs[pi], 6)
+        trunc_s = np.round(tn[others] @ tn[pi], 6)
+        oid = ids[others]
+        # (score desc, id asc) exactly like both engines
+        top_f = set(oid[np.lexsort((oid, -full_s))][:MRL_K])
+        top_t = set(oid[np.lexsort((oid, -trunc_s))][:MRL_K])
+        recalls.setdefault(labels[pi], []).append(
+            len(top_f & top_t) / MRL_K
+        )
+    assert set(got) == set(recalls)
+    for lb, rs in recalls.items():
+        assert got[lb].n_probes == len(rs)
+        assert abs(got[lb].avg_recall_at_5 - np.mean(rs)) < 1e-5
+        assert 0.0 <= got[lb].avg_recall_at_5 <= 1.0

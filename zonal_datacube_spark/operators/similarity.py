@@ -339,6 +339,93 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_DIM = 16
+MRL_PROBE_MOD = 40
+MRL_K = 5
+
+
+def q_embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality evaluation: how much top-5 recall
+    survives when the 64-dim embeddings are truncated to their first 16
+    dims (the MRL deployment trade — smaller vectors, cheaper ANN)? For
+    a deterministic probe slice (vec_id % 40 == 0) one broadcast pass
+    scores BOTH similarities — full-dim dot (unit-norm ⇒ cosine) and
+    truncated cosine (re-normalized, since truncation changes norms and
+    therefore rankings) — and two row_number windows rank them; recall@5
+    is the per-probe overlap of the two top-5 sets, averaged per label.
+    The probe side broadcasts (q_sim_knn's pattern), the base scans
+    once; at corpus scale the truncated tier would feed the LSH/IVF
+    blocks, with this key as its quality gate — the measurement a
+    production MRL rollout ships with (q_dedup_minhash_eval's
+    discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") % MRL_PROBE_MOD == 0).select(
+            F.col("vec_id").alias("p_id"),
+            F.col("label").alias("p_label"),
+            F.col("embedding").alias("p_vec"),
+        )
+    )
+    pairs = (
+        probes.crossJoin(emb.select(F.col("vec_id").alias("b_id"), "embedding"))
+        .filter(F.col("b_id") != F.col("p_id"))
+        .withColumn("p_t", F.slice("p_vec", 1, MRL_DIM))
+        .withColumn("b_t", F.slice("embedding", 1, MRL_DIM))
+        .select(
+            "p_id",
+            "p_label",
+            "b_id",
+            F.round(_dot("p_vec", "embedding"), 6).alias("full_score"),
+            F.round(
+                _dot("p_t", "b_t")
+                / (F.sqrt(_dot("p_t", "p_t")) * F.sqrt(_dot("b_t", "b_t"))),
+                6,
+            ).alias("trunc_score"),
+        )
+    )
+    w_full = Window.partitionBy("p_id").orderBy(
+        F.col("full_score").desc(), F.col("b_id").asc()
+    )
+    w_trunc = Window.partitionBy("p_id").orderBy(
+        F.col("trunc_score").desc(), F.col("b_id").asc()
+    )
+    ranked = pairs.select(
+        "p_id",
+        "p_label",
+        "b_id",
+        F.row_number().over(w_full).alias("rn_f"),
+        F.row_number().over(w_trunc).alias("rn_t"),
+    )
+    top_full = ranked.filter(F.col("rn_f") <= MRL_K).select(
+        "p_id", "p_label", "b_id"
+    )
+    top_trunc = ranked.filter(F.col("rn_t") <= MRL_K).select("p_id", "b_id")
+    hits = (
+        top_full.join(top_trunc, ["p_id", "b_id"])
+        .groupBy("p_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per_probe = (
+        top_full.select("p_id", "p_label")
+        .distinct()
+        .join(hits, "p_id", "left")
+        .select(
+            "p_label",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(MRL_K))).alias(
+                "recall"
+            ),
+        )
+    )
+    return (
+        per_probe.groupBy("p_label")
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.round(F.avg("recall"), 6).alias("avg_recall_at_5"),
+        )
+        .orderBy("p_label")
+    )
+
+
 QUERIES = {
     "q_sim_knn": q_sim_knn,
     "q_embed_kmeans": q_embed_kmeans,
@@ -349,9 +436,48 @@ QUERIES = {
     "q_sim_ivfpq": q_sim_ivfpq,
     "q_dedup_embed": q_dedup_embed,
     "q_sim_label_centroid": q_sim_label_centroid,
+    "q_embed_matryoshka_eval": q_embed_matryoshka_eval,
 }
 
 ORACLE = {
+    "q_embed_matryoshka_eval": f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        p AS (SELECT * FROM e WHERE vec_id % {MRL_PROBE_MOD} = 0),
+        pairs AS (
+            SELECT p.vec_id AS p_id, p.label AS p_label, e.vec_id AS b_id,
+                   round(list_inner_product(p.v, e.v), 6) AS full_score,
+                   round(list_inner_product(p.v[1:{MRL_DIM}],
+                                            e.v[1:{MRL_DIM}])
+                         / (sqrt(list_inner_product(p.v[1:{MRL_DIM}],
+                                                    p.v[1:{MRL_DIM}]))
+                            * sqrt(list_inner_product(e.v[1:{MRL_DIM}],
+                                                      e.v[1:{MRL_DIM}]))),
+                         6) AS trunc_score
+            FROM p CROSS JOIN e
+            WHERE e.vec_id <> p.vec_id
+        ),
+        ranked AS (
+            SELECT p_id, p_label, b_id,
+                   row_number() OVER (PARTITION BY p_id
+                                      ORDER BY full_score DESC, b_id) AS rn_f,
+                   row_number() OVER (PARTITION BY p_id
+                                      ORDER BY trunc_score DESC, b_id) AS rn_t
+            FROM pairs
+        ),
+        tf AS (SELECT p_id, p_label, b_id FROM ranked WHERE rn_f <= {MRL_K}),
+        tt AS (SELECT p_id, b_id FROM ranked WHERE rn_t <= {MRL_K}),
+        hits AS (SELECT p_id, count(*) AS n_hit
+                 FROM tf JOIN tt USING (p_id, b_id) GROUP BY 1),
+        pp AS (SELECT DISTINCT p_id, p_label FROM tf),
+        rec AS (
+            SELECT pp.p_label, coalesce(h.n_hit, 0) / {MRL_K}.0 AS recall
+            FROM pp LEFT JOIN hits h USING (p_id)
+        )
+        SELECT p_label, count(*)::BIGINT AS n_probes,
+               round(avg(recall), 6) AS avg_recall_at_5
+        FROM rec GROUP BY p_label ORDER BY p_label
+    """,
     "q_embed_dq": f"""
         WITH e AS (
             SELECT label, embedding,

@@ -135,6 +135,7 @@ KEY_ORDER = (
     "q_sample_neyman",
     "q_agg_grouping_flags",
     "q_ts_range_interval_window",
+    "q_embed_matryoshka_eval",
 )
 
 
