@@ -2,7 +2,7 @@
 syntax, interval merging (gaps-and-islands coverage), distributed
 hypothesis tests (Welch t, chi-square independence, tie-corrected
 Mann-Whitney U through the range-bucketed prefix sweep), rolling
-correlation on the bounded minute grain, DAU/MAU stickiness, cross-source
+correlation on the bounded minute grain, DAU/WAU stickiness, cross-source
 duplicate detection, an exact grid-blocked nearest-neighbor join, and the
 percent_rank/cume_dist window surface — each with an independent DuckDB
 oracle.
@@ -158,13 +158,22 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = F.col("nt") - n1
     s2 = F.col("st") - s1
     ss2 = F.col("sst") - ss1
-    m1, m2 = s1 / n1, s2 / n2
-    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
-    v2 = (ss2 - s2 * s2 / n2) / (n2 - 1)
-    a, b = v1 / n1, v2 / n2
+    # nullif guards: a single-row group (n−1 = 0) or a single-type corpus
+    # (n2 = 0) yields NULL statistics on BOTH engines instead of an ANSI
+    # DIVIDE_BY_ZERO crash here and an inf/NULL divergence in the oracle
+    m1 = s1 / n1
+    m2 = s2 / F.nullif(n2, F.lit(0))
+    v1 = (ss1 - s1 * s1 / n1) / F.nullif(n1 - 1, F.lit(0))
+    v2 = (ss2 - s2 * s2 / F.nullif(n2, F.lit(0))) / F.nullif(
+        n2 - 1, F.lit(0)
+    )
+    a, b = v1 / n1, v2 / F.nullif(n2, F.lit(0))
     se2 = a + b
     t = (m1 - m2) / F.sqrt(se2)
-    df = (se2 * se2) / (a * a / (n1 - 1) + b * b / (n2 - 1))
+    df = (se2 * se2) / (
+        a * a / F.nullif(n1 - 1, F.lit(0))
+        + b * b / F.nullif(n2 - 1, F.lit(0))
+    )
     return j.select(
         "event_type",
         n1.alias("n_rows"),
@@ -655,10 +664,12 @@ ORACLE = {
         derived AS (
             SELECT event_type, n1, nt - n1 AS n2,
                    s1 / n1 AS m1,
-                   (st - s1) / (nt - n1) AS m2,
-                   (ss1 - s1 * s1 / n1) / (n1 - 1) / n1 AS a,
-                   ((sst - ss1) - (st - s1) * (st - s1) / (nt - n1))
-                       / (nt - n1 - 1) / (nt - n1) AS b
+                   (st - s1) / nullif(nt - n1, 0) AS m2,
+                   (ss1 - s1 * s1 / n1) / nullif(n1 - 1, 0) / n1 AS a,
+                   ((sst - ss1)
+                    - (st - s1) * (st - s1) / nullif(nt - n1, 0))
+                       / nullif(nt - n1 - 1, 0)
+                       / nullif(nt - n1, 0) AS b
             FROM per, tot
         )
         SELECT event_type, n1 AS n_rows,
@@ -666,7 +677,8 @@ ORACLE = {
                round(m2, 6) AS rest_mean,
                round((m1 - m2) / sqrt(a + b), 6) AS t_stat,
                round((a + b) * (a + b)
-                     / (a * a / (n1 - 1) + b * b / (n2 - 1)), 6) AS welch_df
+                     / (a * a / nullif(n1 - 1, 0)
+                        + b * b / nullif(n2 - 1, 0)), 6) AS welch_df
         FROM derived
         ORDER BY event_type
     """,

@@ -30,6 +30,7 @@ allocations are exact integers; money sums round on their data grid.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -43,6 +44,10 @@ from zonal_datacube_spark.sources.loader import load_table
 
 VAR_MIN_QTY = 30.0
 VAR_FLAG = "R"
+
+# most recent sink output dir — each q_sink_python_ds_write invocation
+# removes its predecessor's, bounding on-disk accumulation to one run
+_LAST_SINK_DIR: str | None = None
 
 
 def q_sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,6 +150,7 @@ def q_sink_python_ds_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     once."""
     from zonal_datacube_spark.sources.jsonl_sink import (
         JSONL_SINK_NAME,
+        read_manifest,
         register_jsonl_sink,
     )
 
@@ -164,19 +170,27 @@ def q_sink_python_ds_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+    global _LAST_SINK_DIR
+    if _LAST_SINK_DIR is not None:
+        shutil.rmtree(_LAST_SINK_DIR, ignore_errors=True)
     out = tempfile.mkdtemp(prefix="zds_jsonl_sink_")
+    _LAST_SINK_DIR = out
     result.write.format(JSONL_SINK_NAME).option("path", out).mode(
         "append"
     ).save()
+    # read back ONLY the manifest's committed file list — a part file on
+    # disk that commit() never published (failed/speculated/retried task)
+    # must stay invisible, or the read path would undo the two-phase
+    # commit's exactly-once guarantee
+    committed = [
+        f"{out}/{name}" for name, _ in read_manifest(out)["files"]
+    ]
     return (
         spark.read.schema(
             "l_returnflag string, l_linestatus string,"
             " n_rows bigint, revenue double"
         )
-        # pathGlobFilter (not a glob-in-path) keeps the non-data manifest
-        # out of the scan without tripping the reader's metadata probe
-        .option("pathGlobFilter", "part-*.jsonl")
-        .json(out)
+        .json(committed)
         .orderBy("l_returnflag", "l_linestatus")
     )
 
