@@ -202,3 +202,23 @@ def test_matryoshka_recall_matches_numpy(spark):
         assert got[lb].n_probes == len(rs)
         assert abs(got[lb].avg_recall_at_5 - np.mean(rs)) < 1e-5
         assert 0.0 <= got[lb].avg_recall_at_5 <= 1.0
+
+
+def test_stream_python_sink_manifest_per_batch(spark):
+    """The streaming sink's per-batch manifest must account for every
+    landed row, and the key must be re-runnable (fresh checkpoint+dir
+    per invocation) with identical results."""
+    from zonal_datacube_spark.operators.sources_ext import (
+        TICK_STREAM_ROWS,
+        TICK_STREAM_TICKS,
+        q_stream_python_sink,
+    )
+
+    rows1 = {r.val_bucket: r for r in q_stream_python_sink(spark, SF_SMOKE).collect()}
+    total = sum(r.n_rows for r in rows1.values())
+    assert total == TICK_STREAM_TICKS * TICK_STREAM_ROWS
+    rows2 = {r.val_bucket: r for r in q_stream_python_sink(spark, SF_SMOKE).collect()}
+    assert set(rows1) == set(rows2)
+    for b in rows1:
+        assert rows1[b].n_rows == rows2[b].n_rows
+        assert rows1[b].tick_sum == rows2[b].tick_sum

@@ -415,8 +415,68 @@ def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming INTO a CUSTOM PYTHON streaming sink
+    (Spark 4 DataSourceStreamWriter contract — per-micro-batch executor
+    writes + idempotent driver commit): the deterministic tick feed
+    (sources/tick_stream_source.py) streams through the jsonl stream
+    writer (sources/jsonl_sink.py), the read-back follows ONLY the
+    per-batch manifest lines, and the landed rows aggregate to the same
+    value-bucket census q_source_python_stream pins — the oracle
+    regenerates the feed via generate_series, so the hash match proves
+    the custom WRITE path delivered every offset exactly once. Completes
+    the Python-connector matrix: batch reader (q_source_python_ds),
+    streaming reader (q_source_python_stream), batch writer
+    (q_sink_python_ds_write), streaming writer (this key)."""
+    import tempfile
+
+    from zonal_datacube_spark.sources.jsonl_sink import (
+        JSONL_SINK_NAME,
+        read_stream_manifest,
+        register_jsonl_sink,
+    )
+    from zonal_datacube_spark.sources.tick_stream_source import (
+        TICK_STREAM_NAME,
+        register_tick_stream_source,
+    )
+
+    register_tick_stream_source(spark)
+    register_jsonl_sink(spark)
+    out = tempfile.mkdtemp(prefix="zds_pysink_out_")
+    ck = tempfile.mkdtemp(prefix="zds_pysink_ck_")
+    stream = (
+        spark.readStream.format(TICK_STREAM_NAME)
+        .option("ticks", TICK_STREAM_TICKS)
+        .option("rows_per_tick", TICK_STREAM_ROWS)
+        .load()
+    )
+    q = (
+        stream.writeStream.format(JSONL_SINK_NAME)
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    committed = [
+        f"{out}/{name}"
+        for rec in read_stream_manifest(out)
+        for name, _ in rec["files"]
+    ]
+    landed = spark.read.schema("tick int, i int, val int").json(committed)
+    return landed.groupBy(
+        (F.col("val") / TICK_VAL_BUCKET).cast("int").alias("val_bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("tick").alias("n_ticks"),
+        F.sum(F.col("tick").cast("bigint")).alias("tick_sum"),
+        F.sum(F.col("i").cast("bigint")).alias("i_sum"),
+    )
+
+
 QUERIES = {
     "q_source_binary_files": q_source_binary_files,
+    "q_stream_python_sink": q_stream_python_sink,
     "q_sink_dynamic_overwrite": q_sink_dynamic_overwrite,
     "q_source_python_stream": q_source_python_stream,
     "q_source_csv_roundtrip": q_source_csv_roundtrip,
@@ -432,6 +492,22 @@ QUERIES = {
 _CATS_VALUES = ", ".join(f"('{t}', '{c}')" for t, c in EVENT_CATEGORIES)
 
 ORACLE = {
+    "q_stream_python_sink": f"""
+        WITH feed AS (
+            SELECT (i // {TICK_STREAM_ROWS}) AS tick,
+                   (i % {TICK_STREAM_ROWS}) AS ri,
+                   ((i // {TICK_STREAM_ROWS}) * 31
+                    + (i % {TICK_STREAM_ROWS}) * 17) % 97 AS val
+            FROM generate_series(0,
+                 {TICK_STREAM_TICKS * TICK_STREAM_ROWS - 1}) t(i)
+        )
+        SELECT (val // {TICK_VAL_BUCKET})::INT AS val_bucket,
+               count(*) AS n_rows,
+               count(DISTINCT tick) AS n_ticks,
+               sum(tick)::BIGINT AS tick_sum,
+               sum(ri)::BIGINT AS i_sum
+        FROM feed GROUP BY 1
+    """,
     "q_source_python_stream": f"""
         WITH feed AS (
             SELECT (i // {TICK_STREAM_ROWS}) AS tick,

@@ -136,6 +136,7 @@ KEY_ORDER = (
     "q_agg_grouping_flags",
     "q_ts_range_interval_window",
     "q_embed_matryoshka_eval",
+    "q_stream_python_sink",
 )
 
 

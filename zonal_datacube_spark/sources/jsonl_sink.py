@@ -27,12 +27,14 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
 
 JSONL_SINK_NAME = "zds_jsonl_sink"
 MANIFEST = "_MANIFEST.json"
+STREAM_MANIFEST = "_STREAM_MANIFEST.jsonl"
 
 
 class _FileCommit(WriterCommitMessage):
@@ -76,6 +78,51 @@ class JsonlDirWriter(DataSourceWriter):
                 pass
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """STREAMING twin of JsonlDirWriter (Spark 4 DataSourceStreamWriter
+    contract): one file per (micro-batch, partition) on executors, one
+    driver-side commit per micro-batch that APPENDS a manifest line
+    ``{"batch": id, "files": [...], "total_rows": n}``. A batch replayed
+    after a crash-before-commit simply re-runs: its first attempt's
+    files were never manifested, so readers that follow the manifest see
+    each batch exactly once — the same idempotent-commit discipline the
+    parquet FileStreamSink's _spark_metadata log implements."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator: Iterator) -> _FileCommit:
+        name = f"stream-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(name, n)
+
+    def commit(self, messages: list[_FileCommit], batchId: int) -> None:
+        with open(os.path.join(self.path, STREAM_MANIFEST), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "batch": batchId,
+                        "files": sorted(
+                            [[m.filename, m.n_rows] for m in messages]
+                        ),
+                        "total_rows": sum(m.n_rows for m in messages),
+                    }
+                )
+                + "\n"
+            )
+
+    def abort(self, messages: list[_FileCommit], batchId: int) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
 class JsonlSinkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -83,6 +130,9 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlDirWriter:  # noqa: D102
         return JsonlDirWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlStreamWriter:  # noqa: D102,E501
+        return JsonlStreamWriter(self.options)
 
 
 def register_jsonl_sink(spark) -> None:
@@ -92,3 +142,13 @@ def register_jsonl_sink(spark) -> None:
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST)) as fh:
         return json.load(fh)
+
+
+def read_stream_manifest(path: str) -> list[dict]:
+    """Committed micro-batch records, in commit order."""
+    out = []
+    with open(os.path.join(path, STREAM_MANIFEST)) as fh:
+        for line in fh:
+            if line.strip():
+                out.append(json.loads(line))
+    return out
