@@ -222,3 +222,41 @@ def test_stream_python_sink_manifest_per_batch(spark):
     for b in rows1:
         assert rows1[b].n_rows == rows2[b].n_rows
         assert rows1[b].tick_sum == rows2[b].tick_sum
+
+
+def test_try_arithmetic_nulls_where_plain_ansi_crashes(spark):
+    import pytest as _pytest
+
+    from zonal_datacube_spark.operators.sql_surface import (
+        q_sql_try_arithmetic,
+    )
+
+    rows = q_sql_try_arithmetic(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_divisible < r.n_rows  # k % 5 == 0 rows nulled out
+        assert 0 < r.n_clean_casts < r.n_rows  # k % 3 == 0 rows nulled out
+    # the same division WITHOUT try_ under ANSI mode fails the job —
+    # proving the quarantine valve is load-bearing, not decorative
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+    )
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO|divide"):
+        ev.select((F.col("value") / (F.col("k") % 5)).alias("x")).agg(
+            F.sum("x")
+        ).collect()
+
+
+def test_metadata_cols_lineage_accounting(spark):
+    from zonal_datacube_spark.operators.sql_surface import (
+        q_scan_metadata_cols,
+    )
+
+    rows = q_scan_metadata_cols(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    total = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_rows for r in rows) == total
+    for r in rows:
+        assert r.n_files == 1
+        assert r.files_nonempty is True

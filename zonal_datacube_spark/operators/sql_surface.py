@@ -393,6 +393,88 @@ _EPOCH_US_EV = (
 )
 
 
+def q_sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* arithmetic (Spark 4 runs ANSI mode by DEFAULT, so
+    a zero divisor or dirty cast in plain arithmetic now FAILS THE JOB —
+    try_divide/try_cast are the per-row quarantine valves a 100 TB
+    ingest needs instead of a crash at hour three). Per event type:
+    rows whose json-extracted k is divisible by 5 null out of the safe
+    division, rows whose k is divisible by 3 simulate a dirty string for
+    the safe cast; counts and the surviving sum prove the null-not-crash
+    semantics. The oracle spells the same guards with nullif/TRY_CAST
+    (DuckDB has no try_divide)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    derived = ev.select(
+        "event_type",
+        F.expr("try_divide(value, k % 5)").alias("safe_div"),
+        F.expr(
+            "try_cast(CASE WHEN k % 3 = 0 THEN concat('x', k)"
+            " ELSE cast(k AS string) END AS INT)"
+        ).alias("safe_cast"),
+    )
+    return (
+        derived.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("safe_div").alias("n_divisible"),
+            F.round(F.sum("safe_div"), 4).alias("sum_safe_div"),
+            F.count("safe_cast").alias("n_clean_casts"),
+            F.sum("safe_cast").alias("sum_clean_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _metadata_layout_path(spark: SparkSession, sf_dir: str) -> str:
+    """events partitioned by type, ONE file per partition directory
+    (repartition by the partition key first) — deterministic file counts
+    so the oracle can pin them."""
+    import os
+
+    from zonal_datacube_spark.operators.sources_ext import _cache_path
+
+    path = _cache_path(sf_dir, "events_by_type_1f")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .repartition("event_type")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+    return path
+
+
+def q_scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden `_metadata` file columns on file sources — the lineage
+    surface incremental pipelines key on (which file did this row come
+    from, how big was it, when was it written) without a custom reader.
+    Over a one-file-per-partition layout the per-type distinct file
+    count is provably 1 and every file non-empty; row counts tie the
+    lineage accounting back to the flat original, which is what the
+    oracle scans (it cannot see Spark's hidden columns — the pinned
+    literals ARE the cross-engine contract)."""
+    ev = spark.read.parquet(_metadata_layout_path(spark, sf_dir))
+    return (
+        ev.select(
+            "event_type",
+            F.col("_metadata.file_name").alias("fname"),
+            F.col("_metadata.file_size").alias("fsize"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("fname").alias("n_files"),
+            (F.min("fsize") > 0).alias("files_nonempty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q_sql_session_variable": q_sql_session_variable,
     "q_sql_udf": q_sql_udf,
@@ -402,6 +484,8 @@ QUERIES = {
     "q_sample_neyman": q_sample_neyman,
     "q_agg_grouping_flags": q_agg_grouping_flags,
     "q_ts_range_interval_window": q_ts_range_interval_window,
+    "q_sql_try_arithmetic": q_sql_try_arithmetic,
+    "q_scan_metadata_cols": q_scan_metadata_cols,
 }
 
 ORACLE = {
@@ -480,6 +564,34 @@ ORACLE = {
                      * 1000000 + 0.5) / 1000000 AS row_share
         FROM cells
         ORDER BY q_from, q_to
+    """,
+    "q_sql_try_arithmetic": """
+        WITH ev AS (
+            SELECT event_type, value,
+                   json_extract(props, '$.k')::INT AS k
+            FROM events
+        ),
+        derived AS (
+            SELECT event_type,
+                   value / nullif(k % 5, 0) AS safe_div,
+                   TRY_CAST(CASE WHEN k % 3 = 0 THEN 'x' || k
+                                 ELSE k::VARCHAR END AS INT) AS safe_cast
+            FROM ev
+        )
+        SELECT event_type,
+               count(*) AS n_rows,
+               count(safe_div)::BIGINT AS n_divisible,
+               round(sum(safe_div), 4) AS sum_safe_div,
+               count(safe_cast)::BIGINT AS n_clean_casts,
+               sum(safe_cast)::BIGINT AS sum_clean_k
+        FROM derived GROUP BY event_type ORDER BY event_type
+    """,
+    "q_scan_metadata_cols": """
+        SELECT event_type,
+               1::BIGINT AS n_files,
+               TRUE AS files_nonempty,
+               count(*) AS n_rows
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "q_agg_grouping_flags": """
         SELECT l_returnflag, l_linestatus,

@@ -137,6 +137,8 @@ KEY_ORDER = (
     "q_ts_range_interval_window",
     "q_embed_matryoshka_eval",
     "q_stream_python_sink",
+    "q_sql_try_arithmetic",
+    "q_scan_metadata_cols",
 )
 
 
