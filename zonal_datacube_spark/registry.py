@@ -113,10 +113,11 @@ KEY_ORDER = (
     "q_join_nearest_event",
     "q_agg_ols_multi",
     "q_agg_percentile_disc",
-    # --- (d) declared new in round 5b (§2.17): outside the ~50-key
-    # driver window by design — the (a)+(b)+(c) slots above are spoken
-    # for; these are parity-proofed in PARITY_r05 and rotate into the
-    # r06 driver window with the remaining dark keys ---
+    # --- (d) declared new in round 5b/5c (§2.17): positions 50+, outside
+    # the ~50-key driver window by design — the (a)+(b)+(c) slots above
+    # are spoken for; these are parity-proofed in PARITY_r05 and rotate
+    # into the r06 driver window with the remaining dark keys (r06
+    # window = these 22 + ~28 of the never-sampled remainder) ---
     "q_sql_pipe_syntax",
     "q_ts_interval_merge",
     "q_stats_ttest",
