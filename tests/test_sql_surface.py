@@ -260,3 +260,29 @@ def test_metadata_cols_lineage_accounting(spark):
     for r in rows:
         assert r.n_files == 1
         assert r.files_nonempty is True
+
+
+def test_scripting_block_takes_data_branch(spark):
+    from zonal_datacube_spark.operators.sql_surface import (
+        q_sql_scripting_block,
+    )
+
+    rows = q_sql_scripting_block(spark, SF_SMOKE).collect()
+    assert {r.l_returnflag for r in rows} == {"A", "N", "R"}
+    assert all(r.l_returnflag != "unexpected" for r in rows)
+    total = load_table(spark, SF_SMOKE, "lineitem").count()
+    kept = sum(r.n_rows for r in rows)
+    assert 0 < kept < total  # the threshold actually filtered
+
+
+def test_pvm_effects_reconstruct_delta(spark):
+    from zonal_datacube_spark.operators.sql_surface import (
+        q_report_pvm_decomposition,
+    )
+
+    rows = q_report_pvm_decomposition(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # Δrev = volume_effect + price_effect is an algebraic identity
+        assert abs(r.delta_rev - (r.volume_effect + r.price_effect)) < 2e-4
+        assert abs(r.delta_rev - (r.rev1 - r.rev0)) < 2e-4

@@ -475,6 +475,79 @@ def q_scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN…END compound statements): a script
+    DECLAREs a variable, computes a data-derived threshold into it
+    (scalar subquery via SET), branches on it with IF/ELSE, and the
+    taken branch's SELECT is the script's result set — multi-statement
+    procedural SQL without leaving the engine. The threshold floors to
+    an INTEGER before the comparison so the branch predicate is
+    grid-safe (cookbook rule 8), and the oracle inlines the same
+    threshold + the branch the data provably takes."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "zds_li_script"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cut BIGINT DEFAULT 0;
+          SET cut = (SELECT floor(avg(l_quantity)) FROM zds_li_script);
+          IF cut >= 10 THEN
+            SELECT l_returnflag,
+                   count(*) AS n_rows,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 10000
+                         + 0.5) / 10000 AS revenue
+            FROM zds_li_script
+            WHERE l_quantity >= cut
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag;
+          ELSE
+            SELECT 'unexpected' AS l_returnflag,
+                   0L AS n_rows, 0.0D AS revenue;
+          END IF;
+        END
+        """
+    )
+
+
+PVM_Y0, PVM_Y1 = 1996, 1997
+
+
+def q_report_pvm_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of year-over-year revenue change per
+    return flag: Δrev = (q₁−q₀)·p₀ + (p₁−p₀)·q₁ with p = rev/qty — an
+    exact algebraic identity, so the two effects reconstruct the delta
+    to rounding and the analyst sees HOW much of the change was selling
+    more vs charging more. One grouped scan per year (conditional
+    aggregation — a single pass), revenue on its 1e-4 grid before the
+    division, all derived doubles identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    yr = F.year("l_shipdate")
+    base = li.filter(yr.isin(PVM_Y0, PVM_Y1)).groupBy("l_returnflag").agg(
+        F.sum(F.when(yr == PVM_Y0, F.col("l_quantity"))).alias("q0"),
+        (
+            F.floor(F.sum(F.when(yr == PVM_Y0, rev)) * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("rev0"),
+        F.sum(F.when(yr == PVM_Y1, F.col("l_quantity"))).alias("q1"),
+        (
+            F.floor(F.sum(F.when(yr == PVM_Y1, rev)) * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("rev1"),
+    )
+    p0 = F.col("rev0") / F.col("q0")
+    p1 = F.col("rev1") / F.col("q1")
+    return base.select(
+        "l_returnflag",
+        "rev0",
+        "rev1",
+        F.round(F.col("rev1") - F.col("rev0"), 4).alias("delta_rev"),
+        F.round((F.col("q1") - F.col("q0")) * p0, 4).alias("volume_effect"),
+        F.round((p1 - p0) * F.col("q1"), 4).alias("price_effect"),
+    ).orderBy("l_returnflag")
+
+
 QUERIES = {
     "q_sql_session_variable": q_sql_session_variable,
     "q_sql_udf": q_sql_udf,
@@ -486,6 +559,8 @@ QUERIES = {
     "q_ts_range_interval_window": q_ts_range_interval_window,
     "q_sql_try_arithmetic": q_sql_try_arithmetic,
     "q_scan_metadata_cols": q_scan_metadata_cols,
+    "q_sql_scripting_block": q_sql_scripting_block,
+    "q_report_pvm_decomposition": q_report_pvm_decomposition,
 }
 
 ORACLE = {
@@ -564,6 +639,39 @@ ORACLE = {
                      * 1000000 + 0.5) / 1000000 AS row_share
         FROM cells
         ORDER BY q_from, q_to
+    """,
+    "q_sql_scripting_block": """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+                   / 10000 AS revenue
+        FROM lineitem
+        WHERE l_quantity >= (SELECT floor(avg(l_quantity)) FROM lineitem)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q_report_pvm_decomposition": f"""
+        WITH base AS (
+            SELECT l_returnflag,
+                   sum(CASE WHEN year(l_shipdate) = {PVM_Y0}
+                            THEN l_quantity END) AS q0,
+                   floor(sum(CASE WHEN year(l_shipdate) = {PVM_Y0}
+                                  THEN l_extendedprice * (1 - l_discount)
+                             END) * 10000 + 0.5) / 10000 AS rev0,
+                   sum(CASE WHEN year(l_shipdate) = {PVM_Y1}
+                            THEN l_quantity END) AS q1,
+                   floor(sum(CASE WHEN year(l_shipdate) = {PVM_Y1}
+                                  THEN l_extendedprice * (1 - l_discount)
+                             END) * 10000 + 0.5) / 10000 AS rev1
+            FROM lineitem
+            WHERE year(l_shipdate) IN ({PVM_Y0}, {PVM_Y1})
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, rev0, rev1,
+               round(rev1 - rev0, 4) AS delta_rev,
+               round((q1 - q0) * (rev0 / q0), 4) AS volume_effect,
+               round((rev1 / q1 - rev0 / q0) * q1, 4) AS price_effect
+        FROM base ORDER BY l_returnflag
     """,
     "q_sql_try_arithmetic": """
         WITH ev AS (

@@ -140,6 +140,8 @@ KEY_ORDER = (
     "q_stream_python_sink",
     "q_sql_try_arithmetic",
     "q_scan_metadata_cols",
+    "q_sql_scripting_block",
+    "q_report_pvm_decomposition",
 )
 
 
