@@ -234,7 +234,7 @@ def test_try_arithmetic_nulls_where_plain_ansi_crashes(spark):
     rows = q_sql_try_arithmetic(spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
-        assert 0 < r.n_divisible < r.n_rows  # k % 5 == 0 rows nulled out
+        assert 0 < r.n_div_ok < r.n_rows  # k % 5 == 0 rows nulled out
         assert 0 < r.n_clean_casts < r.n_rows  # k % 3 == 0 rows nulled out
     # the same division WITHOUT try_ under ANSI mode fails the job —
     # proving the quarantine valve is load-bearing, not decorative
@@ -286,3 +286,24 @@ def test_pvm_effects_reconstruct_delta(spark):
         # Δrev = volume_effect + price_effect is an algebraic identity
         assert abs(r.delta_rev - (r.volume_effect + r.price_effect)) < 2e-4
         assert abs(r.delta_rev - (r.rev1 - r.rev0)) < 2e-4
+
+
+def test_stream_sink_commit_is_idempotent_per_batch(tmp_path):
+    """A batch replayed after a crash between sink-commit and the
+    engine's offset-log write calls commit() twice with the same
+    batchId — the manifest must record it once (and the reader dedupes
+    as a belt)."""
+    from zonal_datacube_spark.sources.jsonl_sink import (
+        JsonlStreamWriter,
+        _FileCommit,
+        read_stream_manifest,
+    )
+
+    w = JsonlStreamWriter({"path": str(tmp_path)})
+    w.commit([_FileCommit("stream-a.jsonl", 7)], batchId=0)
+    w.commit([_FileCommit("stream-b.jsonl", 7)], batchId=0)  # replay
+    w.commit([_FileCommit("stream-c.jsonl", 3)], batchId=1)
+    recs = read_stream_manifest(str(tmp_path))
+    assert [r["batch"] for r in recs] == [0, 1]
+    assert recs[0]["files"] == [["stream-a.jsonl", 7]]  # first attempt wins
+    assert sum(r["total_rows"] for r in recs) == 10

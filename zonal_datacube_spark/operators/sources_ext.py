@@ -370,6 +370,31 @@ TICK_STREAM_ROWS = 16
 TICK_VAL_BUCKET = 10
 
 
+def _await_drained(q, timeout_s: int = 240) -> None:
+    """availableNow queries must actually DRAIN before the read-back; a
+    timeout would otherwise surface as silent partial results (and leave
+    an orphan query appending behind the reader)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout_s}s"
+        )
+
+
+def _tick_bucket_census(landed: DataFrame) -> DataFrame:
+    """The shared value-bucket census both tick-stream keys aggregate —
+    one definition, so the connector keys and their common oracle cannot
+    drift apart."""
+    return landed.groupBy(
+        (F.col("val") / TICK_VAL_BUCKET).cast("int").alias("val_bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("tick").alias("n_ticks"),
+        F.sum(F.col("tick").cast("bigint")).alias("tick_sum"),
+        F.sum(F.col("i").cast("bigint")).alias("i_sum"),
+    )
+
+
 def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE Structured Streaming from a CUSTOM PYTHON streaming source
     (Spark 4 ``pyspark.sql.datasource`` streaming contract — offsets,
@@ -403,16 +428,8 @@ def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    landed = spark.read.parquet(out)
-    return landed.groupBy(
-        (F.col("val") / TICK_VAL_BUCKET).cast("int").alias("val_bucket")
-    ).agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("tick").alias("n_ticks"),
-        F.sum(F.col("tick").cast("bigint")).alias("tick_sum"),
-        F.sum(F.col("i").cast("bigint")).alias("i_sum"),
-    )
+    _await_drained(q)
+    return _tick_bucket_census(spark.read.parquet(out))
 
 
 def q_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,21 +474,14 @@ def q_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_drained(q)
     committed = [
         f"{out}/{name}"
         for rec in read_stream_manifest(out)
         for name, _ in rec["files"]
     ]
     landed = spark.read.schema("tick int, i int, val int").json(committed)
-    return landed.groupBy(
-        (F.col("val") / TICK_VAL_BUCKET).cast("int").alias("val_bucket")
-    ).agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("tick").alias("n_ticks"),
-        F.sum(F.col("tick").cast("bigint")).alias("tick_sum"),
-        F.sum(F.col("i").cast("bigint")).alias("i_sum"),
-    )
+    return _tick_bucket_census(landed)
 
 
 QUERIES = {
@@ -491,39 +501,28 @@ QUERIES = {
 
 _CATS_VALUES = ", ".join(f"('{t}', '{c}')" for t, c in EVENT_CATEGORIES)
 
+# one oracle for BOTH tick-stream connector keys (reader and writer
+# paths land the identical feed): regenerate arithmetically and census
+_TICK_CENSUS_ORACLE = f"""
+        WITH feed AS (
+            SELECT (i // {TICK_STREAM_ROWS}) AS tick,
+                   (i % {TICK_STREAM_ROWS}) AS ri,
+                   ((i // {TICK_STREAM_ROWS}) * 31
+                    + (i % {TICK_STREAM_ROWS}) * 17) % 97 AS val
+            FROM generate_series(0,
+                 {TICK_STREAM_TICKS * TICK_STREAM_ROWS - 1}) t(i)
+        )
+        SELECT (val // {TICK_VAL_BUCKET})::INT AS val_bucket,
+               count(*) AS n_rows,
+               count(DISTINCT tick) AS n_ticks,
+               sum(tick)::BIGINT AS tick_sum,
+               sum(ri)::BIGINT AS i_sum
+        FROM feed GROUP BY 1
+    """
+
 ORACLE = {
-    "q_stream_python_sink": f"""
-        WITH feed AS (
-            SELECT (i // {TICK_STREAM_ROWS}) AS tick,
-                   (i % {TICK_STREAM_ROWS}) AS ri,
-                   ((i // {TICK_STREAM_ROWS}) * 31
-                    + (i % {TICK_STREAM_ROWS}) * 17) % 97 AS val
-            FROM generate_series(0,
-                 {TICK_STREAM_TICKS * TICK_STREAM_ROWS - 1}) t(i)
-        )
-        SELECT (val // {TICK_VAL_BUCKET})::INT AS val_bucket,
-               count(*) AS n_rows,
-               count(DISTINCT tick) AS n_ticks,
-               sum(tick)::BIGINT AS tick_sum,
-               sum(ri)::BIGINT AS i_sum
-        FROM feed GROUP BY 1
-    """,
-    "q_source_python_stream": f"""
-        WITH feed AS (
-            SELECT (i // {TICK_STREAM_ROWS}) AS tick,
-                   (i % {TICK_STREAM_ROWS}) AS ri,
-                   ((i // {TICK_STREAM_ROWS}) * 31
-                    + (i % {TICK_STREAM_ROWS}) * 17) % 97 AS val
-            FROM generate_series(0,
-                 {TICK_STREAM_TICKS * TICK_STREAM_ROWS - 1}) t(i)
-        )
-        SELECT (val // {TICK_VAL_BUCKET})::INT AS val_bucket,
-               count(*) AS n_rows,
-               count(DISTINCT tick) AS n_ticks,
-               sum(tick)::BIGINT AS tick_sum,
-               sum(ri)::BIGINT AS i_sum
-        FROM feed GROUP BY 1
-    """,
+    "q_stream_python_sink": _TICK_CENSUS_ORACLE,
+    "q_source_python_stream": _TICK_CENSUS_ORACLE,
     "q_sink_dynamic_overwrite": f"""
         WITH daily AS (
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -420,7 +420,7 @@ def q_sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         derived.groupBy("event_type")
         .agg(
             F.count("*").alias("n_rows"),
-            F.count("safe_div").alias("n_divisible"),
+            F.count("safe_div").alias("n_div_ok"),
             F.round(F.sum("safe_div"), 4).alias("sum_safe_div"),
             F.count("safe_cast").alias("n_clean_casts"),
             F.sum("safe_cast").alias("sum_clean_k"),
@@ -538,14 +538,28 @@ def q_report_pvm_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p0 = F.col("rev0") / F.col("q0")
     p1 = F.col("rev1") / F.col("q1")
-    return base.select(
-        "l_returnflag",
-        "rev0",
-        "rev1",
-        F.round(F.col("rev1") - F.col("rev0"), 4).alias("delta_rev"),
-        F.round((F.col("q1") - F.col("q0")) * p0, 4).alias("volume_effect"),
-        F.round((p1 - p0) * F.col("q1"), 4).alias("price_effect"),
-    ).orderBy("l_returnflag")
+
+    # floor-half-up on the 1e-4 grid, the same identical-expression
+    # rounding rev0/rev1 use — F.round's BigDecimal HALF_UP and DuckDB's
+    # round disagree at double midpoints (the 5f7ca77 flake class); a
+    # signed flavor because effects can be negative
+    def _g4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    return (
+        # flags absent from one of the two years have no price/volume
+        # split — drop them instead of emitting NULL effect columns
+        base.filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+        .select(
+            "l_returnflag",
+            "rev0",
+            "rev1",
+            _g4(F.col("rev1") - F.col("rev0")).alias("delta_rev"),
+            _g4((F.col("q1") - F.col("q0")) * p0).alias("volume_effect"),
+            _g4((p1 - p0) * F.col("q1")).alias("price_effect"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 QUERIES = {
@@ -668,10 +682,14 @@ ORACLE = {
             GROUP BY l_returnflag
         )
         SELECT l_returnflag, rev0, rev1,
-               round(rev1 - rev0, 4) AS delta_rev,
-               round((q1 - q0) * (rev0 / q0), 4) AS volume_effect,
-               round((rev1 / q1 - rev0 / q0) * q1, 4) AS price_effect
-        FROM base ORDER BY l_returnflag
+               floor((rev1 - rev0) * 10000 + 0.5) / 10000 AS delta_rev,
+               floor((q1 - q0) * (rev0 / q0) * 10000 + 0.5) / 10000
+                   AS volume_effect,
+               floor((rev1 / q1 - rev0 / q0) * q1 * 10000 + 0.5) / 10000
+                   AS price_effect
+        FROM base
+        WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+        ORDER BY l_returnflag
     """,
     "q_sql_try_arithmetic": """
         WITH ev AS (
@@ -688,7 +706,7 @@ ORACLE = {
         )
         SELECT event_type,
                count(*) AS n_rows,
-               count(safe_div)::BIGINT AS n_divisible,
+               count(safe_div)::BIGINT AS n_div_ok,
                round(sum(safe_div), 4) AS sum_safe_div,
                count(safe_cast)::BIGINT AS n_clean_casts,
                sum(safe_cast)::BIGINT AS sum_clean_k

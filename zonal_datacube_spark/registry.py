@@ -117,7 +117,8 @@ KEY_ORDER = (
     # the ~50-key driver window by design — the (a)+(b)+(c) slots above
     # are spoken for; these are parity-proofed in PARITY_r05 and rotate
     # into the r06 driver window with the remaining dark keys (r06
-    # window = these 22 + ~28 of the never-sampled remainder) ---
+    # window = these 24 §2.17 keys + ~26 of the never-sampled
+    # remainder) ---
     "q_sql_pipe_syntax",
     "q_ts_interval_merge",
     "q_stats_ttest",

@@ -101,7 +101,19 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         return _FileCommit(name, n)
 
     def commit(self, messages: list[_FileCommit], batchId: int) -> None:
-        with open(os.path.join(self.path, STREAM_MANIFEST), "a") as fh:
+        # idempotent per batchId: a batch REPLAYED after a crash between
+        # sink-commit and the engine's offset-log write arrives here a
+        # second time — skip it, so the first attempt's files stay the
+        # only visible copy (the replay's files are never manifested);
+        # this is the batchId <= latestBatchId guard FileStreamSink's
+        # _spark_metadata log implements
+        manifest = os.path.join(self.path, STREAM_MANIFEST)
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                for line in fh:
+                    if line.strip() and json.loads(line)["batch"] == batchId:
+                        return
+        with open(manifest, "a") as fh:
             fh.write(
                 json.dumps(
                     {
@@ -145,10 +157,15 @@ def read_manifest(path: str) -> dict:
 
 
 def read_stream_manifest(path: str) -> list[dict]:
-    """Committed micro-batch records, in commit order."""
-    out = []
+    """Committed micro-batch records, in commit order; the FIRST record
+    per batchId wins (belt to the writer's idempotent-commit guard)."""
+    out: list[dict] = []
+    seen: set[int] = set()
     with open(os.path.join(path, STREAM_MANIFEST)) as fh:
         for line in fh:
             if line.strip():
-                out.append(json.loads(line))
+                rec = json.loads(line)
+                if rec["batch"] not in seen:
+                    seen.add(rec["batch"])
+                    out.append(rec)
     return out
