@@ -46,6 +46,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.analytics_r5",
     "zonal_datacube_spark.operators.analytics_r5b",
     "zonal_datacube_spark.operators.sql_surface",
+    "zonal_datacube_spark.operators.analytics_r5c",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
@@ -143,6 +144,13 @@ KEY_ORDER = (
     "q_scan_metadata_cols",
     "q_sql_scripting_block",
     "q_report_pvm_decomposition",
+    # --- (e) declared new in round 5c (§2.18): same rotation story ---
+    "q_stats_ks_test",
+    "q_stats_anova",
+    "q_stats_corr_matrix",
+    "q_data_mixture_weights",
+    "q_text_filter_funnel",
+    "q_tokenizer_fertility",
 )
 
 
