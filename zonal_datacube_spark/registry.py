@@ -47,6 +47,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.analytics_r5b",
     "zonal_datacube_spark.operators.sql_surface",
     "zonal_datacube_spark.operators.analytics_r5c",
+    "zonal_datacube_spark.operators.analytics_r5d",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
@@ -151,6 +152,11 @@ KEY_ORDER = (
     "q_data_mixture_weights",
     "q_text_filter_funnel",
     "q_tokenizer_fertility",
+    "q_warehouse_time_travel",
+    "q_sink_write_audit_publish",
+    "q_ts_locf_repair",
+    "q_graph_assortativity",
+    "q_ts_acf_multi",
 )
 
 
