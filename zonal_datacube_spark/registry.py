@@ -48,6 +48,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.sql_surface",
     "zonal_datacube_spark.operators.analytics_r5c",
     "zonal_datacube_spark.operators.analytics_r5d",
+    "zonal_datacube_spark.operators.analytics_r5e",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
@@ -157,6 +158,11 @@ KEY_ORDER = (
     "q_ts_locf_repair",
     "q_graph_assortativity",
     "q_ts_acf_multi",
+    "q_privacy_k_anon",
+    "q_privacy_rr_count",
+    "q_dq_control_chart",
+    "q_text_bm25",
+    "q_ts_theil_sen",
 )
 
 
