@@ -74,10 +74,11 @@ def prefix_sweep(
     ``out_name -> input_col``: inclusive running sum (frame …, CURRENT
     ROW), exclusive running sum, and exclusive running max over the
     ``(order_col, *tiebreak)`` total order. ``row_number_col`` adds the
-    global 1-based row number. ``order_col`` must be numeric and
-    non-null; ties on ``order_col`` are ordered by ``tiebreak`` within a
-    bucket (equal values never straddle buckets, so the cross-bucket
-    order needs no tiebreak).
+    global 1-based row number. ``order_col`` must be numeric; rows where
+    it is NULL are FILTERED OUT (enforced here, not assumed — see the
+    in-body comment). Ties on ``order_col`` are ordered by ``tiebreak``
+    within a bucket (equal values never straddle buckets, so the
+    cross-bucket order needs no tiebreak).
 
     Exclusive ("strict") frames are ROW-based like the single-partition
     window they replace: a row's strict frame includes earlier tiebreak
@@ -101,7 +102,13 @@ def prefix_sweep(
         raise ValueError("no prefix columns requested")
 
     parts = list(part_cols)
-    work = df
+    # Enforce the documented non-null contract instead of relying on each
+    # caller's fixture: a NULL order value would be coerced into bucket 0
+    # by the floor() arithmetic while Spark windows sort NULLs first and
+    # DuckDB's ORDER BY sorts them last — a silent cross-engine rank
+    # divergence. Dropping NULLs matches "rows with no orderable value
+    # take no place in the prefix order" and is deterministic either way.
+    work = df.filter(F.col(order_col).isNotNull())
     if not parts:
         work = work.withColumn(_P, F.lit(1))
         parts = [_P]

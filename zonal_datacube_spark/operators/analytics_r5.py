@@ -638,9 +638,17 @@ def q_graph_2hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per reference — so materialize the bounded rollup ONCE and rebuild
     # it as a local relation (the same eager-bounded pattern as
     # q_graph_sssp's frontier loop; cost: one fact pass instead of three)
-    edges = spark.createDataFrame(
-        edges_cut.collect(), schema="src long, dst long"
-    )
+    collected = edges_cut.collect()
+    # defensive: the collect is only safe because the edge grain is
+    # schema-bounded (nations² ≤ 625). If _trade_edges is ever rewired to
+    # a data-scaled key space, fail loudly instead of OOMing the driver.
+    if len(collected) > 10_000:
+        raise AssertionError(
+            "q_graph_2hop_neighbors: edge rollup is no longer "
+            f"schema-bounded ({len(collected)} rows collected); the "
+            "driver-side materialization assumes a nation-grain graph"
+        )
+    edges = spark.createDataFrame(collected, schema="src long, dst long")
     e2 = edges.select(
         F.col("src").alias("mid"), F.col("dst").alias("dst2")
     )

@@ -35,11 +35,11 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from zonal_datacube_spark.functions.tempdirs import fresh_dirs
 from zonal_datacube_spark.operators.analytics_r5 import _minute_grain
 from zonal_datacube_spark.operators.graph import _trade_edges
 from zonal_datacube_spark.sources.loader import load_table
@@ -82,7 +82,7 @@ def q_warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_c"),
     )
-    root = tempfile.mkdtemp(prefix="zds_timetravel_")
+    (root,) = fresh_dirs("q_warehouse_time_travel", "zds_timetravel_")
     d0 = os.path.join(root, "delta_v0")
     d1 = os.path.join(root, "delta_v1")
     d2 = os.path.join(root, "delta_v2")
@@ -167,7 +167,7 @@ def q_sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_v_c"
         ),
     )
-    root = tempfile.mkdtemp(prefix="zds_wap_")
+    (root,) = fresh_dirs("q_sink_write_audit_publish", "zds_wap_")
     staging = os.path.join(root, "staging")
     publish = os.path.join(root, "published")
     cand.write.mode("overwrite").parquet(staging)

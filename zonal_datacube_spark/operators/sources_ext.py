@@ -27,6 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from zonal_datacube_spark.functions.tempdirs import fresh_dirs
 from zonal_datacube_spark.sources.loader import load_csv, load_json, load_table
 from zonal_datacube_spark.sources.sinks import write_csv, write_json, write_parquet
 
@@ -307,14 +308,12 @@ def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql.sources.partitionOverwriteMode=dynamic; the read-back
     shows old days intact and tail days fully replaced. The oracle
     computes that exact blend relationally."""
-    import tempfile
-
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         "event_type",
     ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_v"))
-    out = tempfile.mkdtemp(prefix="zds_dynover_")
+    (out,) = fresh_dirs("q_sink_dynamic_overwrite", "zds_dynover_")
     daily.write.mode("overwrite").partitionBy("day").parquet(out)
     cutoff = ev.agg(
         F.date_format(
@@ -405,16 +404,15 @@ def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     entire feed arithmetically via generate_series — row counts, tick
     sums, and bucket populations all match iff the connector delivered
     every offset exactly once."""
-    import tempfile
-
     from zonal_datacube_spark.sources.tick_stream_source import (
         TICK_STREAM_NAME,
         register_tick_stream_source,
     )
 
     register_tick_stream_source(spark)
-    out = tempfile.mkdtemp(prefix="zds_tickstream_out_")
-    ck = tempfile.mkdtemp(prefix="zds_tickstream_ck_")
+    out, ck = fresh_dirs(
+        "q_source_python_stream", "zds_tickstream_out_", "zds_tickstream_ck_"
+    )
     stream = (
         spark.readStream.format(TICK_STREAM_NAME)
         .option("ticks", TICK_STREAM_TICKS)
@@ -445,8 +443,6 @@ def q_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Python-connector matrix: batch reader (q_source_python_ds),
     streaming reader (q_source_python_stream), batch writer
     (q_sink_python_ds_write), streaming writer (this key)."""
-    import tempfile
-
     from zonal_datacube_spark.sources.jsonl_sink import (
         JSONL_SINK_NAME,
         read_stream_manifest,
@@ -459,8 +455,9 @@ def q_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tick_stream_source(spark)
     register_jsonl_sink(spark)
-    out = tempfile.mkdtemp(prefix="zds_pysink_out_")
-    ck = tempfile.mkdtemp(prefix="zds_pysink_ck_")
+    out, ck = fresh_dirs(
+        "q_stream_python_sink", "zds_pysink_out_", "zds_pysink_ck_"
+    )
     stream = (
         spark.readStream.format(TICK_STREAM_NAME)
         .option("ticks", TICK_STREAM_TICKS)

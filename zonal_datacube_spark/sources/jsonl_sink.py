@@ -42,9 +42,36 @@ class _FileCommit(WriterCommitMessage):
         self.filename, self.n_rows = filename, n_rows
 
 
+def _atomic_write(path: str, payload: str) -> None:
+    """Write-then-rename (the FileStreamSink discipline): a crash mid-write
+    leaves a stray ``.tmp`` file, never a torn manifest that wedges every
+    subsequent read with a JSON parse error."""
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+def _manifest_records(path: str) -> Iterator[dict]:
+    """Parsed stream-manifest lines, skipping a torn trailing line (a
+    pre-atomic-write legacy manifest may end mid-record; tolerating it
+    beats raising on every commit forever)."""
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            try:
+                yield json.loads(line)
+            except json.JSONDecodeError:
+                continue
+
+
 class JsonlDirWriter(DataSourceWriter):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator: Iterator) -> _FileCommit:
         """Executor-side: stream one partition to one jsonl file."""
@@ -57,18 +84,33 @@ class JsonlDirWriter(DataSourceWriter):
         return _FileCommit(name, n)
 
     def commit(self, messages: list[_FileCommit]) -> None:
-        """Driver-side: publish the manifest — files absent from it (from
-        aborted or speculated tasks) are invisible to readers."""
-        with open(os.path.join(self.path, MANIFEST), "w") as fh:
-            json.dump(
+        """Driver-side: publish the manifest atomically — files absent
+        from it (from aborted or speculated tasks) are invisible to
+        manifest readers. Under mode("overwrite") the PREVIOUS run's part
+        files are then physically removed, so even a naive directory scan
+        cannot mix stale rows with the new ones."""
+        live = sorted([[m.filename, m.n_rows] for m in messages])
+        _atomic_write(
+            os.path.join(self.path, MANIFEST),
+            json.dumps(
                 {
-                    "files": sorted(
-                        [[m.filename, m.n_rows] for m in messages]
-                    ),
+                    "files": live,
                     "total_rows": sum(m.n_rows for m in messages),
-                },
-                fh,
-            )
+                }
+            ),
+        )
+        if self.overwrite:
+            keep = {name for name, _ in live}
+            for entry in os.listdir(self.path):
+                if (
+                    entry.startswith("part-")
+                    and entry.endswith(".jsonl")
+                    and entry not in keep
+                ):
+                    try:
+                        os.remove(os.path.join(self.path, entry))
+                    except OSError:
+                        pass
 
     def abort(self, messages: list[_FileCommit]) -> None:
         for m in messages:
@@ -108,24 +150,28 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         # this is the batchId <= latestBatchId guard FileStreamSink's
         # _spark_metadata log implements
         manifest = os.path.join(self.path, STREAM_MANIFEST)
+        prior_lines: list[str] = []
         if os.path.exists(manifest):
-            with open(manifest) as fh:
-                for line in fh:
-                    if line.strip() and json.loads(line)["batch"] == batchId:
-                        return
-        with open(manifest, "a") as fh:
-            fh.write(
-                json.dumps(
-                    {
-                        "batch": batchId,
-                        "files": sorted(
-                            [[m.filename, m.n_rows] for m in messages]
-                        ),
-                        "total_rows": sum(m.n_rows for m in messages),
-                    }
-                )
-                + "\n"
+            for rec in _manifest_records(manifest):
+                if rec["batch"] == batchId:
+                    return
+                prior_lines.append(json.dumps(rec))
+        prior_lines.append(
+            json.dumps(
+                {
+                    "batch": batchId,
+                    "files": sorted(
+                        [[m.filename, m.n_rows] for m in messages]
+                    ),
+                    "total_rows": sum(m.n_rows for m in messages),
+                }
             )
+        )
+        # rewrite-then-rename instead of append: an append torn by a crash
+        # would poison every later commit's replay scan; the manifest is
+        # O(batches) lines, so the rewrite is metadata-sized, not
+        # data-sized (the FileStreamSink _spark_metadata log's contract)
+        _atomic_write(manifest, "\n".join(prior_lines) + "\n")
 
     def abort(self, messages: list[_FileCommit], batchId: int) -> None:
         for m in messages:
@@ -141,7 +187,7 @@ class JsonlSinkDataSource(DataSource):
         return JSONL_SINK_NAME
 
     def writer(self, schema, overwrite: bool) -> JsonlDirWriter:  # noqa: D102
-        return JsonlDirWriter(self.options)
+        return JsonlDirWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> JsonlStreamWriter:  # noqa: D102,E501
         return JsonlStreamWriter(self.options)
@@ -158,14 +204,13 @@ def read_manifest(path: str) -> dict:
 
 def read_stream_manifest(path: str) -> list[dict]:
     """Committed micro-batch records, in commit order; the FIRST record
-    per batchId wins (belt to the writer's idempotent-commit guard)."""
+    per batchId wins (belt to the writer's idempotent-commit guard), and
+    a torn trailing line from a legacy non-atomic append is skipped
+    rather than raised."""
     out: list[dict] = []
     seen: set[int] = set()
-    with open(os.path.join(path, STREAM_MANIFEST)) as fh:
-        for line in fh:
-            if line.strip():
-                rec = json.loads(line)
-                if rec["batch"] not in seen:
-                    seen.add(rec["batch"])
-                    out.append(rec)
+    for rec in _manifest_records(os.path.join(path, STREAM_MANIFEST)):
+        if rec["batch"] not in seen:
+            seen.add(rec["batch"])
+            out.append(rec)
     return out
