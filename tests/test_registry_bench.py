@@ -13,30 +13,26 @@ from bench import bench_json_line
 from zonal_datacube_spark.registry import KEY_ORDER, all_oracle_sql, all_queries
 
 
-CHANGED_IN_R05 = (
-    # the prefix-sweep family + minute-grain anomaly + oracle/guard edits
-    "q_ts_anomaly",
-    "q_agg_weighted_median",
-    "q_skyline_dominance",
-    "q_agg_gini",
-    "q_report_ltv_deciles",
-    "q_agg_entropy",
-    "q_window_pareto",
-    "q_report_abc_class",
-    "q_sort_limit_with_ties",
+CHANGED_IN_R06 = (
+    # declared new in round 6, plus the one previously-sampled key whose
+    # implementation the round-6 tempdir fix touched
+    "q_text_chunking",
+    "q_rag_chunk_dedup",
+    "q_text_rrf_fusion",
+    "q_sim_opq_eval",
     "q_sink_dynamic_overwrite",
 )
 
 
 def test_registry_order_puts_priority_keys_first():
-    """Window policy (VERDICT r04 next-round #5): the driver records
-    CORRECTNESS rows for the first ~50 keys only. Round-5 window = (a)
-    every key whose implementation changed this round (fresh driver
-    attestation for the rewrites), then (b) keys that have NEVER been in
-    any driver CORRECTNESS window — at least 40 of them, pushing
-    driver-attested coverage past 80% after this round. The dark set is
-    derived from the CORRECTNESS_r0x artifacts themselves, so this test
-    re-validates whenever a new artifact lands."""
+    """Window policy (VERDICT r05 next-round #6): the driver records
+    CORRECTNESS rows for the first ~50 keys only. Round-6 window = (a)
+    every key declared or changed this round (fresh driver attestation),
+    then (b) keys that have NEVER been in any driver CORRECTNESS window
+    — at least 40 of them, pushing driver-attested coverage toward the
+    full registry. The dark set is derived from the CORRECTNESS_r0x
+    artifacts themselves, so this test re-validates whenever a new
+    artifact lands."""
     import glob
     import json
     import os
@@ -47,14 +43,14 @@ def test_registry_order_puts_priority_keys_first():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sampled: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-4].json"))):
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-5].json"))):
         with open(path) as fh:
             sampled |= set(json.load(fh))
     dark_in_window = [k for k in keys[:50] if k not in sampled]
     assert len(dark_in_window) >= 40, (
         f"only {len(dark_in_window)} never-sampled keys in the window"
     )
-    for k in CHANGED_IN_R05:
+    for k in CHANGED_IN_R06:
         assert k in window, k
 
 
@@ -63,6 +59,68 @@ def test_oracle_keys_subset_and_ordered_like_queries():
     assert set(oracle) <= set(queries)
     qpos = {k: i for i, k in enumerate(queries)}
     assert sorted(oracle, key=qpos.__getitem__) == list(oracle)
+
+
+def test_every_registry_key_has_recorded_parity_evidence():
+    """VERDICT r05 what's-wrong #1: 16 keys were declared after the last
+    recorded parity sweep — the evidence trail must never lag the
+    registry again. Every declared key must appear in the LATEST
+    PARITY_r*.txt (with a green status) for BOTH recorded scale factors;
+    declaring a key and refreshing the artifact belong to the same
+    commit."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(glob.glob(os.path.join(root, "PARITY_r[0-9]*.txt")))
+    assert artifacts, "no parity artifact recorded"
+    latest = artifacts[-1]
+    with open(latest) as fh:
+        text = fh.read()
+    sections = re.split(r"^## ", text, flags=re.M)[1:]
+    assert len(sections) >= 2, f"{latest} must record two scale factors"
+    keys = set(all_queries())
+    for sec in sections:
+        sf_label = sec.splitlines()[0].strip()
+        green = set(re.findall(r"^\[(?:OK |ROWS)\] (q_\w+):", sec, flags=re.M))
+        missing = sorted(keys - green)
+        assert not missing, (
+            f"{latest} section {sf_label!r} lacks green rows for {missing}"
+        )
+
+
+def test_every_registry_key_has_a_survey_section_2_row():
+    """VERDICT r05 what's-wrong #2: SURVEY §2 is the judged contract —
+    every declared key must be documented there (as `q_key` in a §2
+    table row or inline list)."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SURVEY.md")) as fh:
+        text = fh.read()
+    start = text.index("## §2") if "## §2" in text else text.index("### 2.1")
+    end = text.index("## §3")
+    sec2 = text[start:end]
+    documented = set(re.findall(r"`(q_\w+)`", sec2))
+    missing = sorted(set(all_queries()) - documented)
+    assert not missing, f"SURVEY §2 is missing rows for {missing}"
+
+
+def test_every_registry_key_has_a_plan_audit_row():
+    """Companion to the parity-evidence test: PLANS.md (tools/plan_audit.py)
+    must cover every declared key so the 100× plan review never lags the
+    registry either."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md")) as fh:
+        text = fh.read()
+    audited = set(re.findall(r"`?(q_\w+)`?", text))
+    missing = sorted(set(all_queries()) - audited)
+    assert not missing, f"PLANS.md is missing rows for {missing}"
 
 
 def test_bench_json_line_fits_driver_tail_buffer():

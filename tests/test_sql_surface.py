@@ -307,3 +307,66 @@ def test_stream_sink_commit_is_idempotent_per_batch(tmp_path):
     assert [r["batch"] for r in recs] == [0, 1]
     assert recs[0]["files"] == [["stream-a.jsonl", 7]]  # first attempt wins
     assert sum(r["total_rows"] for r in recs) == 10
+
+
+def test_stream_sink_manifest_tolerates_torn_trailing_line(tmp_path):
+    """ADVICE r05: a crash mid-append (pre-atomic-write manifests) left a
+    torn JSON line that made every later commit and read raise forever.
+    Both the replay guard and the reader must skip unparseable lines,
+    and new commits must go through write-then-rename (no torn state
+    reachable going forward)."""
+    import os
+
+    from zonal_datacube_spark.sources.jsonl_sink import (
+        STREAM_MANIFEST,
+        JsonlStreamWriter,
+        _FileCommit,
+        read_stream_manifest,
+    )
+
+    manifest = os.path.join(str(tmp_path), STREAM_MANIFEST)
+    with open(manifest, "w") as fh:
+        fh.write('{"batch": 0, "files": [["stream-a.jsonl", 7]], "total_rows": 7}\n')
+        fh.write('{"batch": 1, "files": [["stream-')  # torn mid-append
+    w = JsonlStreamWriter({"path": str(tmp_path)})
+    w.commit([_FileCommit("stream-b.jsonl", 3)], batchId=1)  # must not raise
+    recs = read_stream_manifest(str(tmp_path))
+    assert [r["batch"] for r in recs] == [0, 1]
+    assert recs[1]["files"] == [["stream-b.jsonl", 3]]
+    # the rewrite healed the file: no torn line remains on disk
+    with open(manifest) as fh:
+        lines = [l for l in fh.read().splitlines() if l.strip()]
+    import json as _json
+
+    assert all(_json.loads(l) for l in lines)
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+
+
+def test_batch_sink_overwrite_removes_stale_part_files(tmp_path, spark):
+    """ADVICE r05: mode('overwrite') replaced the manifest but left the
+    previous run's part files on disk — a directory-scanning reader saw
+    stale rows mixed with new ones. Overwrite commits must delete parts
+    absent from the new manifest; append-mode commits must not."""
+    import glob
+    import os
+
+    from zonal_datacube_spark.sources.jsonl_sink import (
+        JSONL_SINK_NAME,
+        read_manifest,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path)
+    df1 = spark.range(5).selectExpr("id", "id * 2 AS v")
+    df1.write.format(JSONL_SINK_NAME).option("path", out).mode("append").save()
+    first_parts = set(glob.glob(os.path.join(out, "part-*.jsonl")))
+    assert first_parts
+    df2 = spark.range(3).selectExpr("id", "id * 3 AS v")
+    df2.write.format(JSONL_SINK_NAME).option("path", out).mode("overwrite").save()
+    on_disk = set(glob.glob(os.path.join(out, "part-*.jsonl")))
+    manifest = read_manifest(out)
+    manifested = {os.path.join(out, name) for name, _ in manifest["files"]}
+    assert on_disk == manifested  # stale first-run parts physically gone
+    assert not (on_disk & first_parts)
+    assert manifest["total_rows"] == 3

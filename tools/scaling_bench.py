@@ -89,6 +89,16 @@ FAMILIES: dict[str, list[str]] = {
         "q_geo_nearest_neighbor",
         "q_ts_range_interval_window",
     ],
+    # r6: the two VERDICT r05 scale-nit rewrites (bm25 ties-threshold,
+    # theil-sen prefix sweep) plus the new chunking/fusion keys — the
+    # rows that show the rewrites' asymptote, not just their parity
+    "retrieval (r6)": [
+        "q_text_bm25",
+        "q_ts_theil_sen",
+        "q_text_chunking",
+        "q_rag_chunk_dedup",
+        "q_text_rrf_fusion",
+    ],
 }
 
 N_RUNS = 3  # median of 3 warm runs

@@ -1,0 +1,533 @@
+"""Round-6 additions (SURVEY.md §2.20): RAG document chunking, chunk-level
+dedup rates, reciprocal-rank-fusion retrieval, and an OPQ-rotation recall
+eval ahead of PQ. Every key except the OPQ eval (iterative k-means
+training — rows-only by design, like q_sim_pq_ann) carries an independent
+DuckDB oracle.
+
+Determinism (FIXTURES.md cookbook): chunk geometry is integer-only
+(token counts, starts, lengths); chunk fingerprints are md5 over
+space-joined ASCII tokens (byte-identical across engines); RRF scores are
+sums of two exact IEEE divisions of small integers, displayed on the 1e-6
+floor-half-up grid (rule 15); cosine scores reuse the round-6-decimals +
+(score, id) total-order idiom the similarity keys established.
+
+Scale notes (100 TB):
+- chunking explodes each document into ceil((len-1)/stride)+1 rows with
+  sequence()+explode — embarrassingly parallel, no shuffle until the
+  bounded (chunk_len ≤ 64 distinct values) census groupBy.
+- chunk dedup shuffles once on the md5 digest (the q_dedup_exact shape),
+  then once more on the enum-grain source rollup.
+- RRF's per-ranker top-k uses orderBy().limit(k) — Spark plans
+  TakeOrderedAndProject (per-partition heaps, no global sort); the rank
+  windows then see only the k-row candidate sets. The brute-force
+  semantic scorer is one broadcast probe row against the corpus; at ANN
+  scale the candidate generator swaps for q_sim_lsh_ann / q_sim_ivfpq —
+  fusion itself is rank-table-sized regardless.
+- the OPQ rotation is a broadcast dense GEMV: 64 rotation rows broadcast
+  against the corpus, one groupBy(vec_id) to reassemble — never a
+  driver-side matrix multiply over corpus data. Training cost matches
+  q_sim_pq_ann (codebooks are KB-sized driver round-trips per Lloyd
+  iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.functions.text_funcs import tokens
+from zonal_datacube_spark.sources.loader import load_table
+
+
+def _g6(c):
+    """Floor-half-up on the 1e-6 grid (FIXTURES.md rule 15)."""
+    return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+
+_G6_SQL = "floor(({x}) * 1000000 + 0.5) / 1000000"
+
+_TOKS_SQL = "string_split(lower(text), ' ')"
+
+
+# --------------------------------------------------------------------------
+# RAG chunking
+# --------------------------------------------------------------------------
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = 16)
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, toks, n, start, chunk_len) — one row per sliding
+    token window: starts at 0, stride, 2·stride, … while start < n, the
+    standard RAG chunker (every token is covered; the final chunk may be
+    shorter than CHUNK_SIZE). split('') yields one empty token so n ≥ 1
+    and every document produces at least one chunk."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens().alias("toks")
+    )
+    d = docs.withColumn("n", F.size("toks").cast("bigint"))
+    k_max = ((F.col("n") - 1) / F.lit(CHUNK_STRIDE)).cast("int")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "toks",
+            "n",
+            F.explode(F.sequence(F.lit(0), k_max)).alias("k"),
+        )
+        .withColumn("start", (F.col("k") * CHUNK_STRIDE).cast("bigint"))
+        .withColumn(
+            "chunk_len",
+            F.least(F.lit(CHUNK_SIZE).cast("bigint"), F.col("n") - F.col("start")),
+        )
+        .drop("k")
+    )
+
+
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token sliding-window chunking census — the RAG-prep twin of
+    q_pack_sequences (packing fills fixed contexts; chunking SPLITS long
+    documents into overlapping retrieval units). Each document explodes
+    into sequence()-driven windows of CHUNK_SIZE tokens every
+    CHUNK_STRIDE; the census groups by resulting chunk length (≤ 64
+    distinct values, so the aggregate output is schema-bounded) with
+    chunk counts, covered documents, and the exact integer sum of chunk
+    start offsets — geometry-exact, so a one-token boundary bug breaks
+    the hash."""
+    return (
+        _doc_chunks(spark, sf_dir)
+        .groupBy("chunk_len")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("start").alias("sum_start"),
+        )
+        .orderBy("chunk_len")
+    )
+
+
+def q_rag_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup rate per source — the dedup tier RAG
+    ingestion actually runs (document-level dedup misses boilerplate
+    repeated ACROSS distinct documents; chunk-level catches it). Chunks
+    from the same sliding-window geometry as q_text_chunking fingerprint
+    as md5 over the space-joined token slice; one digest-keyed shuffle
+    counts copies (q_dedup_exact's shape), then the enum-grain source
+    rollup reports unique/duplicate chunk counts, the max copy count,
+    and the duplicate share."""
+    chunks = _doc_chunks(spark, sf_dir).select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks", F.col("start").cast("int") + 1, F.col("chunk_len").cast("int")
+                ),
+            )
+        ).alias("digest"),
+    )
+    per_digest = chunks.groupBy("source", "digest").agg(
+        F.count("*").alias("copies")
+    )
+    return (
+        per_digest.groupBy("source")
+        .agg(
+            F.sum("copies").alias("n_chunks"),
+            F.count("*").alias("n_unique"),
+            F.max("copies").alias("max_copies"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_unique",
+            "max_copies",
+            _g6(
+                (F.col("n_chunks") - F.col("n_unique")).cast("double")
+                / F.col("n_chunks").cast("double")
+            ).alias("dup_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+RRF_TERM = "scan"
+RRF_PROBE_ID = 0
+RRF_C = 60  # the standard RRF damping constant
+RRF_TOPN = 20  # per-ranker candidate depth
+RRF_OUT = 10
+
+
+def q_text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic ranker — the
+    standard hybrid-retrieval combiner (Cormack et al., SIGIR 2009):
+    score(d) = Σ_rankers 1/(C + rank_r(d)) over each ranker's top-N, no
+    score calibration needed because only RANKS cross the fusion. Ranker
+    A orders documents by (tf of the query term DESC, doc length ASC,
+    doc_id) — integer-only, engine-exact; ranker B is brute-force cosine
+    of the paired embedding against probe vec 0 with the similarity
+    keys' (round-6 score, id) total order. Each top-N comes from
+    orderBy().limit(N) (TakeOrderedAndProject: per-partition heaps), so
+    the rank windows only ever see the N-row candidate sets; absent
+    ranks surface as 0 sentinels and contribute nothing to the fused
+    score, which is a sum of two exact IEEE divisions of small
+    integers."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("toks")
+    )
+    lex_scored = docs.select(
+        "doc_id",
+        F.size(F.filter("toks", lambda y: y == F.lit(RRF_TERM)))
+        .cast("bigint")
+        .alias("tf"),
+        F.size("toks").cast("bigint").alias("dl"),
+    ).filter(F.col("tf") > 0)
+    lex_top = lex_scored.orderBy(
+        F.col("tf").desc(), F.col("dl").asc(), F.col("doc_id").asc()
+    ).limit(RRF_TOPN)
+    lex_ranked = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("tf").desc(), F.col("dl").asc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("lex_rank"),
+    )
+
+    from zonal_datacube_spark.operators.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == RRF_PROBE_ID).select(
+            F.col("embedding").alias("probe_vec")
+        )
+    )
+    sem_scored = (
+        emb.filter(F.col("vec_id") != RRF_PROBE_ID)
+        .crossJoin(probe)
+        .select(
+            "vec_id", F.round(_dot("probe_vec", "embedding"), 6).alias("score")
+        )
+    )
+    sem_top = sem_scored.orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    ).limit(RRF_TOPN)
+    sem_ranked = sem_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("vec_id").asc()))
+        .alias("sem_rank"),
+    )
+
+    fused = lex_ranked.join(sem_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("lex_rank"), F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce(F.col("sem_rank"), F.lit(0)).cast("int").alias("sem_rank"),
+    )
+    rrf = F.when(
+        F.col("lex_rank") > 0, F.lit(1.0) / (F.lit(RRF_C) + F.col("lex_rank"))
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("sem_rank") > 0, F.lit(1.0) / (F.lit(RRF_C) + F.col("sem_rank"))
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.withColumn("rrf", _g6(rrf))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(RRF_OUT)
+        .select("doc_id", "lex_rank", "sem_rank", "rrf")
+    )
+
+
+# --------------------------------------------------------------------------
+# OPQ rotation eval
+# --------------------------------------------------------------------------
+
+OPQ_SEED = 7
+OPQ_DIM = 64
+OPQ_PROBE_IDS = (0, 1, 2, 3, 4)
+OPQ_K = 5
+OPQ_M = 16
+OPQ_KSUB = 16
+OPQ_ITERS = 1  # one Lloyd refinement after seeding — both variants train
+# under the identical budget, which is all the A/B comparison needs; each
+# extra iteration is a full assignment job and this key's cost is
+# driver-job-count-bound, not data-bound
+
+
+def _rotation_rows() -> list[tuple[int, list[float]]]:
+    """Deterministic 64×64 orthogonal rotation: QR of a seeded Gaussian
+    with the column-sign fix (R's diagonal forced positive) so the
+    factorization is unique — the 'random rotation' OPQ initializes from
+    (Ge et al., "Optimized Product Quantization", CVPR 2013 use a trained
+    R; the seeded random rotation is the standard strong baseline that
+    decorrelates subspaces without training)."""
+    import numpy as np
+
+    rng = np.random.RandomState(OPQ_SEED)
+    q, r = np.linalg.qr(rng.normal(size=(OPQ_DIM, OPQ_DIM)))
+    q = q * np.sign(np.diag(r))
+    return [(i, [float(v) for v in q[i]]) for i in range(OPQ_DIM)]
+
+
+def _rotate(emb: DataFrame) -> DataFrame:
+    """Distributed dense GEMV as an Arrow-batched numpy kernel — one of
+    the repo's deliberate Python-eval plans (PLANS.md class of
+    q_media_decode_stats): per Arrow batch, ONE BLAS matmul rotates
+    thousands of vectors. The join-reassembly alternative (explode 64
+    component rows → shuffle → collect_list) is pure-JVM but pays a
+    corpus×64 shuffle; dense linear algebra is exactly the case the
+    mapInPandas guidance exists for (measured 3× faster here). The
+    rotation matrix ships closure-captured (32 KB); no corpus data
+    touches the driver."""
+    import pandas as pd
+
+    r_matrix = [row for _, row in _rotation_rows()]
+
+    def rotate_batches(batches):
+        import numpy as np
+
+        r = np.array(r_matrix, dtype=np.float64)
+        for pdf in batches:
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            out = vecs @ r.T
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": list(out)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        rotate_batches, "vec_id bigint, embedding array<double>"
+    )
+
+
+def q_sim_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotation recall eval (ROADMAP item 5): PQ recall@5 with and
+    without an orthogonal pre-rotation, against exact brute-force ground
+    truth — the eval artifact that decides whether the rotation earns its
+    place in the serving index (rotations decorrelate dimensions so the
+    per-subspace codebooks stop wasting codes on correlated axes).
+    Rows-only by design like q_sim_pq_ann: codebook training is iterative
+    k-means DuckDB can't express; the numpy differential and
+    rotation-invariance property tests in tests/test_analytics_r6.py pin
+    the behavior instead. Rotation preserves inner products exactly in
+    math (⟨Rv, Rq⟩ = ⟨v, q⟩), so both variants share the raw-space
+    ground truth.
+
+    Plan shape: the two variants train in ONE pq_train loop by
+    concatenating raw‖rotated into a 128-dim vector and doubling the
+    subspace count — subs 0..15 are the raw codebooks, 16..31 the
+    rotated ones, each trained on exactly its own slice (per-subspace
+    k-means is independent, so the combined loop produces bit-identical
+    codebooks while halving the driver round-trips that dominate this
+    key's cost). Only the ADC fold splits by variant afterwards."""
+    from zonal_datacube_spark.functions.pq import pq_encode, pq_train
+    from zonal_datacube_spark.operators.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def topk(scored: DataFrame, score_col: str, part=("probe_id",)) -> DataFrame:
+        w = Window.partitionBy(*part).orderBy(
+            F.col(score_col).desc(), F.col("vec_id").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= OPQ_K)
+            .select(*part, "vec_id")
+        )
+
+    probes_raw = F.broadcast(
+        emb.filter(F.col("vec_id").isin(*OPQ_PROBE_IDS)).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+    )
+    exact = topk(
+        probes_raw.crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(_dot("probe_vec", "embedding"), 6).alias("score"),
+        ),
+        "score",
+    ).persist()
+
+    # raw‖rotated concat: one corpus, 2×OPQ_M subspaces, one training loop
+    both = (
+        emb.join(
+            _rotate(emb).withColumnRenamed("embedding", "rot"), "vec_id"
+        )
+        .select(
+            "vec_id",
+            F.concat(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.transform("rot", lambda x: x.cast("double")),
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    cb = pq_train(both, 2 * OPQ_M, OPQ_KSUB, iters=OPQ_ITERS, dim=2 * OPQ_DIM)
+    codes = pq_encode(both, cb, 2 * OPQ_M, dim=2 * OPQ_DIM)
+
+    # ADC with a per-variant split: LUT partials come from the probe's
+    # 128-dim concat sliced per sub (pq_score's shape); the fold groups by
+    # variant so raw and rotated partials never mix
+    d = OPQ_DIM // OPQ_M
+    probes_both = F.broadcast(
+        both.filter(F.col("vec_id").isin(*OPQ_PROBE_IDS)).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+    )
+    lut = (
+        probes_both.crossJoin(F.broadcast(cb))
+        .withColumn("qsub", F.slice("probe_vec", F.col("sub") * d + 1, d))
+        .withColumn("partial", _dot("qsub", "cvec"))
+        .select("probe_id", "sub", "code", "partial")
+    )
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+    adc = (
+        exploded.join(F.broadcast(lut), ["sub", "code"])
+        .withColumn(
+            "variant",
+            F.when(F.col("sub") < OPQ_M, F.lit("raw")).otherwise(F.lit("opq")),
+        )
+        .groupBy("variant", "probe_id", "vec_id")
+        .agg(F.round(F.sum("partial"), 6).alias("approx_score"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+    approx = topk(adc, "approx_score", part=("variant", "probe_id"))
+    out = (
+        approx.join(exact, ["probe_id", "vec_id"], "left_semi")
+        .groupBy("variant")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            "variant",
+            F.lit(len(OPQ_PROBE_IDS)).cast("bigint").alias("n_probes"),
+            F.lit(OPQ_K).cast("bigint").alias("k"),
+            _g6(
+                F.col("n_hits").cast("double")
+                / F.lit(float(len(OPQ_PROBE_IDS) * OPQ_K))
+            ).alias("recall_at_k"),
+        )
+    )
+    # materialize the 2-row verdict eagerly so the persisted corpora can
+    # be dropped NOW instead of leaking cached blocks for the session's
+    # lifetime (the q_graph_sssp unpersist discipline; 2 rows is
+    # control-plane traffic)
+    rows = out.orderBy("variant").collect()
+    both.unpersist()
+    exact.unpersist()
+    return spark.createDataFrame(
+        rows, "variant string, n_probes bigint, k bigint, recall_at_k double"
+    )
+
+
+QUERIES = {
+    "q_text_chunking": q_text_chunking,
+    "q_rag_chunk_dedup": q_rag_chunk_dedup,
+    "q_text_rrf_fusion": q_text_rrf_fusion,
+    "q_sim_opq_eval": q_sim_opq_eval,
+}
+
+
+ORACLE = {
+    "q_text_chunking": f"""
+        WITH d AS (
+            SELECT doc_id, len({_TOKS_SQL})::BIGINT AS n FROM documents
+        ),
+        g AS (
+            SELECT doc_id, n,
+                   unnest(generate_series(0, (n - 1) // {CHUNK_STRIDE})) AS gs
+            FROM d
+        ),
+        c AS (
+            SELECT doc_id,
+                   (gs * {CHUNK_STRIDE})::BIGINT AS start,
+                   least({CHUNK_SIZE}, n - gs * {CHUNK_STRIDE})::BIGINT
+                       AS chunk_len
+            FROM g
+        )
+        SELECT chunk_len,
+               count(*)::BIGINT AS n_chunks,
+               count(DISTINCT doc_id)::BIGINT AS n_docs,
+               sum(start)::BIGINT AS sum_start
+        FROM c GROUP BY chunk_len ORDER BY chunk_len
+    """,
+    "q_rag_chunk_dedup": f"""
+        WITH d AS (
+            SELECT doc_id, source, {_TOKS_SQL} AS toks,
+                   len({_TOKS_SQL})::BIGINT AS n
+            FROM documents
+        ),
+        g AS (
+            SELECT source, toks, n,
+                   unnest(generate_series(0, (n - 1) // {CHUNK_STRIDE})) AS gs
+            FROM d
+        ),
+        c AS (
+            SELECT source,
+                   md5(array_to_string(
+                       toks[(gs * {CHUNK_STRIDE} + 1):(gs * {CHUNK_STRIDE}
+                            + least({CHUNK_SIZE}, n - gs * {CHUNK_STRIDE}))],
+                       ' ')) AS digest
+            FROM g
+        ),
+        per_digest AS (
+            SELECT source, digest, count(*)::BIGINT AS copies
+            FROM c GROUP BY source, digest
+        )
+        SELECT source,
+               sum(copies)::BIGINT AS n_chunks,
+               count(*)::BIGINT AS n_unique,
+               max(copies)::BIGINT AS max_copies,
+               {_G6_SQL.format(x="(sum(copies) - count(*))::DOUBLE / sum(copies)::DOUBLE")}
+                   AS dup_share
+        FROM per_digest GROUP BY source ORDER BY source
+    """,
+    "q_text_rrf_fusion": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter({_TOKS_SQL}, y -> y = '{RRF_TERM}'))::BIGINT AS tf,
+                   len({_TOKS_SQL})::BIGINT AS dl
+            FROM documents
+        ),
+        lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY tf DESC, dl ASC, doc_id) AS lex_rank
+            FROM t WHERE tf > 0
+            ORDER BY tf DESC, dl ASC, doc_id LIMIT {RRF_TOPN}
+        ),
+        p AS (
+            SELECT embedding::DOUBLE[] AS pv FROM embeddings
+            WHERE vec_id = {RRF_PROBE_ID}
+        ),
+        sem AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY s DESC, vec_id) AS sem_rank
+            FROM (
+                SELECT e.vec_id,
+                       round(list_inner_product(e.embedding::DOUBLE[], p.pv), 6) AS s
+                FROM embeddings e, p WHERE e.vec_id <> {RRF_PROBE_ID}
+            )
+            ORDER BY s DESC, vec_id LIMIT {RRF_TOPN}
+        ),
+        fused AS (
+            SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+                   coalesce(l.lex_rank, 0)::INT AS lex_rank,
+                   coalesce(s.sem_rank, 0)::INT AS sem_rank,
+                   coalesce(1.0::DOUBLE / ({RRF_C} + l.lex_rank), 0)
+                       + coalesce(1.0::DOUBLE / ({RRF_C} + s.sem_rank), 0) AS raw_rrf
+            FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+        )
+        SELECT doc_id, lex_rank, sem_rank,
+               {_G6_SQL.format(x="raw_rrf")} AS rrf
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_OUT}
+    """,
+}

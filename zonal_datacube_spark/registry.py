@@ -49,79 +49,53 @@ _MODULES = (
     "zonal_datacube_spark.operators.analytics_r5c",
     "zonal_datacube_spark.operators.analytics_r5d",
     "zonal_datacube_spark.operators.analytics_r5e",
+    "zonal_datacube_spark.operators.analytics_r6",
+    "zonal_datacube_spark.operators.analytics_r6b",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
 # records the first ~50 keys in queries() iteration order, so the front
-# of this list is the judged shop window. Round-5 policy (VERDICT r04
-# next-round #5): (a) every key whose implementation changed in round 5
-# — the prefix-sweep family, the minute-grain anomaly rewrite, the
-# entropy guard, and the per-day dynamic-overwrite oracle — needs a
-# fresh driver row; (b) the remaining ~40 slots go to keys that have
-# NEVER appeared in any CORRECTNESS_r0x window (93 dark keys after r04;
-# tests/test_registry_bench.py derives the dark set from the artifacts
-# and enforces >= 40 of them here). Keys not listed sort after listed
-# ones, alphabetically; round 6 rotates in the remaining dark keys.
+# of this list is the judged shop window. Round-6 policy (VERDICT r05
+# next-round #6): the window is exactly 50 keys — (a) the four keys
+# declared this round, (b) q_sink_dynamic_overwrite (implementation
+# touched by the round-6 tempdir fix; the only changed key the driver
+# HAS sampled before), (c) the 16 §2.18 keys and (d) the 24 §2.17 keys
+# that were declared after the r05 driver snapshot (none has a driver
+# row yet), and (e) five more never-sampled full-oracle keys.
+# 49 of the 50 have never appeared in any CORRECTNESS_r0x artifact
+# (tests/test_registry_bench.py derives the dark set from the artifacts
+# and enforces >= 40). Keys not listed sort after listed ones,
+# alphabetically; round 7 rotates in the ~62 remaining dark keys.
 KEY_ORDER = (
-    # --- (a) implementations changed in round 5: re-verify first ---
-    "q_ts_anomaly",
-    "q_agg_weighted_median",
-    "q_skyline_dominance",
-    "q_agg_gini",
-    "q_report_ltv_deciles",
-    "q_agg_entropy",
-    "q_window_pareto",
-    "q_report_abc_class",
-    "q_sort_limit_with_ties",
+    # --- (a) declared new in round 6 (§2.20) ---
+    "q_text_chunking",
+    "q_rag_chunk_dedup",
+    "q_text_rrf_fusion",
+    "q_sim_opq_eval",
+    "q_ts_changepoint",
+    "q_sim_ann_recall_eval",
+    "q_ts_stl_decompose",
+    "q_graph_kcore",
+    # --- (b) changed in round 6, previously sampled: re-verify ---
     "q_sink_dynamic_overwrite",
-    # --- (b) never-driver-sampled keys: first driver attestation ---
-    "q_report_big_orders",
-    "q_report_customer_distribution",
-    "q_report_dominant_suppliers",
-    "q_report_idle_balance",
-    "q_report_important_stock",
-    "q_report_late_shipment_priority",
-    "q_report_local_supplier_volume",
-    "q_report_top_supplier",
-    "q_report_waiting_suppliers",
-    "q_graph_pagerank",
-    "q_cohort_retention",
-    "q_funnel_conversion",
-    "q_merge_upsert",
-    "q_scd2_build",
-    "q_sim_lsh_ann",
-    "q_sim_label_centroid",
-    "q_dedup_embed",
-    "q_dedup_semantic",
-    "q_stream_enrich_join",
-    "q_stream_stream_join",
-    "q_stream_upsert_roundtrip",
-    "q_source_csv_roundtrip",
-    "q_source_partitioned_pruning",
-    "q_join_dpp",
-    "q_join_range_bucketed",
-    "q_join_bucketed",
-    "q_text_prep_pipeline",
-    "q_zonal_timeseries",
-    # --- (c) declared new in round 5 (§2.16): first attestation ---
-    "q_ts_sessionize",
-    "q_ts_autocorr",
-    "q_ts_cusum",
-    "q_agg_skew_kurt",
-    "q_agg_boolean",
-    "q_agg_winsorized_mean",
-    "q_behavior_rfm",
-    "q_report_yoy_growth",
-    "q_report_order_gap_stats",
-    "q_join_nearest_event",
-    "q_agg_ols_multi",
-    "q_agg_percentile_disc",
-    # --- (d) declared new in round 5b/5c (§2.17): positions 50+, outside
-    # the ~50-key driver window by design — the (a)+(b)+(c) slots above
-    # are spoken for; these are parity-proofed in PARITY_r05 and rotate
-    # into the r06 driver window with the remaining dark keys (r06
-    # window = these 24 §2.17 keys + ~26 of the never-sampled
-    # remainder) ---
+    # --- (c) §2.18 keys, declared after the r05 driver snapshot ---
+    "q_stats_ks_test",
+    "q_stats_anova",
+    "q_stats_corr_matrix",
+    "q_data_mixture_weights",
+    "q_text_filter_funnel",
+    "q_tokenizer_fertility",
+    "q_warehouse_time_travel",
+    "q_sink_write_audit_publish",
+    "q_ts_locf_repair",
+    "q_graph_assortativity",
+    "q_ts_acf_multi",
+    "q_privacy_k_anon",
+    "q_privacy_rr_count",
+    "q_dq_control_chart",
+    "q_text_bm25",
+    "q_ts_theil_sen",
+    # --- (d) §2.17 keys, same story ---
     "q_sql_pipe_syntax",
     "q_ts_interval_merge",
     "q_stats_ttest",
@@ -146,23 +120,9 @@ KEY_ORDER = (
     "q_scan_metadata_cols",
     "q_sql_scripting_block",
     "q_report_pvm_decomposition",
-    # --- (e) declared new in round 5c (§2.18): same rotation story ---
-    "q_stats_ks_test",
-    "q_stats_anova",
-    "q_stats_corr_matrix",
-    "q_data_mixture_weights",
-    "q_text_filter_funnel",
-    "q_tokenizer_fertility",
-    "q_warehouse_time_travel",
-    "q_sink_write_audit_publish",
-    "q_ts_locf_repair",
-    "q_graph_assortativity",
-    "q_ts_acf_multi",
-    "q_privacy_k_anon",
-    "q_privacy_rr_count",
-    "q_dq_control_chart",
-    "q_text_bm25",
-    "q_ts_theil_sen",
+    # --- (e) one more never-driver-sampled full-oracle key (the other
+    # dark keys rotate in next round; the window holds exactly 50) ---
+    "q_graph_2hop_neighbors",
 )
 
 
