@@ -1,0 +1,87 @@
+"""Physical-plan locks for the round-6 keys: the BM25/Theil-Sen rank
+rewrites must stay off corpus-sized windows, the RRF candidate sets must
+stay TakeOrdered heaps, chunking must stay map-only before its census
+groupBy, and the changepoint/STL windows must stay keyed by event_type."""
+
+from __future__ import annotations
+
+import re
+
+from tests.conftest import SF_SMOKE
+from zonal_datacube_spark.plans.diagnostics import formatted_plan
+from zonal_datacube_spark.registry import all_queries
+
+Q = all_queries()
+
+
+def _plan(spark, key: str) -> str:
+    return formatted_plan(Q[key](spark, SF_SMOKE))
+
+
+def test_bm25_rank_window_is_threshold_bounded(spark):
+    plan = _plan(spark, "q_text_bm25")
+    # per-term thresholds plan as TakeOrderedAndProject (distributed
+    # heaps), and Spark 4's WindowGroupLimit bounds the final window a
+    # second time — both must survive future re-plans
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    # the candidate filter (rk >= threshold) sits BELOW the rank window:
+    # the window's input is the broadcast-joined threshold filter, so the
+    # join appears before (deeper than) the Window in the formatted tree
+    assert "BroadcastHashJoin" in plan
+
+
+def test_theil_sen_median_rides_the_prefix_sweep(spark):
+    plan = _plan(spark, "q_ts_theil_sen")
+    assert "_zds_ps_bucket" in plan  # prefix-sweep bucket key present
+    # no window partitioned by the bare event_type enum over the pairs
+    # table: every data-path window is (event_type, bucket)-keyed
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    data_specs = [s for s in specs if "_zds_ps_bucket" in s]
+    assert data_specs, plan
+
+
+def test_rrf_candidate_sets_are_take_ordered(spark):
+    plan = _plan(spark, "q_text_rrf_fusion")
+    # both rankers' top-N and the final top-10 are limit-sorts, not
+    # global Sort+Filter chains
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_map_only_until_census(spark):
+    plan = _plan(spark, "q_text_chunking")
+    # sequence+explode+projection are narrow; the only shuffles are the
+    # census groupBy's partial/final exchange and the final sort
+    shuffles = len(re.findall(r"[+:]- Exchange ", plan))
+    assert shuffles <= 3, plan
+    assert "HashAggregate" in plan  # partial map-side combine present
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_shuffles_on_digest_then_source(spark):
+    plan = _plan(spark, "q_rag_chunk_dedup")
+    assert "md5" in plan
+    # digest rollup + source rollup + output sort — no wider
+    shuffles = len(re.findall(r"[+:]- Exchange ", plan))
+    assert shuffles <= 4, plan
+
+
+def test_changepoint_and_stl_windows_are_type_keyed(spark):
+    for key in ("q_ts_changepoint", "q_ts_stl_decompose"):
+        plan = _plan(spark, key)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, plan
+        for s in specs:
+            assert "event_type" in s, (key, s)
+        assert "CartesianProduct" not in plan
+
+
+def test_ann_recall_eval_broadcasts_probes(spark):
+    plan = _plan(spark, "q_sim_ann_recall_eval")
+    # probes and LSH buckets reach the corpus via broadcast joins; the
+    # exact ground truth's crossJoin is probe-bounded (broadcast NLJ),
+    # never a shuffled cartesian
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

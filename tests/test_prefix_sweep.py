@@ -156,3 +156,34 @@ def test_no_single_partition_window_in_plan(spark):
     # exactly one window runs over the data (bucket-partitioned), the
     # other (offsets) runs over the totals rollup
     assert data_path, plan
+
+
+def test_null_order_values_are_filtered_not_bucketed(spark):
+    """ADVICE r05: NULL order values used to coerce into bucket 0 with
+    engine-divergent ordering (Spark windows sort NULLs first, DuckDB
+    last). The enforced contract drops them: the sweep's output contains
+    exactly the non-null rows, with prefixes identical to running the
+    sweep on the pre-filtered input."""
+    from pyspark.sql import Row
+
+    rows = [Row(k="a", v=float(i), w=1) for i in range(10)]
+    rows += [Row(k="a", v=None, w=1), Row(k="b", v=None, w=1)]
+    rows += [Row(k="b", v=float(i), w=1) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    swept = prefix_sweep(
+        df, ["k"], "v", sum_cols={"run": "w"}, row_number_col="rn"
+    )
+    out = swept.collect()
+    assert len(out) == 15  # the two null-v rows are gone
+    assert all(r.v is not None for r in out)
+    ref = prefix_sweep(
+        df.filter(F.col("v").isNotNull()),
+        ["k"],
+        "v",
+        sum_cols={"run": "w"},
+        row_number_col="rn",
+    ).collect()
+    key = lambda r: (r.k, r.v)  # noqa: E731
+    assert sorted((r.k, r.v, r.run, r.rn) for r in out) == sorted(
+        (r.k, r.v, r.run, r.rn) for r in ref
+    )
