@@ -85,3 +85,29 @@ def test_ann_recall_eval_broadcasts_probes(spark):
     # never a shuffled cartesian
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mode_has_no_rank_window(spark):
+    """r06 self-audit: the mode argmax is a max-of-struct aggregation —
+    no window over the distinct-value counts table remains."""
+    plan = _plan(spark, "q_agg_mode")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_stream_late_broadcasts_per_type_max(spark):
+    """r06 self-audit: the per-type max reaches the fact scan via a
+    broadcast join, not a full-partition window."""
+    plan = _plan(spark, "q_stream_late")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_rides_the_prefix_sweep(spark):
+    """r06 self-audit: no enum-partition row_number over the fact table —
+    every data-path window is (event_type, bucket)-keyed."""
+    plan = _plan(spark, "q_sample_stratified")
+    assert "_zds_ps_bucket" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    data_specs = [s for s in specs if "_zds_ps_bucket" in s]
+    assert data_specs, plan

@@ -15,7 +15,7 @@ nondeterminism sits far below the rounding grain.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zonal_datacube_spark.sources.loader import load_table
@@ -94,24 +94,29 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical MODE per group with a DEFINED tie winner: engines'
     built-in mode() breaks ties arbitrarily (engine- and order-
-    dependent), so the portable form is the explicit count + ranking —
-    highest frequency, then smallest value. Two aggregates on
-    high-cardinality keys plus an output-sized window."""
+    dependent), so the portable form is the explicit count + argmax —
+    highest frequency, then smallest value. The argmax is ONE
+    max-of-struct aggregation over the counts table, (count, −value)
+    ordered so ties fall to the smaller value — no rank window at all
+    (the r06 self-audit retired the distinct-value-grain window here:
+    at a wide value domain it was a per-flag single-reducer sort; a
+    struct max folds map-side like any aggregate)."""
     li = load_table(spark, sf_dir, "lineitem")
     counts = li.groupBy("l_returnflag", "l_quantity").agg(
         F.count("*").alias("c")
     )
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("c").desc(), F.col("l_quantity").asc()
+    best = counts.groupBy("l_returnflag").agg(
+        F.max(
+            F.struct(
+                F.col("c").alias("c"),
+                (-F.col("l_quantity")).alias("neg_q"),
+            )
+        ).alias("best")
     )
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "l_returnflag",
-            F.round("l_quantity", 2).alias("mode_qty"),
-            F.col("c").alias("n_occurrences"),
-        )
+    return best.select(
+        "l_returnflag",
+        F.round(-F.col("best.neg_q"), 2).alias("mode_qty"),
+        F.col("best.c").alias("n_occurrences"),
     )
 
 

@@ -16,8 +16,8 @@ correctness artifact*, not just in library code + unit tests:
   at 100 TB selects the same rows, which is what makes sampled eval sets
   and A/B slices auditable.
 - ``q_sample_stratified`` — exact per-stratum fraction: hash-order each
-  stratum, keep the first ceil(f·n). One window over the stratum key; no
-  second pass to fix up fractions like rand()-thresholding needs.
+  stratum, keep the first ceil(f·n) via the range-bucketed prefix sweep;
+  no second pass to fix up fractions like rand()-thresholding needs.
 - ``q_source_orc_roundtrip`` — ORC write→read→aggregate. The oracle runs
   the same aggregate over the parquet original: roundtrip losslessness is
   exactly what the hash-compare proves.
@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zonal_datacube_spark.functions.merge import upsert
@@ -119,23 +119,31 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-fraction stratified sample of events per event_type: order each
-    stratum by md5(event_id) (a deterministic uniform shuffle), keep the
-    first ceil(0.1·n). One window shuffle on the stratum key; the fraction
-    is exact per stratum by construction, not in expectation."""
+    stratum by a deterministic uniform hash (first 15 md5 hex digits as a
+    bigint, event_id tiebreak), keep the first ceil(0.1·n). The fraction
+    is exact per stratum by construction, not in expectation. The rank
+    runs through the range-bucketed prefix sweep (the r06 self-audit
+    retired the original enum-partition row_number — 5 event types meant
+    5 single-reducer sorts of the whole fact table at scale); the
+    stratum count rides the sweep's bucket-grain totals for free."""
+    from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.row_number()
-        .over(w.orderBy(F.md5(F.col("event_id").cast("string"))))
-        .alias("rn"),
-        F.count("*").over(w).alias("n_stratum"),
+    h = F.expr(
+        "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    ranked = prefix_sweep(
+        ev.select("event_id", "event_type", "value").withColumn("h", h),
+        ["event_type"],
+        "h",
+        tiebreak=["event_id"],
+        row_number_col="rn",
+        total_count_col="n_stratum",
     )
     return ranked.filter(
         F.col("rn") <= F.ceil(F.lit(STRATIFIED_FRACTION) * F.col("n_stratum"))
-    ).select("event_id", "event_type", "value", "rn")
+    ).select("event_id", "event_type", "value", F.col("rn").cast("int").alias("rn"))
 
 
 _ORC_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "zds_orc_cache")
@@ -532,7 +540,8 @@ ORACLE = {
         WITH ranked AS (
             SELECT event_id, event_type, value,
                    row_number() OVER (PARTITION BY event_type
-                                      ORDER BY md5(event_id::VARCHAR)) AS rn,
+                                      ORDER BY ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT,
+                                               event_id) AS rn,
                    count(*) OVER (PARTITION BY event_type) AS n_stratum
             FROM events
         )

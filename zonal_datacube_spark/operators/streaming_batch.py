@@ -259,12 +259,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics, batch-restated: events more than 10 minutes
-    behind the per-type max ts are 'late'; count kept vs dropped."""
+    behind the per-type max ts are 'late'; count kept vs dropped. The
+    per-type max comes from a partial-agg groupBy broadcast back against
+    the fact scan — the earlier full-partition window max forced every
+    type's rows through one window partition (the r06 self-audit's
+    enum-partition sweep class) for what is just a 5-row aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    cutoff = F.max("ts").over(w) - F.expr("INTERVAL 10 MINUTES")
+    mx = ev.groupBy("event_type").agg(F.max("ts").alias("_max_ts"))
+    cutoff = F.col("_max_ts") - F.expr("INTERVAL 10 MINUTES")
     return (
-        ev.withColumn("is_late", (F.col("ts") < cutoff).cast("bigint"))
+        ev.join(F.broadcast(mx), "event_type")
+        .withColumn("is_late", (F.col("ts") < cutoff).cast("bigint"))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_total"),
