@@ -111,3 +111,21 @@ def test_stratified_sample_rides_the_prefix_sweep(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     data_specs = [s for s in specs if "_zds_ps_bucket" in s]
     assert data_specs, plan
+
+
+def test_vocab_coverage_topk_is_take_ordered(spark):
+    """r06 self-audit: the top-K vocabulary pick is a TakeOrdered heap,
+    not a global row_number over the vocabulary."""
+    plan = _plan(spark, "q_text_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert not specs, specs
+
+
+def test_zipf_rank_rides_the_prefix_sweep(spark):
+    """r06 self-audit: every token's rank comes from the bucketed prefix
+    sweep — no partition-less window over the vocabulary remains."""
+    plan = _plan(spark, "q_text_zipf")
+    assert "_zds_ps_bucket" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert all("_zds_ps_bucket" in s or "_zds_ps_part" in s for s in specs), specs

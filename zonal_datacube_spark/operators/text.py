@@ -246,21 +246,24 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     a training-data pipeline thresholds on before tokenizer work.
 
     Two-phase: corpus token counts pick the top-K set (deterministic
-    tie-break: count desc, token asc), which broadcasts back into a
-    per-doc coverage aggregate. The corpus never shuffles twice — tokens
-    explode once; the count and coverage aggregates key on token and
-    doc_id respectively (both high-cardinality, skew-free)."""
+    tie-break: count desc, token asc) via orderBy().limit(K) — Spark
+    plans TakeOrderedAndProject (per-partition heaps; the r06 self-audit
+    retired the global row_number here, which sorted the whole
+    VOCABULARY through one reducer at web scale) — and the top set
+    broadcasts back into a per-doc coverage aggregate. The corpus never
+    shuffles twice — tokens explode once; the count and coverage
+    aggregates key on token and doc_id respectively (both
+    high-cardinality, skew-free)."""
     toks = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(tokens()).alias("tok"))
         .persist()
     )
-    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
     top = F.broadcast(
         toks.groupBy("tok")
         .agg(F.count("*").alias("c"))
-        .withColumn("vrank", F.row_number().over(w))
-        .filter(F.col("vrank") <= VOCAB_TOP_K)
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(VOCAB_TOP_K)
         .select("tok", F.lit(1).alias("in_top"))
     )
     return (
@@ -373,18 +376,29 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     templated text drifts flat) — the one-number sanity signature a
     corpus gets before training. Slope and fit come from closed-form
     least squares (covar_pop/var_pop over ln rank, ln freq) — one token
-    shuffle for counts, one vocab-sized window for ranks, a scalar
-    aggregate; rounding at 4 absorbs the unordered-sum FP noise of the
-    tiny covariance aggregate."""
+    shuffle for counts, then the global rank through the range-bucketed
+    prefix sweep (the r06 self-audit retired the one-reducer
+    Window.orderBy over the vocabulary — unlike vocab_coverage's top-K,
+    Zipf needs EVERY token's rank, so the fix is the distributed
+    row_number, not a heap), a scalar aggregate; rounding at 4 absorbs
+    the unordered-sum FP noise of the tiny covariance aggregate."""
+    from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
+
     toks = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(tokens()).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
     )
-    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
-    ranked = toks.select(
-        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+    ranked = prefix_sweep(
+        toks,
+        [],
+        "c",
+        descending=True,
+        tiebreak=["tok"],
+        row_number_col="rn",
+    ).select(
+        F.log(F.col("rn").cast("double")).alias("lr"),
         F.log(F.col("c").cast("double")).alias("lf"),
     )
     return ranked.agg(
