@@ -129,3 +129,31 @@ def test_zipf_rank_rides_the_prefix_sweep(spark):
     assert "_zds_ps_bucket" in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert all("_zds_ps_bucket" in s or "_zds_ps_part" in s for s in specs), specs
+
+
+SWEEP_REWRITES_R06 = (
+    "q_window_ntile",
+    "q_window_percent_rank",
+    "q_sample_neyman",
+    "q_ts_concurrency",
+    "q_report_rank_migration",
+)
+
+
+def test_r06_sweep_rewrites_have_no_enum_partition_windows(spark):
+    """r06 self-audit wave 2: each of these keys used to rank/scan a
+    data-scaled table through a window partitioned by a bounded enum
+    (status/nation/segment/priority/year). All now ride the bucketed
+    prefix sweep — every data-path window is bucket-keyed."""
+    for key in SWEEP_REWRITES_R06:
+        plan = _plan(spark, key)
+        assert "_zds_ps_bucket" in plan, key
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        data_specs = [s for s in specs if "_zds_ps_bucket" in s]
+        assert data_specs, (key, specs)
+
+
+def test_supplier_hhi_totals_are_broadcast_not_windowed(spark):
+    plan = _plan(spark, "q_report_supplier_hhi")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -123,16 +123,36 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile + percent_rank: quartile bucketing and relative rank per
-    group — the windowed scaffolding of the relational trimmed mean."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    group — the windowed scaffolding of the relational trimmed mean.
+    The (price, orderkey) order is total, so rank == row_number and
+    percent_rank = (rn−1)/(n−1): both ride the range-bucketed prefix
+    sweep + arithmetic ntile (the r06 self-audit retired the
+    3-status-partition window over all orders)."""
+    from zonal_datacube_spark.functions.prefix_sweep import (
+        ntile_from_row_number,
+        prefix_sweep,
     )
-    return orders.select(
+
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = prefix_sweep(
+        orders.select("o_orderstatus", "o_orderkey", "o_totalprice"),
+        ["o_orderstatus"],
+        "o_totalprice",
+        tiebreak=["o_orderkey"],
+        row_number_col="rn",
+        total_count_col="n",
+    )
+    return ranked.select(
         "o_orderstatus",
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        ntile_from_row_number(F.col("rn"), F.col("n"), 4).alias("quartile"),
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                (F.col("rn") - 1).cast("double") / (F.col("n") - 1),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("pct_rank"),
     )
 
 

@@ -569,9 +569,12 @@ def q_report_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev")
         )
     )
-    tw = Window.partitionBy("p_brand")  # supplier-grain rollup: ≤ n_supp rows/brand
-    shared = rev.select(
-        "p_brand", (F.col("rev") / F.sum("rev").over(tw)).alias("share")
+    # brand totals via a partial-agg groupBy broadcast back — the earlier
+    # full-partition window forced each brand's supplier rollup through
+    # one window partition for a 25-row aggregate (r06 self-audit)
+    tot = rev.groupBy("p_brand").agg(F.sum("rev").alias("_brand_rev"))
+    shared = rev.join(F.broadcast(tot), "p_brand").select(
+        "p_brand", (F.col("rev") / F.col("_brand_rev")).alias("share")
     )
     return shared.groupBy("p_brand").agg(
         F.count("*").alias("n_suppliers"),

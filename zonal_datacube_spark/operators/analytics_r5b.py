@@ -565,21 +565,41 @@ PR_TOP = 40
 def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist over suppliers within nation by account
     balance — the remaining ANSI ranking-function surface. The suppkey
-    tiebreak makes every rank distinct, so both ratios are exact integer
-    quotients rounded at 6dp; partitioning is by nation (skew-free dim
-    key) and output is the deterministic top slice."""
+    tiebreak makes every rank distinct, so rank == row_number and both
+    ratios collapse to exact integer quotients — percent_rank =
+    (rn−1)/(n−1), cume_dist = rn/n — computed through the
+    range-bucketed prefix sweep (the r06 self-audit retired the
+    25-nation-partition window over the data-scaled supplier table)
+    and rounded at 6dp."""
+    from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
+
     sup = load_table(spark, sf_dir, "supplier")
     nation = F.broadcast(
         load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     )
     j = sup.join(nation, sup.s_nationkey == F.col("n_nationkey"))
-    w = Window.partitionBy("n_name").orderBy("s_acctbal", "s_suppkey")
+    ranked = prefix_sweep(
+        j.select("n_name", "s_suppkey", "s_acctbal"),
+        ["n_name"],
+        "s_acctbal",
+        tiebreak=["s_suppkey"],
+        row_number_col="rn",
+        total_count_col="n",
+    )
     return (
-        j.select(
+        ranked.select(
             "n_name",
             "s_suppkey",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+            F.round(
+                F.when(
+                    F.col("n") > 1,
+                    (F.col("rn") - 1).cast("double") / (F.col("n") - 1),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("pct_rank"),
+            F.round(F.col("rn").cast("double") / F.col("n"), 6).alias(
+                "cume_dist"
+            ),
         )
         .orderBy("n_name", "s_suppkey")
         .limit(PR_TOP)

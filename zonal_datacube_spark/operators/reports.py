@@ -23,7 +23,7 @@ tie-break on a unique key so LIMIT is deterministic on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zonal_datacube_spark.sources.loader import load_table
@@ -435,12 +435,20 @@ def q_report_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("rev")
     )
-    w = Window.partitionBy("yr").orderBy(
-        F.col("rev").desc(), F.col("l_suppkey").asc()
-    )
-    ranked = per_year.select(
-        "l_suppkey", "yr", F.rank().over(w).cast("bigint").alias("rnk")
-    )
+    # (rev desc, suppkey) is a total order so rank == row_number; the
+    # per-year rank rides the range-bucketed prefix sweep — the r06
+    # self-audit retired the 2-year-partition window over the
+    # supplier-grain rollup (supplier-scaled, 2 reducers at 100 TB)
+    from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
+
+    ranked = prefix_sweep(
+        per_year,
+        ["yr"],
+        "rev",
+        descending=True,
+        tiebreak=["l_suppkey"],
+        row_number_col="rnk",
+    ).select("l_suppkey", "yr", F.col("rnk").cast("bigint").alias("rnk"))
     a = ranked.filter(F.col("yr") == RANK_YEARS[0]).select(
         "l_suppkey", F.col("rnk").alias("rank_a")
     )

@@ -293,15 +293,27 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_alloc"),
     )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    # deterministic draw rank through the prefix sweep on a NUMERIC hash
+    # (first 15 md5 hex digits as bigint, custkey tiebreak) — the r06
+    # self-audit retired the 5-segment-partition row_number over the
+    # data-scaled customer table (q_sample_stratified's rewrite twin)
+    from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
+
+    h = F.expr(
+        "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
     )
-    picked = (
-        cust.select(
-            "c_mktsegment", "c_acctbal", F.row_number().over(w).alias("rnk")
-        )
-        .join(F.broadcast(alloc), "c_mktsegment")
-        .filter(F.col("rnk") <= F.col("n_alloc"))
+    ranked = prefix_sweep(
+        cust.select("c_mktsegment", "c_acctbal", "c_custkey").withColumn(
+            "h", h
+        ),
+        ["c_mktsegment"],
+        "h",
+        tiebreak=["c_custkey"],
+        row_number_col="rnk",
+    )
+    picked = ranked.join(F.broadcast(alloc), "c_mktsegment").filter(
+        F.col("rnk") <= F.col("n_alloc")
     )
     return (
         picked.groupBy("c_mktsegment")
@@ -768,7 +780,8 @@ ORACLE = {
             SELECT c_mktsegment, c_acctbal,
                    row_number() OVER (
                        PARTITION BY c_mktsegment
-                       ORDER BY md5(c_custkey::VARCHAR), c_custkey) AS rnk
+                       ORDER BY ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT,
+                                c_custkey) AS rnk
             FROM customer
         )
         SELECT r.c_mktsegment,

@@ -232,9 +232,12 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy/connections/active-sessions analysis. The sweep explodes
     each interval into two delta events and takes a running sum over
     time (ends sort before starts at the same instant, so half-open
-    adjacency never double-counts) — ONE window pass; the naive
-    formulation is an interval self-join that explodes quadratically on
-    busy periods."""
+    adjacency never double-counts); the naive formulation is an interval
+    self-join that explodes quadratically on busy periods. The running
+    sum rides the range-bucketed prefix sweep on the integer-µs
+    timestamp (the r06 self-audit retired the 5-priority-partition
+    window over the data-scaled delta stream); rows tied on (ts, +1)
+    are interchangeable for a running sum, so the max is order-stable."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",
         F.col("o_orderdate").alias("start_ts"),
@@ -249,12 +252,21 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority", F.col("end_ts").alias("ts"), F.lit(-1).alias("d")
         )
     )
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy(F.col("ts").asc(), F.col("d").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
+
+    swept = prefix_sweep(
+        deltas.withColumn(
+            "ts_us",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ),
+        ),
+        ["o_orderpriority"],
+        "ts_us",
+        tiebreak=["d"],
+        sum_cols={"open_now": "d"},
     )
-    swept = deltas.withColumn("open_now", F.sum("d").over(w))
     return swept.groupBy("o_orderpriority").agg(
         F.max("open_now").alias("max_concurrent"),
         (F.count("*") / 2).cast("bigint").alias("n_intervals"),
