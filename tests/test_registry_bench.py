@@ -14,13 +14,31 @@ from zonal_datacube_spark.registry import KEY_ORDER, all_oracle_sql, all_queries
 
 
 CHANGED_IN_R06 = (
-    # declared new in round 6, plus the one previously-sampled key whose
-    # implementation the round-6 tempdir fix touched
+    # declared new in round 6
     "q_text_chunking",
     "q_rag_chunk_dedup",
     "q_text_rrf_fusion",
     "q_sim_opq_eval",
+    "q_ts_changepoint",
+    "q_sim_ann_recall_eval",
+    "q_ts_stl_decompose",
+    "q_graph_kcore",
+    # implementation changed in round 6 (tempdir fix + the
+    # enum-partition-window scale sweep): fresh driver attestation
     "q_sink_dynamic_overwrite",
+    "q_sample_stratified",
+    "q_window_ntile",
+    "q_text_vocab_coverage",
+    "q_report_supplier_hhi",
+    "q_agg_mode",
+    "q_stream_late",
+    "q_ts_concurrency",
+    "q_text_zipf",
+    "q_report_rank_migration",
+    "q_text_bm25",
+    "q_ts_theil_sen",
+    "q_sample_neyman",
+    "q_window_percent_rank",
 )
 
 

@@ -99,6 +99,22 @@ FAMILIES: dict[str, list[str]] = {
         "q_rag_chunk_dedup",
         "q_text_rrf_fusion",
     ],
+    # r6 self-audit sweep: the eleven keys whose enum-partition /
+    # global rankings were retired this round — these rows are the
+    # before/after asymptote evidence for the rewrites
+    "sweep-rewrites (r6)": [
+        "q_agg_mode",
+        "q_stream_late",
+        "q_sample_stratified",
+        "q_sample_neyman",
+        "q_window_ntile",
+        "q_window_percent_rank",
+        "q_ts_concurrency",
+        "q_report_rank_migration",
+        "q_report_supplier_hhi",
+        "q_text_vocab_coverage",
+        "q_text_zipf",
+    ],
 }
 
 N_RUNS = 3  # median of 3 warm runs
