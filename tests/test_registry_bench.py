@@ -23,6 +23,13 @@ CHANGED_IN_R06 = (
     "q_sim_ann_recall_eval",
     "q_ts_stl_decompose",
     "q_graph_kcore",
+    # declared new in round 6, third wave (§2.22)
+    "q_stats_spearman",
+    "q_stats_kendall",
+    "q_embed_pca_var",
+    "q_behavior_window_funnel",
+    "q_ts_holt",
+    "q_sql_named_window",
     # implementation changed in round 6 (tempdir fix + the
     # enum-partition-window scale sweep): fresh driver attestation
     "q_sink_dynamic_overwrite",

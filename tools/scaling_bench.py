@@ -102,6 +102,15 @@ FAMILIES: dict[str, list[str]] = {
     # r6 self-audit sweep: the eleven keys whose enum-partition /
     # global rankings were retired this round — these rows are the
     # before/after asymptote evidence for the rewrites
+    # r6c wave: rank correlations, funnel, PCA reduction, named windows
+    "stats/behavior (r6c)": [
+        "q_stats_spearman",
+        "q_stats_kendall",
+        "q_embed_pca_var",
+        "q_behavior_window_funnel",
+        "q_ts_holt",
+        "q_sql_named_window",
+    ],
     "sweep-rewrites (r6)": [
         "q_agg_mode",
         "q_stream_late",

