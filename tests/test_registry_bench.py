@@ -30,6 +30,15 @@ CHANGED_IN_R06 = (
     "q_behavior_window_funnel",
     "q_ts_holt",
     "q_sql_named_window",
+    # declared new in round 6, fourth wave (§2.23)
+    "q_window_ignore_nulls",
+    "q_privacy_l_diversity",
+    "q_ts_seasonal_naive_eval",
+    "q_embed_outlier_knn",
+    # declared new in round 6, fifth wave (§2.24)
+    "q_join_asof_tolerance",
+    "q_agg_sketch_error_eval",
+    "q_text_keyword_rake",
     # implementation changed in round 6 (tempdir fix + the
     # enum-partition-window scale sweep): fresh driver attestation
     "q_sink_dynamic_overwrite",

@@ -111,6 +111,17 @@ FAMILIES: dict[str, list[str]] = {
         "q_ts_holt",
         "q_sql_named_window",
     ],
+    "privacy/forecast (r6d)": [
+        "q_window_ignore_nulls",
+        "q_privacy_l_diversity",
+        "q_ts_seasonal_naive_eval",
+        "q_embed_outlier_knn",
+    ],
+    "asof/rake (r6e)": [
+        "q_join_asof_tolerance",
+        "q_agg_sketch_error_eval",
+        "q_text_keyword_rake",
+    ],
     "sweep-rewrites (r6)": [
         "q_agg_mode",
         "q_stream_late",
