@@ -76,6 +76,7 @@ def _doubled_ranks(df: DataFrame, part: str, val: str, out: str) -> DataFrame:
     return swept.select(
         part,
         val,
+        "n_v",
         (
             2 * F.coalesce(F.col("cum_before"), F.lit(0))
             + F.col("n_v")
@@ -107,8 +108,8 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     xr = _doubled_ranks(li, "l_returnflag", "l_quantity", "ux")
     yr = _doubled_ranks(li, "l_returnflag", "l_extendedprice", "uy")
-    rows = li.join(xr, ["l_returnflag", "l_quantity"]).join(
-        yr, ["l_returnflag", "l_extendedprice"]
+    rows = li.join(xr.drop("n_v"), ["l_returnflag", "l_quantity"]).join(
+        yr.drop("n_v"), ["l_returnflag", "l_extendedprice"]
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = rows.groupBy("l_returnflag").agg(
