@@ -39,6 +39,11 @@ CHANGED_IN_R06 = (
     "q_join_asof_tolerance",
     "q_agg_sketch_error_eval",
     "q_text_keyword_rake",
+    # declared new in round 6, sixth wave (§2.25)
+    "q_media_decode_shards",
+    "q_graph_link_jaccard",
+    "q_graph_reciprocity",
+    "q_privacy_generalization",
     # implementation changed in round 6 (tempdir fix + the
     # enum-partition-window scale sweep): fresh driver attestation
     "q_sink_dynamic_overwrite",

@@ -122,6 +122,12 @@ FAMILIES: dict[str, list[str]] = {
         "q_agg_sketch_error_eval",
         "q_text_keyword_rake",
     ],
+    "shards/graph (r6f)": [
+        "q_media_decode_shards",
+        "q_graph_link_jaccard",
+        "q_graph_reciprocity",
+        "q_privacy_generalization",
+    ],
     "sweep-rewrites (r6)": [
         "q_agg_mode",
         "q_stream_late",
