@@ -44,6 +44,10 @@ CHANGED_IN_R06 = (
     "q_graph_link_jaccard",
     "q_graph_reciprocity",
     "q_privacy_generalization",
+    # declared new in round 6, seventh wave (§2.26)
+    "q_sql_intersect_all",
+    "q_behavior_path_triples",
+    "q_embed_centroid_drift",
     # implementation changed in round 6 (tempdir fix + the
     # enum-partition-window scale sweep): fresh driver attestation
     "q_sink_dynamic_overwrite",

