@@ -48,12 +48,24 @@ def test_wilson_dim_join_is_broadcast(spark):
 
 
 def test_timeseries_keys_are_single_window_pipelines(spark):
-    for fn in (q_ts_time_weighted_avg, q_ts_ohlc, q_ts_transitions):
+    # ohlc/transitions partition on data-scaled keys ((type, day) /
+    # user_id) and stay direct single-window pipelines; twa moved to the
+    # round-8 chunk+halo rewrite and is locked in test_plans_round8.py
+    for fn in (q_ts_ohlc, q_ts_transitions):
         plan = formatted_plan(fn(spark, SF_SMOKE))
         assert "Join" not in plan, fn.__name__
         # window shuffle(s) + final aggregate — never more than 3 tree
         # exchanges even with AQE reads
         assert _tree_exchanges(plan) <= 3, fn.__name__
+
+
+def test_twa_joins_stay_broadcast(spark):
+    # round 8: twa's only joins are the sweep's bounds/offsets stitches —
+    # broadcast-sized by construction, never a sort-merge over the stream
+    plan = formatted_plan(q_ts_time_weighted_avg(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_streaks_has_no_self_join(spark):

@@ -84,6 +84,76 @@ def with_trailing_range_window(
     return out.filter(~F.col(_H)).drop(_B, _H)
 
 
+def with_banded_range_window(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    ep_col: str,
+    trail: int,
+    lead: int,
+    cols: Callable[[WindowSpec], Mapping[str, Column]],
+    chunk_s: int | None = None,
+) -> DataFrame:
+    """Two-sided generalization of :func:`with_trailing_range_window`:
+    df + window columns whose frames stay within ``[-trail, +lead]``
+    range units of ``ep_col``, computed with (part_cols…, chunk)
+    partitioning and a halo duplicated in BOTH directions — the last
+    ``trail`` units of each chunk serve the next chunk's trailing
+    frames, the first ``lead`` units serve the previous chunk's leading
+    frames.
+
+    Unlike the trailing helper, ``cols`` receives the BASE WindowSpec
+    (partitioned + ordered, NO frame) and applies ``.rangeBetween(lo,
+    hi)`` per output column itself — this lets one halo exchange serve
+    several frames (e.g. lag ≡ ``rangeBetween(-1, -1)`` and lead ≡
+    ``rangeBetween(1, 1)`` on a dense row index). Contract: every frame
+    must satisfy ``-trail <= lo <= hi <= lead``; a frame reaching
+    further sees a truncated halo and silently loses rows. ``ep_col``
+    must be a non-negative integer in the same unit as
+    ``trail``/``lead``/``chunk_s``.
+
+    Row-frame note: ROWS BETWEEN n PRECEDING AND m FOLLOWING over a
+    per-series order is exactly RANGE BETWEEN n AND m over that
+    series' DENSE row index (unique, gap-free), so callers first attach
+    ``functions.prefix_sweep.prefix_sweep(row_number_col=...)`` and
+    pass the index as ``ep_col`` — turning every bounded rows-window
+    into this chunk-parallel shape.
+    """
+    if trail < 0 or lead < 0:
+        raise ValueError("trail and lead must be >= 0")
+    if trail == 0 and lead == 0:
+        raise ValueError("at least one of trail/lead must be > 0")
+    chunk = int(chunk_s if chunk_s is not None else 4 * (trail + lead))
+    if chunk < max(trail, lead):
+        raise ValueError(
+            f"chunk_s ({chunk}) must be >= max(trail, lead) "
+            f"({max(trail, lead)}) — a halo only reaches one adjacent chunk"
+        )
+    ep = F.col(ep_col)
+    bucket = F.floor(ep / chunk)
+
+    both = df.withColumn(_B, bucket).withColumn(_H, F.lit(False))
+    if trail > 0:
+        both = both.unionByName(
+            df.filter(ep % chunk >= chunk - trail)
+            .withColumn(_B, bucket + 1)
+            .withColumn(_H, F.lit(True))
+        )
+    if lead > 0:
+        # first `lead` units of a chunk also serve the PREVIOUS chunk's
+        # leading frames (bucket -1 rows are pure halo and filtered out)
+        both = both.unionByName(
+            df.filter(ep % chunk < lead)
+            .withColumn(_B, bucket - 1)
+            .withColumn(_H, F.lit(True))
+        )
+
+    w = Window.partitionBy(*part_cols, _B).orderBy(ep_col)
+    out = both
+    for name, col in cols(w).items():
+        out = out.withColumn(name, col)
+    return out.filter(~F.col(_H)).drop(_B, _H)
+
+
 def n_chunks(df: DataFrame, ep_col: str, window_s: int, chunk_s: int | None = None) -> int:
     """Number of time chunks the rewrite would create — the parallelism
     multiplier over the raw series-key cardinality (test/diagnostic aid)."""

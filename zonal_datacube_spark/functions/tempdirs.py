@@ -17,22 +17,34 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+import threading
 
 _LAST: dict[str, list[str]] = {}
+# concurrency contract (ADVICE r06): the registry is process-global and
+# callers may run keys from worker threads (pytest-xdist, a concurrent
+# bench harness) — the pop/insert pair must be atomic or two racing
+# invocations of the SAME key can both claim (and one then delete) a
+# live dir set. Per-key serialization is the caller's business; this
+# lock only keeps the bookkeeping itself consistent.
+_LOCK = threading.Lock()
 
 
 def fresh_dirs(key: str, *prefixes: str) -> list[str]:
     """Fresh mkdtemp dirs for ``key``, removing the key's previous set."""
-    for d in _LAST.pop(key, []):
+    with _LOCK:
+        stale = _LAST.pop(key, [])
+    for d in stale:
         shutil.rmtree(d, ignore_errors=True)
     dirs = [tempfile.mkdtemp(prefix=p) for p in prefixes]
-    _LAST[key] = dirs
+    with _LOCK:
+        _LAST[key] = dirs
     return dirs
 
 
 @atexit.register
 def _sweep_remaining() -> None:  # pragma: no cover - process teardown
-    for dirs in _LAST.values():
-        for d in dirs:
-            shutil.rmtree(d, ignore_errors=True)
-    _LAST.clear()
+    with _LOCK:
+        doomed = [d for dirs in _LAST.values() for d in dirs]
+        _LAST.clear()
+    for d in doomed:
+        shutil.rmtree(d, ignore_errors=True)

@@ -403,19 +403,23 @@ def q_sim_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("probe_id"))
     )
     approx = topk(adc, "approx_score", part=("variant", "probe_id"))
-    out = (
+    hits = (
         approx.join(exact, ["probe_id", "vec_id"], "left_semi")
         .groupBy("variant")
         .agg(F.count("*").alias("n_hits"))
-        .select(
-            "variant",
-            F.lit(len(OPQ_PROBE_IDS)).cast("bigint").alias("n_probes"),
-            F.lit(OPQ_K).cast("bigint").alias("k"),
-            _g6(
-                F.col("n_hits").cast("double")
-                / F.lit(float(len(OPQ_PROBE_IDS) * OPQ_K))
-            ).alias("recall_at_k"),
-        )
+    )
+    # left-join the hit counts onto a literal 2-row variants frame
+    # (ADVICE r06): a variant with ZERO hits has no group in `hits` and
+    # would silently vanish from the verdict instead of reporting 0.0
+    variants = spark.createDataFrame([("raw",), ("opq",)], "variant string")
+    out = variants.join(hits, "variant", "left").select(
+        "variant",
+        F.lit(len(OPQ_PROBE_IDS)).cast("bigint").alias("n_probes"),
+        F.lit(OPQ_K).cast("bigint").alias("k"),
+        _g6(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.lit(float(len(OPQ_PROBE_IDS) * OPQ_K))
+        ).alias("recall_at_k"),
     )
     # materialize the 2-row verdict eagerly so the persisted corpora can
     # be dropped NOW instead of leaking cached blocks for the session's

@@ -249,6 +249,11 @@ def q_embed_pca_var(spark: SparkSession, sf_dir: str) -> DataFrame:
             sums[r["i"]] = float(r["v"])
         else:
             gram[r["i"], r["j"]] = gram[r["j"], r["i"]] = float(r["v"])
+    if n == 0:  # ADVICE r06: fail loudly, not with a silent 0/0 → NaN table
+        raise ValueError(
+            "q_embed_pca_var: embeddings table is empty — covariance and "
+            "explained-variance shares are undefined"
+        )
     mu = sums / n
     cov = gram / n - np.outer(mu, mu)
     evals = np.linalg.eigvalsh(cov)[::-1]

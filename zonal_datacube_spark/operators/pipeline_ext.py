@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
 from zonal_datacube_spark.functions.text_funcs import tokens
 from zonal_datacube_spark.sources.loader import load_table
 
@@ -177,20 +178,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     concatenated in doc_id order and chopped into fixed 256-token training
     sequences; each doc's start offset (running token total minus its own
     length) assigns it a sequence id. Exactly the GPT-style packing a
-    training pipeline runs before batching — and it is ONE window cumsum
-    per language partition, no stateful loop.
+    training pipeline runs before batching — and it is one running token
+    cumsum per language, no stateful loop.
 
-    At 100 TB the partition key would widen to (lang, shard) so no single
-    language serializes through one window partition; the arithmetic is
-    unchanged."""
+    Scale (the r06/r07 what's-wrong #3 shard path, now implemented): the
+    cumsum runs through functions/prefix_sweep.py — doc_id ranges bucket
+    each language into 64 shards, the cumsum runs inside each (lang,
+    shard), and a broadcast shard-offset correction (the swept bucket
+    totals) restores the global running total — so no single language
+    serializes through one window partition and parallelism grows with
+    the corpus, while the packing arithmetic is unchanged and the serial
+    oracle still hashes identically."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "n_tok", F.size(tokens()).cast("bigint")
     )
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    placed = docs.select(
+    placed = prefix_sweep(
+        docs.select("lang", "doc_id", "n_tok"),
+        ["lang"],
+        "doc_id",
+        sum_cols={"cum_tok": "n_tok"},
+    ).select(
         "lang",
         "n_tok",
-        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("offset"),
+        (F.col("cum_tok") - F.col("n_tok")).alias("offset"),
     ).select(
         "lang",
         "n_tok",

@@ -7,9 +7,16 @@ Determinism: every window order carries the unique event_id tie-break
 (fixture timestamps can collide), durations are integer MICROSECONDS
 (both engines' storage precision), and ratios round at 6.
 
-Scale: every key is one or two event_type/user-keyed window shuffles plus
-a small aggregate — no self-joins, no iteration; partitions are the
-natural series keys, skew-free at any horizon.
+Scale: user-keyed windows partition on a data-scaled key and stay; the
+six enum-keyed (event_type has ~5 values) per-series windows route
+through the two-level rewrites instead of a 5-partition sort (VERDICT
+r06/r07 what's-wrong #2): a per-series DENSE row index from
+functions/prefix_sweep.py turns every bounded ROWS frame into a RANGE
+frame on the index, which then runs chunk-parallel with a halo exchange
+(functions/chunked_window.py); the growing frames decompose into
+prefix_sweep's strict-max (drawdown) and functions/chunk_carry.py's
+last-non-null carry (resample bracketing). Each key's direct-window
+oracle is UNCHANGED, so the hash gate proves each rewrite exact.
 """
 
 from __future__ import annotations
@@ -17,10 +24,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from zonal_datacube_spark.functions.chunk_carry import carry_last
 from zonal_datacube_spark.functions.chunked_window import (
+    with_banded_range_window,
     with_trailing_range_window,
 )
+from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
 from zonal_datacube_spark.sources.loader import load_table
+
+_EPOCH_US = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+)
+
+
+def _with_series_idx(ev: DataFrame, total_col: str | None = None) -> DataFrame:
+    """ev + ``idx``: the per-event_type DENSE 1-based row number over the
+    (ts, event_id) total order — computed by the range-bucketed two-level
+    prefix sweep (n_types × 64 bucket partitions), NOT a per-series
+    window sort. A bounded ROWS frame over the series order is exactly a
+    RANGE frame on this index (unique and gap-free per series), which
+    the chunk+halo window then evaluates with time-span parallelism.
+    ``total_col`` optionally attaches the series row count (for last-row
+    selection) from the sweep's bucket-grain table — no extra pass."""
+    return prefix_sweep(
+        ev.withColumn("ts_us", F.expr(_EPOCH_US)),
+        ["event_type"],
+        "ts_us",
+        tiebreak=["event_id"],
+        row_number_col="idx",
+        total_count_col=total_col,
+    ).drop("ts_us")
 
 
 def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,16 +61,21 @@ def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     value until the next one, so it weighs by dt = next_ts − ts (the
     last observation of a series carries no interval and drops out) —
     the correct mean for irregularly-sampled series, where the naive avg
-    over-weights bursts. One window shuffle on the series key."""
+    over-weights bursts. next_ts is lead(1) over the series order ≡ the
+    one-row RANGE frame (+1, +1) on the dense series index, evaluated
+    chunk-parallel with a 1-row leading halo — never a 5-partition
+    window over the data-scaled stream."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    idx = _with_series_idx(ev.select("event_type", "value", "ts", "event_id"))
     # timestampdiff handles TIMESTAMP_NTZ (unix_micros rejects it)
     spans = (
-        ev.select(
-            "event_type",
-            "value",
-            "ts",
-            F.lead("ts").over(w).alias("next_ts"),
+        with_banded_range_window(
+            idx,
+            ["event_type"],
+            "idx",
+            0,
+            1,
+            lambda w: {"next_ts": F.max("ts").over(w.rangeBetween(1, 1))},
         )
         .filter(F.col("next_ts").isNotNull())
         .select(
@@ -286,25 +324,23 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold the same frame-ordered list left-to-right, so the sums agree
     to the last bits and round(…, 6) is pure formatting.
 
-    Scale: one window shuffle on the series key ordered by time; the
-    frame is 40 rows, so state per row is O(span). For enum-cardinality
-    series keys at 100 TB, route through the time-chunk+halo rewrite
-    with a 40-row halo exactly as q_ts_anomaly does for its range
-    frame."""
+    Scale: the trailing 40-ROW frame becomes RANGE (−39, 0) on the dense
+    series index (prefix-sweep row number) and runs through the
+    time-chunk+halo rewrite — (series × chunk) parallelism with a
+    39-index-unit halo, exactly as q_ts_anomaly's range frame. The
+    "last row per series" selection reuses the sweep's per-series total
+    (idx == n_total) instead of a second per-series ranking window."""
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(EWMA_SPAN - 1), 0)
+    idx = _with_series_idx(
+        ev.select("event_type", "value", "ts", "event_id"), total_col="n_total"
     )
-    wd = Window.partitionBy("event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    smoothed = ev.select(
-        "event_type",
-        "ts",
-        "event_id",
-        F.collect_list("value").over(w).alias("vals"),
+    smoothed = with_trailing_range_window(
+        idx,
+        ["event_type"],
+        "idx",
+        EWMA_SPAN - 1,
+        lambda w: {"vals": F.collect_list("value").over(w)},
+        upper_bound=0,
     ).withColumn(
         "ewma",
         F.expr(
@@ -314,14 +350,10 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (2.0 - power(0.5, size(vals) - 1))"
         ),
     )
-    return (
-        smoothed.withColumn("rn", F.row_number().over(wd))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_type",
-            F.size("vals").alias("n_window"),
-            F.round("ewma", 6).alias("ewma_last"),
-        )
+    return smoothed.filter(F.col("idx") == F.col("n_total")).select(
+        "event_type",
+        F.size("vals").alias("n_window"),
+        F.round("ewma", 6).alias("ewma_last"),
     )
 
 
@@ -332,11 +364,26 @@ def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores and downsampling pipelines need (gap-fill zero-fills; this
     interpolates). The spine generates DISTRIBUTED (per-series
     sequence + explode, no driver calendar); observations and grid
-    points merge into ONE series-keyed sort where carry-forward /
-    carry-backward windows attach the bracketing (ts, value) pairs to
-    every grid row — never a per-grid-point range join. Interpolation
-    runs in epoch-microsecond arithmetic, identical in both engines.
-    Output rolls up per series to stay compact."""
+    points merge into ONE stream where carry-forward / carry-backward
+    passes attach the bracketing (ts, value) pairs to every grid row —
+    never a per-grid-point range join. Interpolation runs in
+    epoch-microsecond arithmetic, identical in both engines. Output
+    rolls up per series to stay compact.
+
+    Scale: both brackets are GROWING last-non-null frames over the
+    5-value series key — the enum-partition shape — so each runs
+    through functions/chunk_carry.py's two-level carry: the
+    carry-forward inside each (series, time-bucket), a bucket-grain
+    struct-max rollup, and a broadcast carry-in stitch; (series x 64)
+    parallelism in place of one reducer per series. The bracket pair
+    travels as ONE struct per direction so ts and value always come
+    from the same observation. Ordering inside a bucket reproduces the
+    direct window exactly: forward = (ts asc, grid-before-observation),
+    so an exact-hit grid row excludes its same-instant observation from
+    the PREV bracket; backward = (ts desc, observation-before-grid), so
+    the NEXT bracket includes it and exact hits resolve through the
+    nt == ts branch (carried out on negated epoch/tiebreak columns --
+    carry_last is ascending by contract)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "ts", "value"
     )
@@ -356,47 +403,45 @@ def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("mn"))
         .select("event_type", "ts", F.lit(1).alias("is_grid"))
     )
-    merged = ev.select(
-        "event_type", "ts", "value", F.lit(0).alias("is_grid")
-    ).unionByName(spine.withColumn("value", F.lit(None).cast("double")))
-    # grid rows sort BEFORE a same-instant observation (is_grid desc with
-    # asc ts): prev excludes it, next includes it → exact hits resolve
-    # through the nt == gts branch. BOTH brackets are GROWING
-    # (UNBOUNDED PRECEDING → CURRENT ROW) frames — the forward bracket
-    # runs over the REVERSED ordering, because Spark evaluates growing
-    # frames incrementally (O(n) per partition) but recomputes
-    # CURRENT → UNBOUNDED FOLLOWING frames from scratch per row
-    # (O(n²): measured 74 s vs 1 s at sf0.1 on this very key).
-    w_asc = Window.partitionBy("event_type").orderBy(
-        "ts", F.col("is_grid").desc()
-    )
-    # exact reverse of w_asc: at equal ts the observation now comes
-    # first, so a grid row's growing frame still includes it
-    w_desc = Window.partitionBy("event_type").orderBy(
-        F.col("ts").desc(), F.col("is_grid").asc()
-    )
-    obs_ts = F.when(F.col("is_grid") == 0, F.col("ts"))
-    obs_val = F.when(F.col("is_grid") == 0, F.col("value"))
-    growing = (Window.unboundedPreceding, 0)
-    bracketed = (
-        merged.select(
-            "event_type",
-            "ts",
-            "is_grid",
-            F.last(obs_ts, ignorenulls=True)
-            .over(w_asc.rowsBetween(*growing))
-            .alias("pt"),
-            F.last(obs_val, ignorenulls=True)
-            .over(w_asc.rowsBetween(*growing))
-            .alias("pv"),
-            F.last(obs_ts, ignorenulls=True)
-            .over(w_desc.rowsBetween(*growing))
-            .alias("nt"),
-            F.last(obs_val, ignorenulls=True)
-            .over(w_desc.rowsBetween(*growing))
-            .alias("nv"),
+    merged = (
+        ev.select("event_type", "ts", "value", F.lit(0).alias("is_grid"))
+        .unionByName(spine.withColumn("value", F.lit(None).cast("double")))
+        .withColumn("ts_us", F.expr(_EPOCH_US))
+        .withColumn(
+            "obs",
+            F.when(
+                F.col("is_grid") == 0,
+                F.struct(F.col("ts").alias("t"), F.col("value").alias("v")),
+            ),
         )
-        .filter((F.col("is_grid") == 1) & F.col("nt").isNotNull())
+    )
+    fwd = carry_last(
+        # grid sorts BEFORE a same-instant observation: tiebreak -is_grid
+        merged.withColumn("grid_first", -F.col("is_grid")),
+        ["event_type"],
+        "ts_us",
+        ["grid_first"],
+        "obs",
+        "prev_obs",
+    ).drop("grid_first")
+    both = carry_last(
+        # reverse order: negate the epoch; observation before grid at ties
+        fwd.withColumn("neg_us", -F.col("ts_us")),
+        ["event_type"],
+        "neg_us",
+        ["is_grid"],
+        "obs",
+        "next_obs",
+    ).drop("neg_us")
+    bracketed = both.filter(
+        (F.col("is_grid") == 1) & F.col("next_obs").isNotNull()
+    ).select(
+        "event_type",
+        "ts",
+        F.col("prev_obs.t").alias("pt"),
+        F.col("prev_obs.v").alias("pv"),
+        F.col("next_obs.t").alias("nt"),
+        F.col("next_obs.v").alias("nv"),
     )
     us = lambda c: F.expr(  # noqa: E731
         f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
@@ -430,19 +475,20 @@ def q_ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered-set aggregate evaluated over a sliding ROWS frame — a
     physically different window op from sum/avg (per-frame ranked
     buffer, not a running accumulator). Rolled up per series to stay
-    compact; same chunk+halo advisory as q_ts_ewma for enum-cardinality
-    series keys at scale."""
+    compact. The 21-ROW frame becomes RANGE (−20, 0) on the dense series
+    index and runs chunk-parallel with a 20-unit halo — same rewrite as
+    q_ts_ewma, so the per-frame ranked buffer never serializes on the
+    5-value series key."""
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(MOVMED_ROWS - 1), 0)
-    )
-    scored = ev.select(
-        "event_type",
-        "value",
-        F.expr("percentile(value, 0.5)").over(w).alias("mmed"),
-    )
+    idx = _with_series_idx(ev.select("event_type", "value", "ts", "event_id"))
+    scored = with_trailing_range_window(
+        idx,
+        ["event_type"],
+        "idx",
+        MOVMED_ROWS - 1,
+        lambda w: {"mmed": F.expr("percentile(value, 0.5)").over(w)},
+        upper_bound=0,
+    ).select("event_type", "value", "mmed")
     return scored.groupBy("event_type").agg(
         F.count("*").alias("n_points"),
         F.round(F.avg("mmed"), 6).alias("avg_moving_med"),
@@ -454,20 +500,29 @@ def q_ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown per series: the deepest relative drop from a
     running peak — the risk metric every portfolio/SLO dashboard tracks
-    (for metrics: worst degradation from best-seen). The running peak is
-    a GROWING max window (incremental, O(n)); drawdown compares each
-    point against it; one aggregate finds the trough. Also reports time
-    underwater (share of points below 90% of the running peak)."""
+    (for metrics: worst degradation from best-seen). Also reports time
+    underwater (share of points below 90% of the running peak).
+
+    Scale: the running peak is a GROWING max — exactly prefix_sweep's
+    strict-running-max decomposition (per-(series, time-bucket) local
+    max + broadcast earlier-bucket offsets), so the carry runs with
+    (series × 64) parallelism instead of one reducer per enum series
+    key; inclusive peak = greatest(own value, strict max), null-safe at
+    each series' first row (greatest skips the null empty-frame max)."""
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    swept = prefix_sweep(
+        ev.select("event_type", "value", "ts", "event_id").withColumn(
+            "ts_us", F.expr(_EPOCH_US)
+        ),
+        ["event_type"],
+        "ts_us",
+        tiebreak=["event_id"],
+        strict_max_cols={"peak_x": "value"},
     )
-    scored = ev.select(
+    scored = swept.select(
         "event_type",
         "value",
-        F.max("value").over(w).alias("peak"),
+        F.greatest("value", "peak_x").alias("peak"),
     ).withColumn("dd", (F.col("peak") - F.col("value")) / F.col("peak"))
     return scored.groupBy("event_type").agg(
         F.count("*").alias("n_points"),
@@ -485,17 +540,28 @@ PEAK_MIN_VALUE = 150.0
 def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-peak detection: points strictly above BOTH neighbors and
     above an absolute floor — the spike census monitoring systems run
-    before alert tuning (prominence-0 peaks). One lag/lead window pass
-    on the series key; ties with a neighbor disqualify (a plateau is
-    not a peak), endpoints disqualify (missing neighbor). Rolled up per
-    series with the tallest peak."""
+    before alert tuning (prominence-0 peaks). Ties with a neighbor
+    disqualify (a plateau is not a peak), endpoints disqualify (missing
+    neighbor). Rolled up per series with the tallest peak.
+
+    Scale: lag/lead(1) over the series order = the one-row RANGE frames
+    (-1, -1) / (+1, +1) on the dense series index; ONE two-sided
+    chunk+halo exchange serves both, with (series x chunk) parallelism
+    instead of a 5-partition sort over the data-scaled stream; endpoints
+    stay null because the first/last chunk has no halo on that side,
+    exactly mirroring the direct window."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    flagged = ev.select(
-        "event_type",
-        "value",
-        F.lag("value").over(w).alias("prev_v"),
-        F.lead("value").over(w).alias("next_v"),
+    idx = _with_series_idx(ev.select("event_type", "value", "ts", "event_id"))
+    flagged = with_banded_range_window(
+        idx,
+        ["event_type"],
+        "idx",
+        1,
+        1,
+        lambda w: {
+            "prev_v": F.max("value").over(w.rangeBetween(-1, -1)),
+            "next_v": F.max("value").over(w.rangeBetween(1, 1)),
+        },
     ).withColumn(
         "is_peak",
         (F.col("value") > F.col("prev_v"))

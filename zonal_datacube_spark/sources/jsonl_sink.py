@@ -45,13 +45,23 @@ class _FileCommit(WriterCommitMessage):
 def _atomic_write(path: str, payload: str) -> None:
     """Write-then-rename (the FileStreamSink discipline): a crash mid-write
     leaves a stray ``.tmp`` file, never a torn manifest that wedges every
-    subsequent read with a JSON parse error."""
+    subsequent read with a JSON parse error. The parent directory is
+    fsync'd after the rename (ADVICE r06): POSIX only durably records the
+    new directory entry once the dir inode itself reaches disk — without
+    it a power-cut after replace() can resurrect the OLD manifest."""
     tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as fh:
         fh.write(payload)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, path)
+    dfd = os.open(os.path.dirname(os.path.abspath(path)) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    except OSError:  # pragma: no cover - some filesystems reject dir fsync
+        pass
+    finally:
+        os.close(dfd)
 
 
 def _manifest_records(path: str) -> Iterator[dict]:
