@@ -7,6 +7,12 @@ cores from $SPARK_GRAFT_CPUS (default all). Each query is executed with a
 count()-style materialization (collect of final small result) after one
 warm-up pass of the session (BASELINE.md measures warm timings; cold JVM
 start is excluded from per-query numbers).
+
+A `WindowExec: No Partition Defined` WARN on stderr is benign and
+expected: a handful of keys deliberately run an unpartitioned window
+over a BOUNDED intermediate (a bucket-grain offsets table or a ≤10k-row
+rollup), where one partition is correct and cheap — the warning fires
+on the plan shape, not the input size.
 """
 
 from __future__ import annotations

@@ -35,6 +35,10 @@ FAMILIES: dict[str, list[str]] = {
     "aggregate": ["q_agg_groupby", "q_agg_cube", "q_agg_decimal_exact"],
     "window": ["q_window_topk_per_group", "q_window_running_distinct"],
     "chunked-window": ["q_ts_anomaly"],
+    # r8: the per-series window rewrites (prefix-sweep row index +
+    # banded chunk/halo, strict-max sweep, chunk-carry brackets) — the
+    # keys not already tracked by the r4 timeseries rows below
+    "chunk-rewrites (r8)": ["q_ts_drawdown", "q_ts_time_weighted_avg"],
     "sort/set": ["q_sort_multikey", "q_set_except"],
     "dedup": [
         "q_dedup_exact",
