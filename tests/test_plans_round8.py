@@ -61,6 +61,14 @@ def test_no_enum_window_over_data_grain_order(spark):
                 )
 
 
+def test_ohlc_is_one_windowless_aggregate(spark):
+    # r08: open/close fold as struct argmin/argmax inside the single
+    # groupBy — the two per-(type, day) ranking windows must not return
+    plan = _plan(spark, "q_ts_ohlc")
+    assert "windowspecdefinition" not in plan
+    assert "Join" not in plan
+
+
 def test_ewma_last_row_selection_needs_no_extra_ranking(spark):
     # the "last point per series" filter rides the sweep's n_total —
     # no descending row_number window may reappear

@@ -26,6 +26,11 @@ CHANGED_IN_R08 = (
     "q_ts_resample_interp",
     "q_pack_sequences",
     "q_sim_opq_eval",
+    "q_ts_ohlc",
+    # declared new in round 8 (§2.28) — never sampled, so they ALSO sit
+    # in the round-8 window
+    "q_dedup_incremental",
+    "q_text_retrieval_eval",
 )
 
 

@@ -1,0 +1,304 @@
+"""Round-8 surface growth (SURVEY.md §2.28): the two pipeline-tier keys
+VERDICT r07 next-round #10 asked for —
+
+- INCREMENTAL near-dup maintenance (``q_dedup_incremental``): a new
+  document batch probed against the EXISTING corpus' MinHash band index
+  — the O(|batch|) operation a production dedup tier runs per ingest
+  instead of re-deduping the whole corpus. The oracle is the full
+  recompute on the blended corpus restricted to (batch, base) pairs,
+  which the band-probe equals by construction — the hash gate IS the
+  incremental-maintenance correctness proof.
+- retrieval-stack evaluation (``q_text_retrieval_eval``): chunk-level
+  known-item recall@k / MRR of the chunking + lexical-retrieval stack
+  against a synthetic relevance set (each probe chunk's own text is the
+  query; its own (doc, start) is the one relevant item — the standard
+  pseudo-query construction when no labeled qrels exist).
+
+Determinism: candidate ranks order by exact integer score with full
+(doc_id, start) tiebreaks; MRR folds from an exact integer numerator
+(6/rank per hit) with ONE terminal division — no accumulated floats
+cross engines (rule 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.operators.analytics_r6 import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    _doc_chunks,
+)
+from zonal_datacube_spark.operators.dedup import (
+    NEAR_DUP_TAU,
+    _SH_CTE,
+    _doc_shingle_arrays,
+    _minhash_bands,
+    _verify_jaccard,
+)
+
+# ---------------------------------------------------------------------------
+# incremental near-dup maintenance
+# ---------------------------------------------------------------------------
+
+INC_BATCH_MOD = 10  # doc_id % 10 == 0 → the incoming batch (~10% of corpus)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH maintenance: the incoming batch's band
+    values probe the EXISTING corpus' band index; only (batch, base)
+    candidates are generated and exact-Jaccard-verified — never a
+    base × base pair, so per-ingest work is O(|batch| + candidates), not
+    O(|corpus|²-blocked). Output: every verified (batch, base) pair with
+    its exact Jaccard and the dedup verdict at the production threshold.
+
+    Scale: the band join shuffles on (band, bv) — the index's natural
+    bucketing key, so at 100 TB the probe co-locates with a bucketed
+    band table and the batch never rescans the corpus; verification
+    joins only the candidate ids back to the shingle arrays (the
+    q_dedup_minhash discipline). Equivalence: a batch×base band match
+    in the blended-corpus recompute is exactly a probe hit (band values
+    are per-doc), so incremental ≡ full-recompute-restricted — the
+    DuckDB oracle computes the latter."""
+    bands = _minhash_bands(spark, sf_dir)
+    batch = bands.filter(F.col("doc_id") % INC_BATCH_MOD == 0).alias("a")
+    base = bands.filter(F.col("doc_id") % INC_BATCH_MOD != 0).alias("b")
+    cand = (
+        batch.join(
+            base,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .distinct()
+    )
+    j = _verify_jaccard(cand, _doc_shingle_arrays(spark, sf_dir))
+    jr = F.round("jaccard", 6)
+    return j.select(
+        F.col("a_id").alias("batch_id"),
+        F.col("b_id").alias("base_id"),
+        jr.alias("jaccard"),
+        (jr >= F.lit(NEAR_DUP_TAU)).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval-stack evaluation
+# ---------------------------------------------------------------------------
+
+PROBE_MOD = 50  # every 50th doc contributes a probe query
+PROBE_START = CHUNK_STRIDE  # the probe is each probe doc's SECOND chunk
+RETR_TOPK = 3
+QUERY_TERMS = 8  # each pseudo-query keeps its 8 RAREST distinct terms
+
+
+def q_text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-item retrieval evaluation of the chunking + lexical stack:
+    every 50th document's second chunk becomes a pseudo-query (its 8
+    RAREST distinct tokens by chunk-df with the term itself as tiebreak
+    — the IDF-style selection real pseudo-query generators use, and one
+    that never degenerates on a small synthetic vocabulary); the
+    relevance set is
+    synthetic and exact (the probe's own (doc_id, start) chunk); ranking
+    is distinct-term overlap with (overlap DESC, doc_id, start) total
+    order. Reports recall@1, recall@3, and MRR@3 over ALL probes —
+    identical boilerplate chunks elsewhere in the corpus legitimately
+    outrank a probe's own chunk, which is exactly the corpus-quality
+    signal this eval ships to measure.
+
+    Scale: candidates come from the inverted postings join on term (the
+    sparse dot-product plan — never query × chunks); rarest-first term
+    selection keeps every touched posting list as small as the corpus
+    allows, the overlap aggregate shuffles on (probe, chunk), and both
+    windows partition on the DATA-SCALED probe key. The exact integer rank key sidesteps the
+    float-rank trap (rule 8); MRR sums integer 6/rank credits and
+    divides once. Production extension: impact-ordered/WAND pruning on
+    the postings — the plan shape (postings join → bounded rank) is the
+    one that extension drops into."""
+    chunks = _doc_chunks(spark, sf_dir).select(
+        "doc_id",
+        "start",
+        F.array_distinct(
+            F.slice(
+                "toks",
+                F.col("start").cast("int") + 1,
+                F.col("chunk_len").cast("int"),
+            )
+        ).alias("cts"),
+    )
+    post = chunks.select(
+        "doc_id", "start", F.explode("cts").alias("term")
+    )
+    dfs = post.groupBy("term").agg(F.count("*").alias("df"))
+    probes = chunks.filter(
+        (F.col("doc_id") % PROBE_MOD == 0) & (F.col("start") == PROBE_START)
+    )
+    wq = Window.partitionBy("probe_id", "probe_start").orderBy(
+        F.col("df").asc(), F.col("term").asc()
+    )
+    qterms = (
+        probes.select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("start").alias("probe_start"),
+            F.explode("cts").alias("term"),
+        )
+        .join(dfs, "term")
+        .withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") <= QUERY_TERMS)
+        .select("probe_id", "probe_start", "term")
+    )
+    overlap = (
+        post.join(qterms, "term")
+        .groupBy("probe_id", "probe_start", "doc_id", "start")
+        .agg(F.count("*").alias("overlap"))
+    )
+    w = Window.partitionBy("probe_id", "probe_start").orderBy(
+        F.col("overlap").desc(), F.col("doc_id").asc(), F.col("start").asc()
+    )
+    top = overlap.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= RETR_TOPK
+    )
+    hit = (F.col("doc_id") == F.col("probe_id")) & (
+        F.col("start") == F.col("probe_start")
+    )
+    scored = top.agg(
+        F.sum((hit & (F.col("rn") == 1)).cast("bigint")).alias("n_hit1"),
+        F.sum(hit.cast("bigint")).alias("n_hit3"),
+        # 6/rank ∈ {6,3,2}: exact integer reciprocal-rank credits
+        F.sum(F.when(hit, F.lit(6) / F.col("rn")).otherwise(0).cast("bigint")).alias(
+            "rr6"
+        ),
+    )
+    n_probes = probes.agg(F.count("*").alias("n_probes"))
+    return scored.crossJoin(F.broadcast(n_probes)).select(
+        "n_probes",
+        "n_hit1",
+        "n_hit3",
+        F.round(F.col("n_hit1") / F.col("n_probes"), 6).alias("recall_at_1"),
+        F.round(F.col("n_hit3") / F.col("n_probes"), 6).alias("recall_at_3"),
+        F.round(F.col("rr6") / (6 * F.col("n_probes")), 6).alias("mrr_at_3"),
+    )
+
+
+QUERIES = {
+    "q_dedup_incremental": q_dedup_incremental,
+    "q_text_retrieval_eval": q_text_retrieval_eval,
+}
+
+_TOKS_SQL = "string_split(lower(text), ' ')"
+
+ORACLE = {
+    "q_dedup_incremental": f"""
+        WITH {_SH_CTE},
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+                   min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+                   min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+                   min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7,
+                   min(md5('8|' || sh)) AS h8
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, 0 AS band, h0 || h1 || h2 AS bv FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, h3 || h4 || h5 AS bv FROM sig
+            UNION ALL
+            SELECT doc_id, 2 AS band, h6 || h7 || h8 AS bv FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS base_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv
+            WHERE a.doc_id % {INC_BATCH_MOD} = 0
+              AND b.doc_id % {INC_BATCH_MOD} != 0
+        ),
+        inter AS (
+            SELECT c.batch_id, c.base_id, count(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.batch_id
+            JOIN sh sb ON sb.doc_id = c.base_id AND sb.sh = sa.sh
+            GROUP BY 1, 2
+        )
+        SELECT batch_id, base_id,
+               round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard,
+               round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
+                   >= {NEAR_DUP_TAU} AS is_dup
+        FROM inter
+        JOIN sz sa ON batch_id = sa.doc_id
+        JOIN sz sb ON base_id = sb.doc_id
+    """,
+    "q_text_retrieval_eval": f"""
+        WITH d AS (
+            SELECT doc_id, {_TOKS_SQL} AS toks,
+                   len({_TOKS_SQL})::BIGINT AS n
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, toks, n,
+                   unnest(generate_series(0, (n - 1) // {CHUNK_STRIDE})) AS gs
+            FROM d
+        ),
+        c AS (
+            SELECT doc_id, (gs * {CHUNK_STRIDE})::BIGINT AS start,
+                   list_distinct(
+                       toks[(gs * {CHUNK_STRIDE} + 1):(gs * {CHUNK_STRIDE}
+                            + least({CHUNK_SIZE}, n - gs * {CHUNK_STRIDE}))]
+                   ) AS cts
+            FROM g
+        ),
+        post AS (SELECT doc_id, start, unnest(cts) AS term FROM c),
+        dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
+        probes AS (
+            SELECT doc_id AS probe_id, start AS probe_start, cts
+            FROM c
+            WHERE doc_id % {PROBE_MOD} = 0 AND start = {PROBE_START}
+        ),
+        qterms AS (
+            SELECT probe_id, probe_start, term FROM (
+                SELECT probe_id, probe_start, term,
+                       row_number() OVER (PARTITION BY probe_id, probe_start
+                                          ORDER BY df, term) AS qrn
+                FROM (SELECT probe_id, probe_start, unnest(cts) AS term
+                      FROM probes)
+                JOIN dfs USING (term)
+            ) WHERE qrn <= {QUERY_TERMS}
+        ),
+        overlap AS (
+            SELECT q.probe_id, q.probe_start, p.doc_id, p.start,
+                   count(*)::BIGINT AS overlap
+            FROM qterms q JOIN post p USING (term)
+            GROUP BY 1, 2, 3, 4
+        ),
+        top AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY probe_id, probe_start
+                           ORDER BY overlap DESC, doc_id, start) AS rn
+                FROM overlap
+            ) WHERE rn <= {RETR_TOPK}
+        ),
+        scored AS (
+            SELECT
+              sum(CASE WHEN doc_id = probe_id AND start = probe_start
+                            AND rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hit1,
+              sum(CASE WHEN doc_id = probe_id AND start = probe_start
+                       THEN 1 ELSE 0 END)::BIGINT AS n_hit3,
+              sum(CASE WHEN doc_id = probe_id AND start = probe_start
+                       THEN 6 // rn ELSE 0 END)::BIGINT AS rr6
+            FROM top
+        ),
+        np AS (SELECT count(*)::BIGINT AS n_probes FROM probes)
+        SELECT n_probes, n_hit1, n_hit3,
+               round(n_hit1 * 1.0 / n_probes, 6) AS recall_at_1,
+               round(n_hit3 * 1.0 / n_probes, 6) AS recall_at_3,
+               round(rr6 * 1.0 / (6 * n_probes), 6) AS mrr_at_3
+        FROM scored, np
+    """,
+}

@@ -248,17 +248,17 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup: banded min-hash candidates verified with true
-    Jaccard. Output = verified candidate pairs (the sub-quadratic plan).
-
-    All 9 min-hashes come from ONE codegen'd groupBy pass over the cached
-    shingle table (9 aggregate expressions, single shuffle on doc_id) —
-    an `array_min(transform(...))` per-row formulation would avoid the
-    shuffle but higher-order-function lambdas evaluate interpreted,
-    ~3× slower end-to-end at this md5 volume. The n_docs-row signature is
-    persisted; bands come from one explode (not a 3-way union), so the
-    signature subplan appears once per join side and computes once."""
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sh, band, bv) — each doc's 3 LSH band values from the 9
+    portable md5 min-hashes. All 9 min-hashes come from ONE codegen'd
+    groupBy pass over the cached shingle table (9 aggregate expressions,
+    single shuffle on doc_id) — an `array_min(transform(...))` per-row
+    formulation would avoid the shuffle but higher-order-function lambdas
+    evaluate interpreted, ~3× slower end-to-end at this md5 volume. The
+    n_docs-row signature is persisted; bands come from one explode (not a
+    3-way union), so the signature subplan appears once per join side and
+    computes once. Shared by q_dedup_minhash (full pairwise tier) and
+    q_dedup_incremental (batch-probe maintenance tier, analytics_r8.py)."""
     sh = _doc_shingles(spark, sf_dir)
     rows_per_band = MINHASH_SEEDS // MINHASH_BANDS
     sig = (
@@ -272,7 +272,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         "n_sh",
         F.explode(
@@ -289,6 +289,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "n_sh", "bb.band", "bb.bv")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: banded min-hash candidates verified with true
+    Jaccard. Output = verified candidate pairs (the sub-quadratic plan).
+
+    Candidate generation and signature mechanics live in _minhash_bands
+    (shared with the incremental maintenance tier)."""
+    bands = _minhash_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -57,6 +57,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.analytics_r6f",
     "zonal_datacube_spark.operators.analytics_r6g",
     "zonal_datacube_spark.operators.analytics_r6h",
+    "zonal_datacube_spark.operators.analytics_r8",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
@@ -69,10 +70,12 @@ _MODULES = (
 # stratified round-robin across operator families with the full 8-key
 # SQL-surface ring included. The keys whose implementation round 8
 # changed (the six per-series timeseries windows, q_pack_sequences,
-# q_sim_opq_eval) are all PREVIOUSLY driver-attested and re-proven by
-# the PARITY_r08 full sweep instead of re-occupying window slots. The
-# remaining 53 dark keys rotate in round 9. Keys not listed sort after
-# listed ones, alphabetically.
+# q_sim_opq_eval, q_ts_ohlc) are all PREVIOUSLY driver-attested and
+# re-proven by the PARITY_r08 full sweep instead of re-occupying window
+# slots. The two keys DECLARED in round 8 (§2.28) also sit here (never
+# sampled by definition), displacing two of the original dark picks —
+# 55 dark keys rotate in round 9. Keys not listed sort after listed
+# ones, alphabetically.
 KEY_ORDER = (
     "q_agg_approx_topk",
     "q_agg_filtered",
@@ -80,6 +83,7 @@ KEY_ORDER = (
     "q_cache_inmemory",
     "q_data_mixture_weights",
     "q_dedup_cross_source",
+    "q_dedup_incremental",
     "q_dedup_minhash_eval",
     "q_dq_checks",
     "q_dq_daily_health",
@@ -117,13 +121,12 @@ KEY_ORDER = (
     "q_stream_python_sink",
     "q_subquery_correlated",
     "q_text_filter_funnel",
+    "q_text_retrieval_eval",
     "q_tokenizer_fertility",
     "q_ts_gapfill",
     "q_udf_arrow_scalar",
     "q_udtf_tokenize",
     "q_warehouse_time_travel",
-    "q_window_cume_nth",
-    "q_zonal_polygon_categorical",
 )
 
 
