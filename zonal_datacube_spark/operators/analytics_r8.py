@@ -118,9 +118,13 @@ def q_text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     allows, the overlap aggregate shuffles on (probe, chunk), and both
     windows partition on the DATA-SCALED probe key. The exact integer rank key sidesteps the
     float-rank trap (rule 8); MRR sums integer 6/rank credits and
-    divides once. Production extension: impact-ordered/WAND pruning on
-    the postings — the plan shape (postings join → bounded rank) is the
-    one that extension drops into."""
+    divides once. Candidate volume is |probes| × rare-term posting
+    size; the fixture scales the probe set WITH the corpus (doc_id %
+    50) so the oracle stays meaningful at every SF — a production eval
+    holds the probe set FIXED (eval sets don't grow with the corpus),
+    making the sweep linear in corpus size; impact-ordered/WAND pruning
+    on the postings is the further extension, and the plan shape
+    (postings join → bounded rank) is the one both drop into."""
     chunks = _doc_chunks(spark, sf_dir).select(
         "doc_id",
         "start",
