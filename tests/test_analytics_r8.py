@@ -127,3 +127,51 @@ def test_retrieval_topk_window_is_probe_keyed(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     ranked = [s for s in specs if "overlap" in s]
     assert ranked and all("probe_id" in s for s in ranked), specs
+
+
+def _py_padding_eval(sf_dir: str) -> dict:
+    from zonal_datacube_spark.operators.analytics_r8 import BATCH_SIZE
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    lens = {
+        int(d): len(t.lower().split(" "))
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    out = {}
+    for strategy, order in (
+        ("natural", sorted(lens)),
+        ("length_sorted", sorted(lens, key=lambda d: (lens[d], d))),
+    ):
+        pad = grid = batches = 0
+        for i in range(0, len(order), BATCH_SIZE):
+            chunk = [lens[d] for d in order[i : i + BATCH_SIZE]]
+            batches += 1
+            grid += max(chunk) * len(chunk)
+            pad += max(chunk) * len(chunk) - sum(chunk)
+        out[strategy] = (batches, pad, round(pad / grid, 6))
+    return out
+
+
+def test_padding_eval_matches_pure_python(spark):
+    from zonal_datacube_spark.operators.analytics_r8 import q_batch_padding_eval
+
+    rows = {r["strategy"]: r for r in q_batch_padding_eval(spark, SF_SMOKE).collect()}
+    want = _py_padding_eval(SF_SMOKE)
+    assert set(rows) == set(want)
+    for strat, (nb, pad, share) in want.items():
+        r = rows[strat]
+        assert (r["n_batches"], r["padded_tokens"]) == (nb, pad), strat
+        assert abs(r["pad_share"] - share) < 1e-9, strat
+    # sorting by length can never pad MORE than natural order overall
+    assert (
+        rows["length_sorted"]["padded_tokens"]
+        <= rows["natural"]["padded_tokens"]
+    )
+
+
+def test_padding_eval_rides_the_prefix_sweep(spark):
+    from zonal_datacube_spark.operators.analytics_r8 import q_batch_padding_eval
+
+    plan = formatted_plan(q_batch_padding_eval(spark, SF_SMOKE))
+    assert "_zds_ps_bucket" in plan  # no global sort anywhere
+    assert "CartesianProduct" not in plan

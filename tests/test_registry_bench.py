@@ -31,6 +31,7 @@ CHANGED_IN_R08 = (
     # in the round-8 window
     "q_dedup_incremental",
     "q_text_retrieval_eval",
+    "q_batch_padding_eval",
 )
 
 

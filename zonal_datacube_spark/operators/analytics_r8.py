@@ -25,11 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from zonal_datacube_spark.sources.loader import load_table
 from zonal_datacube_spark.operators.analytics_r6 import (
     CHUNK_SIZE,
     CHUNK_STRIDE,
     _doc_chunks,
 )
+from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
+from zonal_datacube_spark.functions.text_funcs import tokens
 from zonal_datacube_spark.operators.dedup import (
     NEAR_DUP_TAU,
     _SH_CTE,
@@ -190,9 +193,72 @@ def q_text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# batch padding-efficiency evaluation
+# ---------------------------------------------------------------------------
+
+BATCH_SIZE = 16  # documents per training batch
+
+
+def q_batch_padding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching evaluation: how many PAD tokens does the
+    batcher burn? Each batch of {B} docs pads every member to the
+    batch's max token length; compares NATURAL (doc_id) order against
+    LENGTH-SORTED order (the standard bucketing trick — sorting by
+    length makes batches length-homogeneous, collapsing padding waste).
+    Reports batches, padded tokens, and pad share per strategy — the
+    number a training-efficiency dashboard tracks before/after enabling
+    bucketed batching. All-integer arithmetic: padded = Σ(max·count −
+    Σlen) per batch, one terminal division for the share.
+
+    Scale: both global row numbers ride the range-bucketed prefix sweep
+    (64 value-range buckets over doc_id / token length — NO global sort,
+    the sweep's entire reason to exist); the batch grain then groups on
+    the data-scaled batch_id. Production note: a distributed trainer
+    batches per (shard, local rank) — same arithmetic with the sweep's
+    bucket id as the shard, zero plan change."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(tokens()).cast("bigint")
+    )
+    base = docs.select("doc_id", "n_tok")
+    nat = prefix_sweep(base, [], "doc_id", row_number_col="rn")
+    srt = prefix_sweep(
+        base, [], "n_tok", tiebreak=["doc_id"], row_number_col="rn"
+    )
+
+    def pad_stats(df: DataFrame, strategy: str) -> DataFrame:
+        per = (
+            df.withColumn(
+                "batch_id", F.floor((F.col("rn") - 1) / BATCH_SIZE)
+            )
+            .groupBy("batch_id")
+            .agg(
+                F.max("n_tok").alias("mx"),
+                F.sum("n_tok").alias("s"),
+                F.count("*").alias("c"),
+            )
+        )
+        grid = F.sum(F.col("mx") * F.col("c"))
+        return per.agg(
+            F.count("*").alias("n_batches"),
+            (grid - F.sum("s")).alias("padded_tokens"),
+            F.round((grid - F.sum("s")) / grid, 6).alias("pad_share"),
+        ).select(
+            F.lit(strategy).alias("strategy"),
+            "n_batches",
+            "padded_tokens",
+            "pad_share",
+        )
+
+    return pad_stats(nat, "natural").unionByName(
+        pad_stats(srt, "length_sorted")
+    )
+
+
 QUERIES = {
     "q_dedup_incremental": q_dedup_incremental,
     "q_text_retrieval_eval": q_text_retrieval_eval,
+    "q_batch_padding_eval": q_batch_padding_eval,
 }
 
 _TOKS_SQL = "string_split(lower(text), ' ')"
@@ -304,5 +370,36 @@ ORACLE = {
                round(n_hit3 * 1.0 / n_probes, 6) AS recall_at_3,
                round(rr6 * 1.0 / (6 * n_probes), 6) AS mrr_at_3
         FROM scored, np
+    """,
+    "q_batch_padding_eval": f"""
+        WITH d AS (
+            SELECT doc_id, len({_TOKS_SQL})::BIGINT AS n_tok FROM documents
+        ),
+        nat AS (
+            SELECT n_tok,
+                   (row_number() OVER (ORDER BY doc_id) - 1)
+                       // {BATCH_SIZE} AS b
+            FROM d
+        ),
+        srt AS (
+            SELECT n_tok,
+                   (row_number() OVER (ORDER BY n_tok, doc_id) - 1)
+                       // {BATCH_SIZE} AS b
+            FROM d
+        ),
+        pn AS (SELECT b, max(n_tok) AS mx, sum(n_tok) AS s,
+                      count(*) AS c FROM nat GROUP BY b),
+        ps AS (SELECT b, max(n_tok) AS mx, sum(n_tok) AS s,
+                      count(*) AS c FROM srt GROUP BY b)
+        SELECT 'natural' AS strategy,
+               count(*) AS n_batches,
+               sum(mx * c - s)::BIGINT AS padded_tokens,
+               round(sum(mx * c - s) * 1.0 / sum(mx * c), 6) AS pad_share
+        FROM pn
+        UNION ALL
+        SELECT 'length_sorted', count(*),
+               sum(mx * c - s)::BIGINT,
+               round(sum(mx * c - s) * 1.0 / sum(mx * c), 6)
+        FROM ps
     """,
 }

@@ -72,13 +72,14 @@ _MODULES = (
 # changed (the six per-series timeseries windows, q_pack_sequences,
 # q_sim_opq_eval, q_ts_ohlc) are all PREVIOUSLY driver-attested and
 # re-proven by the PARITY_r08 full sweep instead of re-occupying window
-# slots. The two keys DECLARED in round 8 (§2.28) also sit here (never
-# sampled by definition), displacing two of the original dark picks —
-# 55 dark keys rotate in round 9. Keys not listed sort after listed
+# slots. The three keys DECLARED in round 8 (§2.28) also sit here
+# (never sampled by definition), displacing three of the original dark
+# picks — 56 dark keys rotate in round 9. Keys not listed sort after listed
 # ones, alphabetically.
 KEY_ORDER = (
     "q_agg_approx_topk",
     "q_agg_filtered",
+    "q_batch_padding_eval",
     "q_behavior_stickiness",
     "q_cache_inmemory",
     "q_data_mixture_weights",
@@ -117,7 +118,6 @@ KEY_ORDER = (
     "q_sql_try_arithmetic",
     "q_sql_udf",
     "q_stats_anova",
-    "q_str_collation",
     "q_stream_python_sink",
     "q_subquery_correlated",
     "q_text_filter_funnel",
