@@ -175,3 +175,79 @@ def test_padding_eval_rides_the_prefix_sweep(spark):
     plan = formatted_plan(q_batch_padding_eval(spark, SF_SMOKE))
     assert "_zds_ps_bucket" in plan  # no global sort anywhere
     assert "CartesianProduct" not in plan
+
+
+def _py_slope_classes() -> dict:
+    import numpy as np
+
+    from zonal_datacube_spark.operators.analytics_r8 import (
+        SLOPE_CLASS_W,
+        SLOPE_N,
+    )
+
+    n = SLOPE_N
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="xy")
+    z = (xs * 31 + ys * 17) % 97
+    # Horn gradients on interior cells (z indexed [y, x])
+    gx = (
+        2 * z[1:-1, 2:] + z[:-2, 2:] + z[2:, 2:]
+        - 2 * z[1:-1, :-2] - z[:-2, :-2] - z[2:, :-2]
+    )
+    gy = (
+        2 * z[2:, 1:-1] + z[2:, :-2] + z[2:, 2:]
+        - 2 * z[:-2, 1:-1] - z[:-2, :-2] - z[:-2, 2:]
+    )
+    ss = gx.astype(np.int64) ** 2 + gy.astype(np.int64) ** 2
+    cls = np.minimum(9, ss // SLOPE_CLASS_W)
+    out = {}
+    for c in np.unique(cls):
+        v = ss[cls == c]
+        out[int(c)] = (len(v), int(v.min()), int(v.max()), round(float(v.mean()), 6))
+    return out
+
+
+def test_raster_slope_matches_numpy_referee(spark):
+    from zonal_datacube_spark.operators.analytics_r8 import q_raster_slope
+
+    rows = {
+        r["steep_class"]: (
+            r["n_cells"], r["min_slope_sq"], r["max_slope_sq"], r["avg_slope_sq"]
+        )
+        for r in q_raster_slope(spark, SF_SMOKE).collect()
+    }
+    assert rows == _py_slope_classes()
+
+
+def test_psi_drift_bins_are_complete_and_consistent(spark):
+    from zonal_datacube_spark.operators.analytics_r8 import (
+        PSI_BINS,
+        q_dq_psi_drift,
+    )
+
+    rows = q_dq_psi_drift(spark, SF_SMOKE).collect()
+    assert sorted(r["bin"] for r in rows) == list(range(PSI_BINS))
+    t_ref = sum(r["n_ref"] for r in rows)
+    t_cur = sum(r["n_cur"] for r in rows)
+    assert t_ref > 0 and t_cur > 0
+    for r in rows:
+        # Laplace smoothing keeps every p/q defined and in (0, 1)
+        assert 0.0 < r["p_ref"] < 1.0 and 0.0 < r["p_cur"] < 1.0
+        # each term of PSI is non-negative: (p-q) and ln(p/q) share sign
+        assert r["psi_term"] >= 0.0
+    # identical distributions would give PSI 0; the split periods differ,
+    # but fixture order values are stationary — PSI must stay small
+    assert sum(r["psi_term"] for r in rows) < 0.25
+
+
+def test_slope_and_psi_plans(spark):
+    from zonal_datacube_spark.operators.analytics_r8 import (
+        q_dq_psi_drift,
+        q_raster_slope,
+    )
+
+    slope = formatted_plan(q_raster_slope(spark, SF_SMOKE))
+    assert "CartesianProduct" not in slope
+    assert "windowspecdefinition" not in slope  # pure scatter-gather aggs
+    psi = formatted_plan(q_dq_psi_drift(spark, SF_SMOKE))
+    assert "CartesianProduct" not in psi
+    assert "windowspecdefinition" not in psi  # spine join + broadcast totals

@@ -32,6 +32,8 @@ CHANGED_IN_R08 = (
     "q_dedup_incremental",
     "q_text_retrieval_eval",
     "q_batch_padding_eval",
+    "q_raster_slope",
+    "q_dq_psi_drift",
 )
 
 

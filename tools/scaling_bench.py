@@ -40,6 +40,7 @@ FAMILIES: dict[str, list[str]] = {
     # keys not already tracked by the r4 timeseries rows below
     "chunk-rewrites (r8)": ["q_ts_drawdown", "q_ts_time_weighted_avg"],
     "pipeline (r8)": ["q_dedup_incremental", "q_text_retrieval_eval", "q_batch_padding_eval"],
+    "raster/dq (r8)": ["q_raster_slope", "q_dq_psi_drift"],
     "sort/set": ["q_sort_multikey", "q_set_except"],
     "dedup": [
         "q_dedup_exact",

@@ -255,10 +255,150 @@ def q_batch_padding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# raster slope (Horn's method) — integer gradient algebra
+# ---------------------------------------------------------------------------
+
+SLOPE_N = 256  # synthetic raster edge; 256² = 65,536 cells
+SLOPE_CLASS_W = 30_000  # slope² units per steepness class (max ≈ 295k)
+
+
+def q_raster_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain slope via Horn's 3×3 gradient (Horn 1981, the
+    slope/aspect kernel every raster engine ships next to focal stats):
+    gx = (E·2 + NE + SE) − (W·2 + NW + SW), gy symmetric, on the same
+    deterministic synthetic raster as q_raster_focal (zonal.py) — and
+    ENTIRELY in integer algebra: the report classifies by slope² =
+    gx² + gy² (monotone in slope, so the class census is identical) and
+    never evaluates the float atan/sqrt, sidestepping rule 8 outright.
+
+    Scale: same scatter-gather as q_raster_focal — each cell explodes
+    to its 8 weighted neighbor contributions and one partial+final
+    aggregate keyed by target cell folds both gradient sums; interior
+    cells identify as contribution-count == 8 (no branchy edge logic).
+    At 100 TB: tile the grid and halo-exchange tile borders — the 2-D
+    instance of functions/chunked_window.py's pattern."""
+    n = SLOPE_N
+    cells = spark.range(0, n * n).select(
+        (F.col("id") % n).alias("x"),
+        F.floor(F.col("id") / n).alias("y"),
+    ).select(
+        "x", "y", ((F.col("x") * 31 + F.col("y") * 17) % 97).alias("val")
+    )
+    offsets = F.expr(
+        "filter(flatten(transform(sequence(-1, 1), dx ->"
+        " transform(sequence(-1, 1), dy -> struct(dx, dy)))),"
+        " o -> o.dx != 0 OR o.dy != 0)"
+    )
+    wx = F.when(F.col("o.dx") == 0, F.lit(0)).otherwise(
+        F.col("o.dx") * F.when(F.col("o.dy") == 0, 2).otherwise(1)
+    )
+    wy = F.when(F.col("o.dy") == 0, F.lit(0)).otherwise(
+        F.col("o.dy") * F.when(F.col("o.dx") == 0, 2).otherwise(1)
+    )
+    scattered = (
+        cells.select("x", "y", "val", F.explode(offsets).alias("o"))
+        .select(
+            (F.col("x") - F.col("o.dx")).alias("tx"),
+            (F.col("y") - F.col("o.dy")).alias("ty"),
+            (wx * F.col("val")).alias("wxv"),
+            (wy * F.col("val")).alias("wyv"),
+        )
+        .filter(
+            (F.col("tx") >= 0) & (F.col("tx") < n)
+            & (F.col("ty") >= 0) & (F.col("ty") < n)
+        )
+    )
+    grad = scattered.groupBy("tx", "ty").agg(
+        F.sum("wxv").alias("gx"),
+        F.sum("wyv").alias("gy"),
+        F.count("*").alias("nc"),
+    )
+    steep = grad.filter(F.col("nc") == 8).select(
+        (F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")).alias("ss")
+    )
+    return steep.groupBy(
+        F.expr(f"least(9L, ss div {SLOPE_CLASS_W})").alias("steep_class")
+    ).agg(
+        F.count("*").alias("n_cells"),
+        F.min("ss").alias("min_slope_sq"),
+        F.max("ss").alias("max_slope_sq"),
+        F.round(F.avg("ss"), 6).alias("avg_slope_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution-drift detection
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+PSI_REF_BEFORE = 1998  # reference period: order years < 1998 (fixture spans 1995-2001)
+_PSI_GRID = 1_000_000_000  # 1e-9 quantization grid (the JS-divergence trick)
+
+
+def q_dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor: the order-value
+    distribution of the CURRENT period (years ≥ 1998) against the
+    REFERENCE period (< 1998) over 10 fixed-width bins — the standard
+    model-monitoring drift metric (PSI = Σ (p−q)·ln(p/q); < 0.1 stable,
+    > 0.25 drifted). Reported at bin grain (the dashboard artifact),
+    with each bin's PSI contribution.
+
+    Determinism (rule 8): bin edges come from integer CENTS (DECIMAL
+    (15,2) × 100 is exact) with pure integer bin arithmetic; counts are
+    Laplace-smoothed (+1 per bin) so empty bins stay defined; p, q, and
+    ln(p/q) are built from two exact-integer divisions and ONE ln call,
+    and the contribution quantizes to a 1e-9 grid before the 1e-6
+    output rounding — the same ulp-absorbing ladder q_text_js_divergence
+    uses. Scale: one broadcast bounds aggregate, one partial+final
+    count keyed by (bin), a 10-row spine join — map-side everything."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.year("o_orderdate") < PSI_REF_BEFORE).alias("is_ref"),
+    )
+    bounds = orders.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"least({PSI_BINS - 1}L,"
+            f" ((cents - lo) * {PSI_BINS}) div (hi - lo + 1))"
+        ).alias("bin"),
+        "is_ref",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.col("is_ref").cast("bigint")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("bigint")).alias("n_cur"),
+    )
+    spine = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    full = (
+        spine.join(counts, "bin", "left")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    totals = full.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 1) / (F.col("t_ref") + PSI_BINS)
+    q = (F.col("n_cur") + 1) / (F.col("t_cur") + PSI_BINS)
+    contrib = (p - q) * F.log(p / q)
+    return full.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round(
+            F.floor(contrib * _PSI_GRID + F.lit(0.5)) / _PSI_GRID, 6
+        ).alias("psi_term"),
+    )
+
+
 QUERIES = {
     "q_dedup_incremental": q_dedup_incremental,
     "q_text_retrieval_eval": q_text_retrieval_eval,
     "q_batch_padding_eval": q_batch_padding_eval,
+    "q_raster_slope": q_raster_slope,
+    "q_dq_psi_drift": q_dq_psi_drift,
 }
 
 _TOKS_SQL = "string_split(lower(text), ' ')"
@@ -401,5 +541,79 @@ ORACLE = {
                sum(mx * c - s)::BIGINT,
                round(sum(mx * c - s) * 1.0 / sum(mx * c), 6)
         FROM ps
+    """,
+    "q_raster_slope": f"""
+        WITH cells AS (
+            SELECT i % {SLOPE_N} AS x, i // {SLOPE_N} AS y,
+                   ((i % {SLOPE_N}) * 31 + (i // {SLOPE_N}) * 17) % 97 AS val
+            FROM range(0, {SLOPE_N * SLOPE_N}) t(i)
+        ),
+        off(dx, dy) AS (
+            VALUES (-1,-1), (-1,0), (-1,1), (0,-1),
+                   (0,1), (1,-1), (1,0), (1,1)
+        ),
+        scat AS (
+            SELECT x - dx AS tx, y - dy AS ty,
+                   (CASE WHEN dx = 0 THEN 0
+                         ELSE dx * (CASE WHEN dy = 0 THEN 2 ELSE 1 END)
+                    END) * val AS wxv,
+                   (CASE WHEN dy = 0 THEN 0
+                         ELSE dy * (CASE WHEN dx = 0 THEN 2 ELSE 1 END)
+                    END) * val AS wyv
+            FROM cells, off
+            WHERE x - dx BETWEEN 0 AND {SLOPE_N - 1}
+              AND y - dy BETWEEN 0 AND {SLOPE_N - 1}
+        ),
+        g AS (
+            SELECT tx, ty, sum(wxv) AS gx, sum(wyv) AS gy,
+                   count(*) AS nc
+            FROM scat GROUP BY tx, ty
+        ),
+        s AS (SELECT gx * gx + gy * gy AS ss FROM g WHERE nc = 8)
+        SELECT least(9, ss // {SLOPE_CLASS_W})::BIGINT AS steep_class,
+               count(*) AS n_cells,
+               min(ss)::BIGINT AS min_slope_sq,
+               max(ss)::BIGINT AS max_slope_sq,
+               round(avg(ss), 6) AS avg_slope_sq
+        FROM s GROUP BY steep_class
+    """,
+    "q_dq_psi_drift": f"""
+        WITH o AS (
+            SELECT (o_totalprice * 100)::BIGINT AS cents,
+                   year(o_orderdate) < {PSI_REF_BEFORE} AS is_ref
+            FROM orders
+        ),
+        bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o),
+        binned AS (
+            SELECT least({PSI_BINS - 1},
+                         ((cents - lo) * {PSI_BINS}) // (hi - lo + 1))
+                       AS bin,
+                   is_ref
+            FROM o, bounds
+        ),
+        counts AS (
+            SELECT bin,
+                   sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_cur
+            FROM binned GROUP BY bin
+        ),
+        spine AS (SELECT unnest(range({PSI_BINS})) AS bin),
+        full_bins AS (
+            SELECT spine.bin,
+                   coalesce(n_ref, 0) AS n_ref,
+                   coalesce(n_cur, 0) AS n_cur
+            FROM spine LEFT JOIN counts ON spine.bin = counts.bin
+        ),
+        tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+                FROM full_bins)
+        SELECT bin, n_ref, n_cur,
+               round((n_ref + 1) * 1.0 / (t_ref + {PSI_BINS}), 6) AS p_ref,
+               round((n_cur + 1) * 1.0 / (t_cur + {PSI_BINS}), 6) AS p_cur,
+               round(floor(((n_ref + 1) * 1.0 / (t_ref + {PSI_BINS})
+                            - (n_cur + 1) * 1.0 / (t_cur + {PSI_BINS}))
+                     * ln(((n_ref + 1) * 1.0 / (t_ref + {PSI_BINS}))
+                          / ((n_cur + 1) * 1.0 / (t_cur + {PSI_BINS})))
+                     * {_PSI_GRID} + 0.5) / {_PSI_GRID}, 6) AS psi_term
+        FROM full_bins, tot
     """,
 }

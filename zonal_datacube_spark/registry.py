@@ -72,9 +72,9 @@ _MODULES = (
 # changed (the six per-series timeseries windows, q_pack_sequences,
 # q_sim_opq_eval, q_ts_ohlc) are all PREVIOUSLY driver-attested and
 # re-proven by the PARITY_r08 full sweep instead of re-occupying window
-# slots. The three keys DECLARED in round 8 (§2.28) also sit here
-# (never sampled by definition), displacing three of the original dark
-# picks — 56 dark keys rotate in round 9. Keys not listed sort after listed
+# slots. The five keys DECLARED in round 8 (§2.28) also sit here
+# (never sampled by definition), displacing dark picks one-for-one —
+# 58 of the original 103 dark keys rotate in round 9. Keys not listed sort after listed
 # ones, alphabetically.
 KEY_ORDER = (
     "q_agg_approx_topk",
@@ -88,6 +88,7 @@ KEY_ORDER = (
     "q_dedup_minhash_eval",
     "q_dq_checks",
     "q_dq_daily_health",
+    "q_dq_psi_drift",
     "q_embed_matryoshka_eval",
     "q_explode_ordinality",
     "q_geo_nearest_neighbor",
@@ -100,6 +101,7 @@ KEY_ORDER = (
     "q_media_frame_sample",
     "q_profile_table",
     "q_raster_downsample",
+    "q_raster_slope",
     "q_recursive_cte",
     "q_report_cohort_ltv_curve",
     "q_report_market_share",
@@ -119,14 +121,12 @@ KEY_ORDER = (
     "q_sql_udf",
     "q_stats_anova",
     "q_stream_python_sink",
-    "q_subquery_correlated",
     "q_text_filter_funnel",
     "q_text_retrieval_eval",
     "q_tokenizer_fertility",
     "q_ts_gapfill",
     "q_udf_arrow_scalar",
     "q_udtf_tokenize",
-    "q_warehouse_time_travel",
 )
 
 
