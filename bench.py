@@ -96,7 +96,24 @@ def main() -> int:
 
     # Full-precision per-query detail for human/judge consumption — the
     # stdout line below is width-budgeted for the driver's tail buffer.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+    #
+    # Clobber guard (VERDICT r08 "What's wrong" #1, recurring since r06):
+    # the committed artifact is a 3-run median; the driver's post-round
+    # 1-run invocation must not silently overwrite it. A lower-n_runs run
+    # lands in BENCH_FULL_1run.json instead; set SPARK_GRAFT_BENCH_FORCE=1
+    # to overwrite anyway.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    if os.path.exists(full_path) and not os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
+        try:
+            with open(full_path) as f:
+                prior_runs = int(json.load(f).get("n_runs", 1))
+        except (ValueError, OSError):
+            prior_runs = 1
+        if n_runs < prior_runs:
+            full_path = full_path.replace("BENCH_FULL.json", "BENCH_FULL_1run.json")
+    with open(full_path, "w") as f:
         json.dump(
             {
                 "sf": sf,
