@@ -64,9 +64,9 @@ def test_banded_window_equals_direct_lag_lead(spark, chunk):
         "idx",
         1,
         1,
-        lambda w: {
-            "p": F.max("value").over(w.rangeBetween(-1, -1)),
-            "n": F.max("value").over(w.rangeBetween(1, 1)),
+        {
+            "p": (-1, -1, F.max("value")),
+            "n": (1, 1, F.max("value")),
         },
         chunk_s=chunk,
     )
@@ -87,9 +87,9 @@ def test_banded_window_trailing_only_and_leading_only(spark):
         "idx",
         3,
         2,
-        lambda w: {
-            "ts3": F.sum("value").over(w.rangeBetween(-3, 0)),
-            "ld2": F.sum("value").over(w.rangeBetween(0, 2)),
+        {
+            "ts3": (-3, 0, F.sum("value")),
+            "ld2": (0, 2, F.sum("value")),
         },
         chunk_s=5,
     )
@@ -108,7 +108,7 @@ def test_banded_window_row_count_preserved(spark):
     ev = _indexed(spark)
     out = with_banded_range_window(
         ev, ["event_type"], "idx", 1, 1,
-        lambda w: {"x": F.count("*").over(w.rangeBetween(-1, 1))},
+        {"x": (-1, 1, F.count("*"))},
         chunk_s=3,
     )
     assert out.count() == ev.count()
@@ -116,11 +116,28 @@ def test_banded_window_row_count_preserved(spark):
 
 def test_banded_window_guards():
     with pytest.raises(ValueError):
-        with_banded_range_window(None, [], "e", -1, 0, lambda w: {})
+        with_banded_range_window(None, [], "e", -1, 0, {})
     with pytest.raises(ValueError):
-        with_banded_range_window(None, [], "e", 0, 0, lambda w: {})
+        with_banded_range_window(None, [], "e", 0, 0, {})
     with pytest.raises(ValueError):
-        with_banded_range_window(None, [], "e", 5, 1, lambda w: {}, chunk_s=3)
+        with_banded_range_window(None, [], "e", 5, 1, {}, chunk_s=3)
+
+
+def test_banded_window_rejects_frames_beyond_the_halo():
+    # ADVICE r08: a frame wider than the declared halo used to be
+    # silently truncated (wrong values); the declarative API refuses it
+    with pytest.raises(ValueError, match="halo contract"):
+        with_banded_range_window(
+            None, [], "e", 1, 1, {"x": (-2, 0, F.sum("v"))}
+        )
+    with pytest.raises(ValueError, match="halo contract"):
+        with_banded_range_window(
+            None, [], "e", 1, 1, {"x": (0, 2, F.sum("v"))}
+        )
+    with pytest.raises(ValueError, match="halo contract"):
+        with_banded_range_window(
+            None, [], "e", 2, 2, {"x": (1, -1, F.sum("v"))}
+        )
 
 
 @pytest.mark.parametrize("n_buckets", [3, 64])

@@ -11,7 +11,7 @@ from __future__ import annotations
 import re
 
 from tests.conftest import SF_SMOKE
-from zonal_datacube_spark.plans.diagnostics import formatted_plan
+from zonal_datacube_spark.plans.diagnostics import formatted_plan, window_specs
 from zonal_datacube_spark.registry import all_queries
 
 Q = all_queries()
@@ -35,7 +35,10 @@ _DATA_ORDER = re.compile(r"\b(idx|ts_us|neg_us|doc_id|ts|event_id)#\d+")
 
 
 def _specs(plan: str) -> list[str]:
-    return re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    # balanced-paren extraction (ADVICE r08): the old [^)]* regex
+    # truncated at the first ')' inside a cast()/function-call expression
+    # and silently dropped the ORDER BY section from the inspected span
+    return window_specs(plan)
 
 
 def _plan(spark, key: str) -> str:

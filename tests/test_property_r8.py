@@ -74,10 +74,10 @@ def test_row_index_then_banded_window_matches_direct(spark, rows, chunk):
         "idx",
         2,
         1,
-        lambda w: {
-            "p": F.max("value").over(w.rangeBetween(-1, -1)),
-            "n": F.max("value").over(w.rangeBetween(1, 1)),
-            "t2": F.sum("value").over(w.rangeBetween(-2, 0)),
+        {
+            "p": (-1, -1, F.max("value")),
+            "n": (1, 1, F.max("value")),
+            "t2": (-2, 0, F.sum("value")),
         },
         chunk_s=chunk,
     )

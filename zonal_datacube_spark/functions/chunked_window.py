@@ -90,7 +90,7 @@ def with_banded_range_window(
     ep_col: str,
     trail: int,
     lead: int,
-    cols: Callable[[WindowSpec], Mapping[str, Column]],
+    frames: Mapping[str, tuple[int, int, Column]],
     chunk_s: int | None = None,
 ) -> DataFrame:
     """Two-sided generalization of :func:`with_trailing_range_window`:
@@ -101,15 +101,16 @@ def with_banded_range_window(
     frames, the first ``lead`` units serve the previous chunk's leading
     frames.
 
-    Unlike the trailing helper, ``cols`` receives the BASE WindowSpec
-    (partitioned + ordered, NO frame) and applies ``.rangeBetween(lo,
-    hi)`` per output column itself — this lets one halo exchange serve
-    several frames (e.g. lag ≡ ``rangeBetween(-1, -1)`` and lead ≡
-    ``rangeBetween(1, 1)`` on a dense row index). Contract: every frame
-    must satisfy ``-trail <= lo <= hi <= lead``; a frame reaching
-    further sees a truncated halo and silently loses rows. ``ep_col``
-    must be a non-negative integer in the same unit as
-    ``trail``/``lead``/``chunk_s``.
+    ``frames`` is DECLARATIVE (ADVICE r08): ``out_name -> (lo, hi,
+    agg)`` where ``agg`` is an aggregate Column WITHOUT ``.over()`` —
+    the helper applies ``.over(w.rangeBetween(lo, hi))`` itself, so one
+    halo exchange serves several frames (e.g. lag ≡ ``(-1, -1)`` and
+    lead ≡ ``(1, 1)`` on a dense row index) AND every frame's bounds
+    are VALIDATED against the halo contract ``-trail <= lo <= hi <=
+    lead`` before the window is built — a frame reaching further would
+    see a truncated halo and silently lose rows. ``ep_col`` must be a
+    non-negative integer in the same unit as ``trail``/``lead``/
+    ``chunk_s``.
 
     Row-frame note: ROWS BETWEEN n PRECEDING AND m FOLLOWING over a
     per-series order is exactly RANGE BETWEEN n AND m over that
@@ -122,6 +123,14 @@ def with_banded_range_window(
         raise ValueError("trail and lead must be >= 0")
     if trail == 0 and lead == 0:
         raise ValueError("at least one of trail/lead must be > 0")
+    for name, (lo, hi, _agg) in frames.items():
+        if not (-trail <= lo <= hi <= lead):
+            raise ValueError(
+                f"frame {name!r} ({lo}, {hi}) breaks the halo contract "
+                f"-trail <= lo <= hi <= lead with trail={trail}, "
+                f"lead={lead} — rows beyond the halo would be silently "
+                f"missing from the frame"
+            )
     chunk = int(chunk_s if chunk_s is not None else 4 * (trail + lead))
     if chunk < max(trail, lead):
         raise ValueError(
@@ -149,8 +158,8 @@ def with_banded_range_window(
 
     w = Window.partitionBy(*part_cols, _B).orderBy(ep_col)
     out = both
-    for name, col in cols(w).items():
-        out = out.withColumn(name, col)
+    for name, (lo, hi, agg) in frames.items():
+        out = out.withColumn(name, agg.over(w.rangeBetween(lo, hi)))
     return out.filter(~F.col(_H)).drop(_B, _H)
 
 

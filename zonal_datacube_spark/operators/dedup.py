@@ -121,14 +121,16 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index buckets stay tiny even though the corpus' hot shingles
     are shared by thousands of docs (a hash order would sample hot
     shingles into prefixes and re-create the bucket blowup). The
-    frequency table is a broadcast (distinct shingles ≪ corpus); the only
-    extra shuffle is the per-doc ranking window. Length-bound pruning
-    (min ≥ τ·max, also lossless) runs inside the join probe; exact
-    intersection counts verify the survivors."""
+    shingle-frequency table is keyed by SHINGLE — distinct 5-token
+    shingles grow near-linearly with corpus size, so it is NOT
+    broadcast-hinted: the equi-join on ``sh`` shuffle hash joins, and AQE
+    broadcasts at runtime only when the built side actually fits.
+    Length-bound pruning (min ≥ τ·max, also lossless) runs inside the
+    join probe; exact intersection counts verify the survivors."""
     from pyspark.sql import Window
 
     sh = _doc_shingles(spark, sf_dir)
-    freq = F.broadcast(sh.groupBy("sh").agg(F.count("*").alias("f")))
+    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
     w = Window.partitionBy("doc_id")
     ranked = (
         sh.join(freq, "sh")
@@ -198,11 +200,16 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap below ⌈τ·|A|⌉, so the filter is lossless), while the
     container side is fully indexed; bucket sizes stay small because
     prefixes hold each doc's rarest shingles. Orientation: the smaller
-    set is the contained side (ties by id), so each pair reports once."""
+    set is the contained side (ties by id), so each pair reports once.
+
+    Scale contract: the shingle-frequency table is data-scaled (distinct
+    shingles grow with the corpus), so the ranking join on ``sh`` carries
+    no broadcast hint — AQE promotes it to a broadcast only when the
+    built side actually fits at runtime."""
     from pyspark.sql import Window
 
     sh = _doc_shingles(spark, sf_dir)
-    freq = F.broadcast(sh.groupBy("sh").agg(F.count("*").alias("f")))
+    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
     w = Window.partitionBy("doc_id")
     ranked = sh.join(freq, "sh").select(
         "doc_id",

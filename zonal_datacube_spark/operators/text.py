@@ -35,15 +35,21 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tf-idf per (doc, token): tf × ln(N/df). Doc-frequency and corpus
-    size are tiny aggregates broadcast back against the term table."""
+    """tf-idf per (doc, token): tf × ln(N/df).
+
+    Scale contract: the doc-frequency table is keyed by TOKEN — an open,
+    data-scaled vocabulary (10⁷–10⁹ distinct tokens at 100 TB), so it is
+    deliberately NOT broadcast-hinted; the equi-join on ``token`` shuffle
+    hash joins, and AQE still broadcasts it at runtime whenever the built
+    side actually fits. Only the 1-row corpus-size aggregate is
+    broadcast — that one is scalar at any scale."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(tokens()).alias("token"))
     tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -75,7 +75,7 @@ def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idx",
             0,
             1,
-            lambda w: {"next_ts": F.max("ts").over(w.rangeBetween(1, 1))},
+            {"next_ts": (1, 1, F.max("ts"))},
         )
         .filter(F.col("next_ts").isNotNull())
         .select(
@@ -381,7 +381,7 @@ def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt == ts branch (carried out on negated epoch/tiebreak columns --
     carry_last is ascending by contract)."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "ts", "value"
+        "event_type", "ts", "value", "event_id"
     )
     spine = (
         ev.groupBy("event_type")
@@ -400,9 +400,23 @@ def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "ts", F.lit(1).alias("is_grid"))
     )
     merged = (
-        ev.select("event_type", "ts", "value", F.lit(0).alias("is_grid"))
-        .unionByName(spine.withColumn("value", F.lit(None).cast("double")))
+        ev.select(
+            "event_type", "ts", "value", "event_id", F.lit(0).alias("is_grid")
+        )
+        .unionByName(
+            spine.withColumn("value", F.lit(None).cast("double")).withColumn(
+                "event_id", F.lit(None).cast("long")
+            )
+        )
         .withColumn("ts_us", F.expr(_EPOCH_US))
+        # unique carry tiebreak (ADVICE r08): two same-type observations
+        # at an identical timestamp would otherwise be order-ambiguous —
+        # carry_last's level-1 last() and level-2 struct-max could pick
+        # DIFFERENT tied rows. event_id is unique among observations;
+        # grid rows take the -1 sentinel (they never tie with each other
+        # — the spine is one row per hour — and grid-vs-obs ties resolve
+        # on the is_grid tiebreak first).
+        .withColumn("tb", F.coalesce(F.col("event_id"), F.lit(-1)))
         .withColumn(
             "obs",
             F.when(
@@ -416,19 +430,23 @@ def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.withColumn("grid_first", -F.col("is_grid")),
         ["event_type"],
         "ts_us",
-        ["grid_first"],
+        ["grid_first", "tb"],
         "obs",
         "prev_obs",
     ).drop("grid_first")
     both = carry_last(
-        # reverse order: negate the epoch; observation before grid at ties
-        fwd.withColumn("neg_us", -F.col("ts_us")),
+        # reverse order: negate the epoch AND the unique tiebreak so the
+        # pass is the exact reverse of the forward total order;
+        # observation before grid at ties
+        fwd.withColumn("neg_us", -F.col("ts_us")).withColumn(
+            "neg_tb", -F.col("tb")
+        ),
         ["event_type"],
         "neg_us",
-        ["is_grid"],
+        ["is_grid", "neg_tb"],
         "obs",
         "next_obs",
-    ).drop("neg_us")
+    ).drop("neg_us", "neg_tb", "tb", "event_id")
     bracketed = both.filter(
         (F.col("is_grid") == 1) & F.col("next_obs").isNotNull()
     ).select(
@@ -554,9 +572,9 @@ def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idx",
         1,
         1,
-        lambda w: {
-            "prev_v": F.max("value").over(w.rangeBetween(-1, -1)),
-            "next_v": F.max("value").over(w.rangeBetween(1, 1)),
+        {
+            "prev_v": (-1, -1, F.max("value")),
+            "next_v": (1, 1, F.max("value")),
         },
     ).withColumn(
         "is_peak",

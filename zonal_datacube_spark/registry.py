@@ -67,66 +67,75 @@ _MODULES = (
 # leaving 103 keys never driver-attested — this window is therefore 50
 # NEVER-SAMPLED keys (r01-r07 union derived from the CORRECTNESS_r0x
 # artifacts; tests/test_registry_bench.py re-derives and enforces it),
-# stratified round-robin across operator families with the full 8-key
-# SQL-surface ring included. The keys whose implementation round 8
-# changed (the six per-series timeseries windows, q_pack_sequences,
-# q_sim_opq_eval, q_ts_ohlc) are all PREVIOUSLY driver-attested and
-# re-proven by the PARITY_r08 full sweep instead of re-occupying window
-# slots. The five keys DECLARED in round 8 (§2.28) also sit here
-# (never sampled by definition), displacing dark picks one-for-one —
-# 58 of the original 103 dark keys rotate in round 9. Keys not listed sort after listed
-# ones, alphabetically.
+# Round-9 rotation (VERDICT r08 next-round #3): ALL 58 keys never
+# sampled in CORRECTNESS_r01–r08 — the exact complement of the driver
+# union — stratified round-robin across operator families. The first
+# ~50 fill this round's window (driver union → 329/337); the 8 report
+# keys at the tail lead the round-10 rotation, which finishes the
+# registry. q_ts_rolling_corr (rewritten this round) is both dark and
+# changed, so its window slot doubles as fresh attestation of the
+# chunk-parallel rewrite. Keys not listed sort after listed ones,
+# alphabetically.
 KEY_ORDER = (
-    "q_agg_approx_topk",
-    "q_agg_filtered",
-    "q_batch_padding_eval",
-    "q_behavior_stickiness",
-    "q_cache_inmemory",
-    "q_data_mixture_weights",
-    "q_dedup_cross_source",
-    "q_dedup_incremental",
-    "q_dedup_minhash_eval",
-    "q_dq_checks",
-    "q_dq_daily_health",
-    "q_dq_psi_drift",
-    "q_embed_matryoshka_eval",
-    "q_explode_ordinality",
-    "q_geo_nearest_neighbor",
-    "q_geo_polygon_metrics",
-    "q_graph_2hop_neighbors",
-    "q_join_cross",
-    "q_join_exists",
-    "q_json_variant",
-    "q_media_audio_chunks",
-    "q_media_frame_sample",
-    "q_profile_table",
-    "q_raster_downsample",
-    "q_raster_slope",
-    "q_recursive_cte",
-    "q_report_cohort_ltv_curve",
-    "q_report_market_share",
-    "q_sample_hash",
-    "q_scan_metadata_cols",
-    "q_sim_ivfpq",
-    "q_sim_pq_ann",
-    "q_sink_python_ds_write",
-    "q_source_compaction",
-    "q_sql_group_by_all",
-    "q_sql_lateral_alias",
-    "q_sql_parameterized",
-    "q_sql_pipe_syntax",
-    "q_sql_scripting_block",
-    "q_sql_session_variable",
-    "q_sql_try_arithmetic",
-    "q_sql_udf",
-    "q_stats_anova",
-    "q_stream_python_sink",
-    "q_text_filter_funnel",
-    "q_text_retrieval_eval",
-    "q_tokenizer_fertility",
-    "q_ts_gapfill",
-    "q_udf_arrow_scalar",
-    "q_udtf_tokenize",
+    "q_agg_grouping_flags",
+    "q_geo_radius_join",
+    "q_join_null_safe",
+    "q_report_min_cost_supplier",
+    "q_sink_write_audit_publish",
+    "q_source_csv_corrupt",
+    "q_stats_chi2",
+    "q_str_collation",
+    "q_stream_session_fn",
+    "q_subquery_correlated",
+    "q_text_fingerprint",
+    "q_ts_interval_merge",
+    "q_warehouse_time_travel",
+    "q_window_cume_nth",
+    "q_zonal_polygon_categorical",
+    "q_agg_histogram",
+    "q_report_nation_volume",
+    "q_source_jsonl_roundtrip",
+    "q_stats_corr_matrix",
+    "q_str_fuzzy",
+    "q_stream_stateful_profile",
+    "q_subquery_scalar",
+    "q_text_langid",
+    "q_ts_locf_repair",
+    "q_agg_hll_rollup",
+    "q_report_order_priority",
+    "q_source_orc_roundtrip",
+    "q_stats_ks_test",
+    "q_str_split_part",
+    "q_text_ngram_lm",
+    "q_ts_range_interval_window",
+    "q_agg_incremental",
+    "q_report_product_profit",
+    "q_source_python_stream",
+    "q_stats_mannwhitney",
+    "q_text_quality",
+    "q_ts_rolling_corr",
+    "q_agg_listagg",
+    "q_report_promo_revenue",
+    "q_source_schema_evolution",
+    "q_stats_ttest",
+    "q_text_redact",
+    "q_ts_seasonal_strength",
+    "q_agg_percentile",
+    "q_source_text_lines",
+    "q_text_repetition",
+    "q_agg_salted_skew",
+    "q_source_zorder_roundtrip",
+    "q_text_token_regex",
+    "q_agg_unpivot",
+    # --- round-10 rotation head: the last 8 never-sampled keys ---
+    "q_report_pvm_decomposition",
+    "q_report_returned_items",
+    "q_report_revenue_change",
+    "q_report_segment_migration",
+    "q_report_shipping_priority",
+    "q_report_small_qty_revenue",
+    "q_report_special_revenue",
+    "q_report_supplier_part_counts",
 )
 
 
