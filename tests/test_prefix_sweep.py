@@ -187,3 +187,69 @@ def test_null_order_values_are_filtered_not_bucketed(spark):
     assert sorted((r.k, r.v, r.run, r.rn) for r in out) == sorted(
         (r.k, r.v, r.run, r.rn) for r in ref
     )
+
+
+def _zipf_fixture(spark, n=3000):
+    """Heavy-tailed order column: v ~ floor(1/u) style Zipf draw — the
+    revenue-like distribution VERDICT r08 what's-wrong #5 names. Most
+    mass sits at tiny values while the max runs ~1000× the median, so
+    equal-WIDTH slicing of [min, max] drops nearly every row into
+    bucket 0."""
+    rng = random.Random(SEED)
+    rows = [
+        Row(k="a", v=float(min(int(1.0 / max(rng.random(), 1e-6)), 5000)), w=1, tid=i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_zipf_equal_width_hot_bucket_is_real_and_quantile_fixes_it(spark):
+    """The skew contract, demonstrated with numbers: on a Zipf order
+    column the width mode concentrates rows in one bucket (the level-1
+    straggler), the quantile mode balances occupancy — and BOTH produce
+    prefixes identical to the direct window, because the two-level
+    decomposition is exact for any order-respecting bucketing."""
+    import math
+
+    df = _zipf_fixture(spark)
+    n = df.count()
+    direct = _direct(df, [])
+    want = sorted((r.tid, r.d_cum, r.d_rn) for r in direct.collect())
+    for mode in ("width", "quantile"):
+        swept = prefix_sweep(
+            df,
+            [],
+            "v",
+            tiebreak=["tid"],
+            sum_cols={"cum": "w"},
+            row_number_col="rn",
+            boundaries=mode,
+        )
+        got = sorted((r.tid, r.cum, r.rn) for r in swept.collect())
+        assert got == want, f"{mode} mode diverged from the direct window"
+    # occupancy measurement on the bucketing arithmetic itself
+
+    vals = sorted(r.v for r in df.collect())
+    lo, hi = vals[0], vals[-1]
+    width_counts = [0] * 64
+    for v in vals:
+        width_counts[min(63, max(0, int((v - lo) / ((hi - lo) / 64.0))))] += 1
+    assert max(width_counts) > 0.9 * n, (
+        "fixture is not skewed enough to demonstrate the hot bucket"
+    )
+    # quantile edges: exact percentiles of the data (the sketch at
+    # accuracy 10k is exact here) — occupancy must be near-uniform
+    edges = [vals[math.ceil(i * n / 64) - 1] for i in range(1, 64)]
+    q_counts = [0] * 64
+    for v in vals:
+        q_counts[sum(1 for e in edges if e < v)] += 1
+    # ties collapse into shared buckets (correctness requires it), so
+    # "balanced" here means: no bucket holds more rows than the largest
+    # TIE GROUP plus an even share — on this fixture the hot bucket
+    # drops from >90% to the tie-group ceiling
+    biggest_tie = max(
+        len(list(g)) for _, g in __import__("itertools").groupby(vals)
+    )
+    assert max(q_counts) <= biggest_tie + math.ceil(n / 64) * 2, (
+        f"quantile occupancy still concentrated: max={max(q_counts)}"
+    )

@@ -128,7 +128,20 @@ def q_text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     making the sweep linear in corpus size; impact-ordered/WAND pruning
     on the postings is the further extension, and the plan shape
     (postings join → bounded rank) is the one both drop into."""
-    chunks = _doc_chunks(spark, sf_dir).select(
+    chunks = _chunk_terms(spark, sf_dir)
+    post = chunks.select(
+        "doc_id", "start", F.explode("cts").alias("term")
+    )
+    dfs = post.groupBy("term").agg(F.count("*").alias("df"))
+    probes = chunks.filter(
+        (F.col("doc_id") % PROBE_MOD == 0) & (F.col("start") == PROBE_START)
+    )
+    return _retrieval_metrics(post, dfs, probes)
+
+
+def _chunk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, start, cts) — each chunk's distinct-term array."""
+    return _doc_chunks(spark, sf_dir).select(
         "doc_id",
         "start",
         F.array_distinct(
@@ -139,13 +152,15 @@ def q_text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cts"),
     )
-    post = chunks.select(
-        "doc_id", "start", F.explode("cts").alias("term")
-    )
-    dfs = post.groupBy("term").agg(F.count("*").alias("df"))
-    probes = chunks.filter(
-        (F.col("doc_id") % PROBE_MOD == 0) & (F.col("start") == PROBE_START)
-    )
+
+
+def _retrieval_metrics(
+    post: DataFrame, dfs: DataFrame, probes: DataFrame
+) -> DataFrame:
+    """Shared scoring tail of the retrieval evals: rarest-term
+    pseudo-queries → postings join → bounded rank → recall@1/@3 +
+    MRR@3. ``probes`` supplies (doc_id, start, cts); the two variants
+    differ only in how the probe set is drawn."""
     wq = Window.partitionBy("probe_id", "probe_start").orderBy(
         F.col("df").asc(), F.col("term").asc()
     )
@@ -191,6 +206,41 @@ def q_text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hit3") / F.col("n_probes"), 6).alias("recall_at_3"),
         F.round(F.col("rr6") / (6 * F.col("n_probes")), 6).alias("mrr_at_3"),
     )
+
+
+FIXED_PROBES = 32  # production eval sets are FIXED-SIZE, not corpus-scaled
+PROBE_HASH_A = 2654435761  # Knuth multiplicative-hash constant
+PROBE_HASH_M = 4294967296  # 2^32
+
+
+def q_text_retrieval_eval_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-item retrieval eval over a FIXED-SIZE probe set — the
+    production variant the corpus-scaled key's docstring designs
+    (VERDICT r08 next-round #5): eval sets don't grow with the corpus,
+    so the probe draw is the ``FIXED_PROBES`` lowest values of the
+    multiplicative hash ``(doc_id · A) mod 2³²`` among second-chunk
+    candidates — deterministic, pseudo-random, and expressible
+    identically in both engines (unlike xxhash64, which DuckDB lacks).
+    ``orderBy(h).limit(n)`` plans as TakeOrderedAndProject
+    (per-partition heaps — no global sort), so probe selection is one
+    linear pass; the scoring tail is shared with the corpus-scaled twin
+    and its candidate volume is now |fixed probes| × rare-term posting
+    size — LINEAR in corpus size where the twin's SCALING ratio was
+    3.33× per ~10× data. Metrics columns match the twin's exactly."""
+    chunks = _chunk_terms(spark, sf_dir)
+    post = chunks.select("doc_id", "start", F.explode("cts").alias("term"))
+    dfs = post.groupBy("term").agg(F.count("*").alias("df"))
+    probes = (
+        chunks.filter(F.col("start") == PROBE_START)
+        .withColumn(
+            "h",
+            F.pmod(F.col("doc_id") * F.lit(PROBE_HASH_A), F.lit(PROBE_HASH_M)),
+        )
+        .orderBy("h", "doc_id")
+        .limit(FIXED_PROBES)
+        .drop("h")
+    )
+    return _retrieval_metrics(post, dfs, probes)
 
 
 # ---------------------------------------------------------------------------
@@ -396,6 +446,7 @@ def q_dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_dedup_incremental": q_dedup_incremental,
     "q_text_retrieval_eval": q_text_retrieval_eval,
+    "q_text_retrieval_eval_fixed": q_text_retrieval_eval_fixed,
     "q_batch_padding_eval": q_batch_padding_eval,
     "q_raster_slope": q_raster_slope,
     "q_dq_psi_drift": q_dq_psi_drift,
@@ -469,6 +520,75 @@ ORACLE = {
             SELECT doc_id AS probe_id, start AS probe_start, cts
             FROM c
             WHERE doc_id % {PROBE_MOD} = 0 AND start = {PROBE_START}
+        ),
+        qterms AS (
+            SELECT probe_id, probe_start, term FROM (
+                SELECT probe_id, probe_start, term,
+                       row_number() OVER (PARTITION BY probe_id, probe_start
+                                          ORDER BY df, term) AS qrn
+                FROM (SELECT probe_id, probe_start, unnest(cts) AS term
+                      FROM probes)
+                JOIN dfs USING (term)
+            ) WHERE qrn <= {QUERY_TERMS}
+        ),
+        overlap AS (
+            SELECT q.probe_id, q.probe_start, p.doc_id, p.start,
+                   count(*)::BIGINT AS overlap
+            FROM qterms q JOIN post p USING (term)
+            GROUP BY 1, 2, 3, 4
+        ),
+        top AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY probe_id, probe_start
+                           ORDER BY overlap DESC, doc_id, start) AS rn
+                FROM overlap
+            ) WHERE rn <= {RETR_TOPK}
+        ),
+        scored AS (
+            SELECT
+              sum(CASE WHEN doc_id = probe_id AND start = probe_start
+                            AND rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hit1,
+              sum(CASE WHEN doc_id = probe_id AND start = probe_start
+                       THEN 1 ELSE 0 END)::BIGINT AS n_hit3,
+              sum(CASE WHEN doc_id = probe_id AND start = probe_start
+                       THEN 6 // rn ELSE 0 END)::BIGINT AS rr6
+            FROM top
+        ),
+        np AS (SELECT count(*)::BIGINT AS n_probes FROM probes)
+        SELECT n_probes, n_hit1, n_hit3,
+               round(n_hit1 * 1.0 / n_probes, 6) AS recall_at_1,
+               round(n_hit3 * 1.0 / n_probes, 6) AS recall_at_3,
+               round(rr6 * 1.0 / (6 * n_probes), 6) AS mrr_at_3
+        FROM scored, np
+    """,
+    "q_text_retrieval_eval_fixed": f"""
+        WITH d AS (
+            SELECT doc_id, {_TOKS_SQL} AS toks,
+                   len({_TOKS_SQL})::BIGINT AS n
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, toks, n,
+                   unnest(generate_series(0, (n - 1) // {CHUNK_STRIDE})) AS gs
+            FROM d
+        ),
+        c AS (
+            SELECT doc_id, (gs * {CHUNK_STRIDE})::BIGINT AS start,
+                   list_distinct(
+                       toks[(gs * {CHUNK_STRIDE} + 1):(gs * {CHUNK_STRIDE}
+                            + least({CHUNK_SIZE}, n - gs * {CHUNK_STRIDE}))]
+                   ) AS cts
+            FROM g
+        ),
+        post AS (SELECT doc_id, start, unnest(cts) AS term FROM c),
+        dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
+        probes AS (
+            SELECT doc_id AS probe_id, start AS probe_start, cts
+            FROM c
+            WHERE start = {PROBE_START}
+            ORDER BY (doc_id * {PROBE_HASH_A}) % {PROBE_HASH_M}, doc_id
+            LIMIT {FIXED_PROBES}
         ),
         qterms AS (
             SELECT probe_id, probe_start, term FROM (
