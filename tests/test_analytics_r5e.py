@@ -172,3 +172,96 @@ def test_theil_sen_matches_numpy(spark):
         assert g.n_days == len(pts)
         assert g.n_pairs == m
         assert abs(g.median_slope - lower_median / 100) < 2e-6, t
+
+
+def test_bm25_wand_prune_is_lossless_and_actually_prunes(spark):
+    """The WAND tier must (a) return exactly the unpruned full-scoring
+    answer — the θ/upper-bound prune is lossless by the strict integer
+    inequality 3·floor((θ−1)/3) < θ — and (b) actually shrink the
+    rescored doc set versus naive all-matching-docs scoring."""
+    from pyspark.sql import functions as F
+
+    from zonal_datacube_spark.operators.analytics_r5e import (
+        BM25_TERMS,
+        WAND_TOPK,
+        _W_IDF,
+        _W_LEN,
+        _W_SAT,
+        q_text_bm25_wand,
+    )
+    from zonal_datacube_spark.sources.loader import load_table
+
+    got = q_text_bm25_wand(spark, SF_SMOKE).collect()
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+    # naive referee: score EVERY matching doc, no pruning
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter("toks", lambda y: y == F.lit(t)))
+            .cast("bigint")
+            .alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    ).collect()
+    n = len(per_doc)
+    s = sum(r.dl for r in per_doc)
+    dfs = {
+        t: sum(1 for r in per_doc if r[f"tf_{t}"] > 0) for t in BM25_TERMS
+    }
+    scores = {}
+    matching = 0
+    for r in per_doc:
+        total, hit = 0, 0
+        for t in BM25_TERMS:
+            tf = r[f"tf_{t}"]
+            if tf == 0:
+                continue
+            hit = 1
+            l_norm = (9 * n * r.dl * _W_LEN) // s
+            sat = (tf * 10_000_000 * _W_SAT) // (
+                tf * 10_000_000 + 3_000_000 + l_norm
+            )
+            w = ((2 * n - 2 * dfs[t] + 1) * _W_IDF) // (2 * dfs[t] + 1)
+            total += w * sat
+        if hit:
+            scores[r.doc_id] = total
+            matching += 1
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:WAND_TOPK]
+    assert [(r.doc_id, r.score) for r in got] == want
+
+    # pruning effectiveness: replay the operator's own seed-threshold +
+    # max-impact filter and count the docs that actually get rescored —
+    # it must be a strict subset of the matching-doc set
+    impacts: dict[str, list[tuple[int, int]]] = {t: [] for t in BM25_TERMS}
+    per_doc_imp: dict[int, list[int]] = {}
+    for r in per_doc:
+        for t in BM25_TERMS:
+            tf = r[f"tf_{t}"]
+            if tf == 0:
+                continue
+            l_norm = (9 * n * r.dl * _W_LEN) // s
+            sat = (tf * 10_000_000 * _W_SAT) // (
+                tf * 10_000_000 + 3_000_000 + l_norm
+            )
+            w = ((2 * n - 2 * dfs[t] + 1) * _W_IDF) // (2 * dfs[t] + 1)
+            impacts[t].append((w * sat, r.doc_id))
+            per_doc_imp.setdefault(r.doc_id, []).append(w * sat)
+    seed_lb: dict[int, int] = {}
+    for t in BM25_TERMS:
+        for imp, d in sorted(impacts[t], key=lambda x: (-x[0], x[1]))[:WAND_TOPK]:
+            seed_lb[d] = seed_lb.get(d, 0) + imp
+    theta = sorted(seed_lb.values(), reverse=True)[: WAND_TOPK][-1]
+    survivors = {
+        d for d, imps in per_doc_imp.items()
+        if max(imps) * len(BM25_TERMS) >= theta
+    }
+    assert matching > 5 * WAND_TOPK, "fixture too small to demonstrate pruning"
+    assert len(survivors) < matching, (
+        f"prune removed nothing: {len(survivors)} of {matching} docs rescored"
+    )
+    assert {d for d, _ in want} <= survivors  # lossless: answer inside

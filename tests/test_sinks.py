@@ -48,3 +48,102 @@ def test_csv_json_sources_with_explicit_schema(spark):
         want = sorted(map(tuple, res.collect()))
         assert sorted(map(tuple, back_csv.collect())) == want
         assert sorted(map(tuple, back_json.collect())) == want
+
+
+def test_stream_sink_exactly_once_across_injected_crash(spark, tmp_path):
+    """END-TO-END crash injection for the streaming Python sink (VERDICT
+    r08 next-round #9): a real checkpointed StreamingQuery dies in the
+    exact window the manifest guard exists for — AFTER the sink's
+    per-batch commit, BEFORE the engine's commit log records the batch —
+    and the restart replays the batch from the offset WAL. The replayed
+    attempt re-writes fresh part files, but its commit hits the
+    idempotent batchId guard, so a manifest-following reader sees every
+    source offset exactly once; the replay's stray files stay on disk
+    UNMANIFESTED, which is the proof the guard (not luck) provided the
+    dedup."""
+    import os
+
+    import pytest
+    from pyspark.sql.datasource import DataSource
+
+    from zonal_datacube_spark.sources.jsonl_sink import (
+        JsonlStreamWriter,
+        read_stream_manifest,
+    )
+    from zonal_datacube_spark.sources.tick_stream_source import (
+        TICK_STREAM_NAME,
+        register_tick_stream_source,
+    )
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(out)
+
+    class CrashOnceStreamWriter(JsonlStreamWriter):
+        def commit(self, messages, batchId):  # noqa: N803 (API name)
+            super().commit(messages, batchId)
+            marker = os.path.join(self.path, "_injected_crash")
+            if batchId == 0 and not os.path.exists(marker):
+                with open(marker, "w"):
+                    pass
+                raise RuntimeError(
+                    "injected crash between sink commit and engine commit log"
+                )
+
+    class CrashyJsonlSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "zds_jsonl_sink_crashy"
+
+        def streamWriter(self, schema, overwrite):
+            return CrashOnceStreamWriter(self.options)
+
+    spark.dataSource.register(CrashyJsonlSink)
+    register_tick_stream_source(spark)
+
+    def run(ticks: int):
+        stream = (
+            spark.readStream.format(TICK_STREAM_NAME)
+            .option("ticks", ticks)
+            .option("rows_per_tick", 4)
+            .load()
+        )
+        return (
+            stream.writeStream.format("zds_jsonl_sink_crashy")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = run(ticks=2)  # batch 0 = ticks (0, 2]
+    with pytest.raises(Exception, match="injected crash"):
+        q1.awaitTermination(240)
+    # restart from the SAME checkpoint: the Python streaming source runs
+    # ONE batch per availableNow start (the engine's documented
+    # fallback), so this run IS the batch-0 replay — its commit hits the
+    # idempotent guard
+    q2 = run(ticks=5)
+    assert q2.awaitTermination(240)
+    # third start picks up the new ticks (2, 5] as batch 1
+    q3 = run(ticks=5)
+    assert q3.awaitTermination(240)
+
+    recs = read_stream_manifest(out)
+    batches = [r["batch"] for r in recs]
+    assert sorted(batches) == sorted(set(batches)), "a batch was manifested twice"
+    assert 0 in batches and len(batches) >= 2
+
+    committed = {name for rec in recs for name, _ in rec["files"]}
+    on_disk = {f for f in os.listdir(out) if f.startswith("stream-")}
+    assert committed < on_disk, (
+        "the replayed attempt should have left stray UNMANIFESTED files — "
+        "without them the crash window was never actually exercised"
+    )
+
+    landed = spark.read.schema("tick int, i int, val int").json(
+        [f"{out}/{n}" for n in sorted(committed)]
+    )
+    keys = [(r.tick, r.i) for r in landed.collect()]
+    assert len(keys) == len(set(keys)) == 5 * 4, (
+        "manifest-guarded read must deliver every source offset exactly once"
+    )

@@ -40,6 +40,16 @@ FAMILIES: dict[str, list[str]] = {
     # keys not already tracked by the r4 timeseries rows below
     "chunk-rewrites (r8)": ["q_ts_drawdown", "q_ts_time_weighted_avg"],
     "pipeline (r8)": ["q_dedup_incremental", "q_text_retrieval_eval", "q_batch_padding_eval"],
+    # r9: the scale fixes — the chunk-parallel rolling corr, the
+    # fixed-probe retrieval eval (target: the corpus-scaled twin's 3.3×
+    # ratio collapses toward ~1×), the WAND pruning tier, and the
+    # driver-side-trained PQ eval
+    "r9 fixes": [
+        "q_ts_rolling_corr",
+        "q_text_retrieval_eval_fixed",
+        "q_text_bm25_wand",
+        "q_sim_opq_eval",
+    ],
     "raster/dq (r8)": ["q_raster_slope", "q_dq_psi_drift"],
     "sort/set": ["q_sort_multikey", "q_set_except"],
     "dedup": [

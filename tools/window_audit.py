@@ -83,6 +83,10 @@ NO_PARTITION_BOUNDED = {
         "two rank windows over orderBy().limit(RRF_TOPN) candidate sets "
         "(TakeOrderedAndProject feeds ≤ N rows, analytics_r6.py:189,218)"
     ),
+    "q_text_bm25_wand": (
+        "rank over the final orderBy().limit(k) result (≤ k rows, "
+        "analytics_r5e.py — the WAND rescue's TakeOrdered output)"
+    ),
     "q_window_running_distinct": (
         "running sum over the day spine (post-aggregation, ≤ ~10³ rows "
         "for years of days, analytics_ext.py:396)"

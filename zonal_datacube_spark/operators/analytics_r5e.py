@@ -354,6 +354,145 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WAND_TOPK = 10
+# quantization grids for the integer impact algebra (all floor divisions,
+# identical in Spark `div` and DuckDB `//`)
+_W_LEN = 1_000_000  # normalized-length grid
+_W_SAT = 1_000_000  # tf-saturation grid (impacts land on [0, 1e6] per unit w)
+_W_IDF = 1_000  # rational-idf weight grid
+
+
+def q_text_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered disjunctive top-k (the WAND/JASS pruning tier,
+    VERDICT r08 next-round #9): one 3-term OR query over the corpus,
+    scored by QUANTIZED INTEGER impacts — exactly the trick
+    impact-ordered indexes use (JASS stores small-int quantized scores),
+    and here it also makes every engine comparison exact, sidestepping
+    the float-rank trap without the single-term rational-key restriction
+    of q_text_bm25. Impact algebra (all floor divs of bigints):
+    normalized length L = (9e6·n·dl) div s; saturation
+    sat = (1e7·1e6·tf) div (1e7·tf + 3e6 + L) ∈ [0, 1e6]; rational-idf
+    weight w = (1e3·(2n−2df+1)) div (2df+1) — the BM25 odds ratio
+    without the ln, monotone in true idf; impact = w·sat, doc score =
+    Σ impacts. int64-safe for corpora to ~4·10⁹ docs (w ≤ 2e12·…·sat
+    ≤ 2e18 per term; documented bound, not a silent overflow).
+
+    The WAND machinery, re-expressed batch-first:
+    1. SEED: per-term top-k postings by impact (TakeOrderedAndProject
+       heaps — never a global sort), unioned and summed per doc: each
+       partial sum is a LOWER BOUND on that doc's full score, and the
+       k-th largest lower bound is the entry threshold θ.
+    2. PRUNE (the WAND upper-bound argument): a doc's full score is at
+       most |q|·(its max posting impact), so any doc whose every posting
+       has impact·|q| < θ is safely out — with integer impacts the bound
+       is strict: 3·floor((θ−1)/3) ≤ θ−1 < θ. One filter over the
+       postings, no per-doc state.
+    3. RESCUE: survivors' FULL posting lists rescore exactly (semi-join
+       + sum), and the final top-k comes from another TakeOrdered limit;
+       ≥ k docs score ≥ θ by construction, so no pruned doc can reach
+       the answer — the prune is lossless, same proof shape as the
+       dedup prefix filter. The k-row rank window runs on the ≤ k-row
+       limit result (whitelisted bounded no-partition window)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter("toks", lambda y: y == F.lit(t)))
+            .cast("bigint")
+            .alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    corpus = per_doc.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").alias("s"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    raw_posts = per_doc.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"), F.col(f"tf_{t}").alias("tf")
+                    )
+                    for t in BM25_TERMS
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", "dl", "p.term", "p.tf").filter(F.col("tf") > 0)
+    df_col = F.when(
+        F.col("term") == BM25_TERMS[0], F.col(f"df_{BM25_TERMS[0]}")
+    )
+    for t in BM25_TERMS[1:]:
+        df_col = df_col.when(F.col("term") == t, F.col(f"df_{t}"))
+    postings = (
+        raw_posts.crossJoin(F.broadcast(corpus))
+        .withColumn("df", df_col)
+        .withColumn("l_norm", F.expr(f"(9 * n * dl * {_W_LEN}) div s"))
+        .withColumn(
+            "sat",
+            F.expr(
+                f"(tf * 10000000 * {_W_SAT})"
+                f" div (tf * 10000000 + 3000000 + l_norm)"
+            ),
+        )
+        .withColumn(
+            "w", F.expr(f"((2 * n - 2 * df + 1) * {_W_IDF}) div (2 * df + 1)")
+        )
+        .select("term", "doc_id", (F.col("w") * F.col("sat")).alias("impact"))
+    )
+    seeds = None
+    for t in BM25_TERMS:
+        t_top = (
+            postings.filter(F.col("term") == t)
+            .orderBy(F.col("impact").desc(), F.col("doc_id").asc())
+            .limit(WAND_TOPK)
+        )
+        seeds = t_top if seeds is None else seeds.unionByName(t_top)
+    theta = (
+        seeds.groupBy("doc_id")
+        .agg(F.sum("impact").alias("lb"))
+        .orderBy(F.col("lb").desc(), F.col("doc_id").asc())
+        .limit(WAND_TOPK)
+        .agg(F.min("lb").alias("theta"))
+    )
+    survivors = (
+        postings.crossJoin(F.broadcast(theta))
+        .filter(F.col("impact") * len(BM25_TERMS) >= F.col("theta"))
+        .select("doc_id")
+        .distinct()
+    )
+    exact = (
+        postings.join(survivors, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("impact").alias("score"),
+            F.count("*").cast("bigint").alias("n_terms"),
+        )
+    )
+    topk = exact.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        WAND_TOPK
+    )
+    return (
+        topk.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .select("rank", "doc_id", "score", "n_terms")
+        .orderBy("rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # Theil–Sen robust trend
 # --------------------------------------------------------------------------
@@ -436,6 +575,7 @@ QUERIES = {
     "q_privacy_rr_count": q_privacy_rr_count,
     "q_dq_control_chart": q_dq_control_chart,
     "q_text_bm25": q_text_bm25,
+    "q_text_bm25_wand": q_text_bm25_wand,
     "q_ts_theil_sen": q_ts_theil_sen,
 }
 
@@ -492,6 +632,7 @@ ORACLE = {
         FROM j GROUP BY event_type ORDER BY event_type
     """,
     "q_text_bm25": None,  # assembled below
+    "q_text_bm25_wand": None,  # assembled below
     "q_ts_theil_sen": f"""
         WITH daily AS (
             SELECT event_type,
@@ -610,5 +751,67 @@ def _bm25_oracle() -> str:
     """
 
 
+
+def _bm25_wand_oracle() -> str:
+    branches = " UNION ALL ".join(
+        f"""
+        SELECT '{t}' AS term, doc_id, dl,
+               len(list_filter(toks, y -> y = '{t}'))::BIGINT AS tf
+        FROM d"""
+        for t in BM25_TERMS
+    )
+    nq = len(BM25_TERMS)
+    return f"""
+        WITH d AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks,
+                   len(string_split(lower(text), ' '))::BIGINT AS dl
+            FROM documents
+        ),
+        c AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s FROM d),
+        p0 AS ({branches}),
+        p1 AS (SELECT * FROM p0 WHERE tf > 0),
+        dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p1 GROUP BY term),
+        postings AS (
+            SELECT p1.term, p1.doc_id,
+                   (((2 * c.n - 2 * df.df + 1) * {_W_IDF}) // (2 * df.df + 1))
+                   * ((p1.tf * 10000000 * {_W_SAT})
+                      // (p1.tf * 10000000 + 3000000
+                          + ((9 * c.n * p1.dl * {_W_LEN}) // c.s))) AS impact
+            FROM p1 CROSS JOIN c JOIN dfreq df ON df.term = p1.term
+        ),
+        seeds AS (
+            SELECT * FROM (
+                SELECT term, doc_id, impact,
+                       row_number() OVER (PARTITION BY term
+                                          ORDER BY impact DESC, doc_id) AS rn
+                FROM postings
+            ) WHERE rn <= {WAND_TOPK}
+        ),
+        theta AS (
+            SELECT min(lb)::BIGINT AS theta FROM (
+                SELECT doc_id, sum(impact)::BIGINT AS lb
+                FROM seeds GROUP BY doc_id
+                ORDER BY lb DESC, doc_id LIMIT {WAND_TOPK}
+            )
+        ),
+        survivors AS (
+            SELECT DISTINCT doc_id
+            FROM postings CROSS JOIN theta
+            WHERE impact * {nq} >= theta
+        ),
+        exact AS (
+            SELECT p.doc_id, sum(p.impact)::BIGINT AS score,
+                   count(*)::BIGINT AS n_terms
+            FROM postings p JOIN survivors USING (doc_id)
+            GROUP BY p.doc_id
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+               doc_id, score, n_terms
+        FROM (SELECT * FROM exact ORDER BY score DESC, doc_id
+              LIMIT {WAND_TOPK})
+        ORDER BY rank
+    """
+
 ORACLE["q_privacy_rr_count"] = _rr_oracle()
 ORACLE["q_text_bm25"] = _bm25_oracle()
+ORACLE["q_text_bm25_wand"] = _bm25_wand_oracle()

@@ -123,7 +123,21 @@ class JsonlDirWriter(DataSourceWriter):
                         pass
 
     def abort(self, messages: list[_FileCommit]) -> None:
+        # same crash-window guard as the streaming abort: if commit()
+        # already published these files in the manifest (and then some
+        # later step failed), they are the committed truth — deleting
+        # them would orphan the manifest
+        keep: set[str] = set()
+        manifest = os.path.join(self.path, MANIFEST)
+        if os.path.exists(manifest):
+            try:
+                with open(manifest) as fh:
+                    keep = {name for name, _ in json.load(fh).get("files", [])}
+            except (OSError, json.JSONDecodeError):
+                pass
         for m in messages:
+            if m.filename in keep:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.filename))
             except OSError:
@@ -184,7 +198,24 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         _atomic_write(manifest, "\n".join(prior_lines) + "\n")
 
     def abort(self, messages: list[_FileCommit], batchId: int) -> None:
+        # Crash-window subtlety (found by the injected-crash test, r09):
+        # if the failure happens AFTER commit() published this batch's
+        # manifest line (e.g. a later stage of the same job dies), the
+        # engine still calls abort — deleting the files here would leave
+        # the manifest pointing at nothing and the batch's rows lost
+        # FOREVER, because the replay's fresh files are (correctly)
+        # skipped by the idempotent guard. Manifested files are the
+        # committed truth; only unmanifested ones are garbage.
+        keep: set[str] = set()
+        manifest = os.path.join(self.path, STREAM_MANIFEST)
+        if os.path.exists(manifest):
+            for rec in _manifest_records(manifest):
+                if rec["batch"] == batchId:
+                    keep = {name for name, _ in rec["files"]}
+                    break
         for m in messages:
+            if m.filename in keep:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.filename))
             except OSError:
