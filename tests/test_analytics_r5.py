@@ -115,7 +115,11 @@ def test_rfm_census_and_marginals(spark):
 
 def test_rfm_plan_has_no_global_ntile(spark):
     plan = formatted_plan(q_behavior_rfm(spark, SF_SMOKE))
-    assert "ntile" not in plan.lower()
+    import re
+
+    # the ntile WINDOW FUNCTION must be gone; percentile_approx from
+    # the r09 quantile-boundary sweep contains "ntile" as a substring
+    assert not re.search(r"\bntile\(", plan.lower())
     assert "_zds_ps_bucket" in plan
 
 

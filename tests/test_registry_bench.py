@@ -31,6 +31,26 @@ CHANGED_IN_R09 = (
     "q_dedup_near",
     "q_dedup_containment",
     "q_ts_rolling_corr",
+    # the money/value/Zipf-ordered sweep consumers switched to
+    # boundaries="quantile" (identical results — the Zipf differential
+    # in tests/test_prefix_sweep.py proves mode-equivalence — but
+    # near-equal bucket occupancy on the heavy-tailed columns these
+    # keys order on at 100 TB)
+    "q_window_ntile",
+    "q_window_pareto",
+    "q_report_abc_class",
+    "q_report_rank_migration",
+    "q_agg_weighted_median",
+    "q_agg_gini",
+    "q_report_ltv_deciles",
+    "q_behavior_rfm",
+    "q_report_segment_migration",
+    "q_stats_mannwhitney",
+    "q_window_percent_rank",
+    "q_ts_theil_sen",
+    "q_stats_spearman",
+    "q_stats_ks_test",
+    "q_text_zipf",
 )
 
 CHANGED_IN_R08 = (

@@ -141,6 +141,7 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["o_orderkey"],
         row_number_col="rn",
         total_count_col="n",
+        boundaries="quantile",
     )
     return ranked.select(
         "o_orderstatus",
@@ -610,6 +611,7 @@ def q_window_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             tiebreak=["p_partkey"],
             sum_cols={"cum_incl": "rev"},
             total_sum_cols={"tot_rev": "rev"},
+            boundaries="quantile",
         )
         .select(
             "p_brand",
@@ -705,6 +707,7 @@ def q_report_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             tiebreak=["p_partkey"],
             sum_cols={"cum_incl": "rev"},
             total_sum_cols={"tot_rev": "rev"},
+            boundaries="quantile",
         )
         .select(
             "rev",

@@ -292,6 +292,7 @@ def q_behavior_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             tiebreak=["o_custkey"],
             row_number_col="_rn",
             total_count_col="_n",
+            boundaries="quantile",
         )
         return swept.select(
             "o_custkey",

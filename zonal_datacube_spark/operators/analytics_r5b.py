@@ -278,6 +278,7 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         [],
         "value",
         strict_sum_cols={"cum_before": "n_v"},
+        boundaries="quantile",
     )
     ranked = swept.select(
         "n1_v",
@@ -599,6 +600,7 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["s_suppkey"],
         row_number_col="rn",
         total_count_col="n",
+        boundaries="quantile",
     )
     return (
         ranked.select(

@@ -94,6 +94,7 @@ def q_stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         sum_cols={"cum_a": "ca", "cum_b": "cb"},
         total_sum_cols={"n1": "ca", "n2": "cb"},
+        boundaries="quantile",
     )
     ds = F.abs(
         F.col("cum_a") * F.col("n2") - F.col("cum_b") * F.col("n1")

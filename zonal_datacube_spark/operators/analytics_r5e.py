@@ -553,6 +553,7 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["d1", "d2"],
         row_number_col="rn",
         total_count_col="n_pairs",
+        boundaries="quantile",
     )
     med = ranked.filter(
         F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2)

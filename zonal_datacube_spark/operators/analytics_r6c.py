@@ -70,8 +70,14 @@ def _doubled_ranks(df: DataFrame, part: str, val: str, out: str) -> DataFrame:
     range-bucketed prefix sweep — no enum-partition window ever touches
     a data-scaled table."""
     grain = df.groupBy(part, val).agg(F.count("*").alias("n_v"))
+    # quantile boundaries (heavy-tailed value grains stay balanced) at
+    # HALF the default bucket count: Spearman runs this sweep twice per
+    # call and the sketch + per-row edge scan price scales with the edge
+    # count — 32 buckets still give part×32 parallelism while keeping
+    # the repo's slowest key well inside the per-key bar
     swept = prefix_sweep(
-        grain, [part], val, strict_sum_cols={"cum_before": "n_v"}
+        grain, [part], val, strict_sum_cols={"cum_before": "n_v"},
+        n_buckets=32, boundaries="quantile",
     )
     return swept.select(
         part,

@@ -448,6 +448,7 @@ def q_report_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         descending=True,
         tiebreak=["l_suppkey"],
         row_number_col="rnk",
+        boundaries="quantile",
     ).select("l_suppkey", "yr", F.col("rnk").cast("bigint").alias("rnk"))
     a = ranked.filter(F.col("yr") == RANK_YEARS[0]).select(
         "l_suppkey", F.col("rnk").alias("rank_a")

@@ -224,6 +224,7 @@ def q_report_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             tiebreak=["o_custkey"],
             row_number_col="_rn",
             total_count_col="_n",
+            boundaries="quantile",
         )
         return swept.select(
             "o_custkey",

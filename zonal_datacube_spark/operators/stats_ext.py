@@ -127,6 +127,7 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         sum_cols={"cum_w": "w"},
         total_sum_cols={"tot_w": "w"},
+        boundaries="quantile",
     )
     return (
         swept.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
@@ -344,6 +345,7 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority"],
         "o_totalprice",
         strict_sum_cols={"r_before": "c"},
+        boundaries="quantile",
     )
     r = F.coalesce(F.col("r_before"), F.lit(0))
     c = F.col("c")
@@ -412,6 +414,7 @@ def q_report_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["o_custkey"],
         row_number_col="rn",
         total_count_col="n_cust",
+        boundaries="quantile",
     ).select(
         "spend",
         ntile_from_row_number(

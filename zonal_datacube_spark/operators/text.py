@@ -403,6 +403,7 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         descending=True,
         tiebreak=["tok"],
         row_number_col="rn",
+        boundaries="quantile",
     ).select(
         F.log(F.col("rn").cast("double")).alias("lr"),
         F.log(F.col("c").cast("double")).alias("lf"),
