@@ -97,22 +97,11 @@ def main() -> int:
     # Full-precision per-query detail for human/judge consumption — the
     # stdout line below is width-budgeted for the driver's tail buffer.
     #
-    # Clobber guard (VERDICT r08 "What's wrong" #1, recurring since r06):
-    # the committed artifact is a 3-run median; the driver's post-round
-    # 1-run invocation must not silently overwrite it. A lower-n_runs run
-    # lands in BENCH_FULL_1run.json instead; set SPARK_GRAFT_BENCH_FORCE=1
-    # to overwrite anyway.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    full_path = resolve_bench_full_path(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        n_runs,
+        force=bool(os.environ.get("SPARK_GRAFT_BENCH_FORCE")),
     )
-    if os.path.exists(full_path) and not os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
-        try:
-            with open(full_path) as f:
-                prior_runs = int(json.load(f).get("n_runs", 1))
-        except (ValueError, OSError):
-            prior_runs = 1
-        if n_runs < prior_runs:
-            full_path = full_path.replace("BENCH_FULL.json", "BENCH_FULL_1run.json")
     with open(full_path, "w") as f:
         json.dump(
             {
@@ -129,6 +118,24 @@ def main() -> int:
         )
     print(bench_json_line(timings, sf))
     return 0
+
+
+def resolve_bench_full_path(path: str, n_runs: int, force: bool = False) -> str:
+    """Clobber guard (VERDICT r08 "What's wrong" #1, recurring since r06):
+    the committed artifact is a 3-run median; the driver's post-round
+    1-run invocation must not silently overwrite it. A run with FEWER
+    runs than the existing artifact lands in BENCH_FULL_1run.json
+    (gitignored) instead; ``force`` overwrites anyway."""
+    if force or not os.path.exists(path):
+        return path
+    try:
+        with open(path) as f:
+            prior_runs = int(json.load(f).get("n_runs", 1))
+    except (ValueError, OSError):
+        prior_runs = 1
+    if n_runs < prior_runs:
+        return path.replace("BENCH_FULL.json", "BENCH_FULL_1run.json")
+    return path
 
 
 def bench_json_line(timings: dict[str, float], sf: float) -> str:
