@@ -19,7 +19,19 @@ from zonal_datacube_spark.registry import KEY_ORDER, all_oracle_sql, all_queries
 # and every EARLIER round's artifact must (ADVICE r08: the old
 # r0[1-7] glob silently pinned the derivation and made each rotation a
 # manual edit the docstring claimed was automatic).
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
+
+CHANGED_IN_R10 = (
+    # round-10 scale fixes (VERDICT r09 next-round #2/#3), re-attested
+    # via window slots AND the PARITY_r10 full sweep: the two surviving
+    # vocabulary-scaled broadcast hints dropped (q_text_pmi,
+    # q_text_lm_score — plan gates in tests/test_plans_round10.py) and
+    # q_stats_spearman folded onto a single shared value-grain prefix
+    # sweep.
+    "q_text_pmi",
+    "q_text_lm_score",
+    "q_stats_spearman",
+)
 
 CHANGED_IN_R09 = (
     # round-9 scale fixes, all previously driver-attested, re-proven by
@@ -112,7 +124,7 @@ def test_registry_order_puts_priority_keys_first():
         f"({dark_total} dark keys remain registry-wide)"
     )
     # changed keys are re-proven by the parity artifact, not the window
-    for k in CHANGED_IN_R08 + CHANGED_IN_R09:
+    for k in CHANGED_IN_R08 + CHANGED_IN_R09 + CHANGED_IN_R10:
         assert k in all_queries(), k
 
 

@@ -361,13 +361,14 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     probs = bi.withColumn("p", F.col("c12") / F.sum("c12").over(cw)).select(
         "w1", "w2", "p"
     )
-    # the conditional-probability table is bounded by (observed bigram
-    # types) ≤ vocab² — dimension-sized next to the corpus, so broadcast:
-    # the scoring join becomes a map-side hash probe and only the final
-    # doc_id aggregate shuffles. With an open vocabulary drop the hint
-    # and let AQE decide.
+    # Scale contract: the conditional-probability table is keyed by the
+    # BIGRAM — observed bigram types grow with the corpus (bounded by
+    # vocab², but vocab itself is open: 10⁷–10⁹ tokens at 100 TB), so it
+    # is deliberately NOT broadcast-hinted. The equi-join shuffle hash
+    # joins, and AQE still broadcasts at runtime whenever the built side
+    # actually fits (it always does at fixture scale).
     return (
-        doc_bi.join(F.broadcast(probs), ["w1", "w2"])
+        doc_bi.join(probs, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -449,9 +450,15 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, so a token repeated 100× in one doc contributes one row and
     the per-doc pair expansion is bounded by distinct-vocab-per-doc²
     (31-word fixture vocabulary ⇒ tiny; at corpus scale, cap to a
-    top-K df vocabulary first). PMI = ln(n_ab·N/(n_a·n_b)) with
-    broadcast unigram counts; the top-20 cut orders on the INTEGER pair
-    count + the pair itself, so the limit is engine-stable."""
+    top-K df vocabulary first). PMI = ln(n_ab·N/(n_a·n_b)); the top-20
+    cut orders on the INTEGER pair count + the pair itself, so the
+    limit is engine-stable.
+
+    Scale contract: the unigram count tables are keyed by TOKEN — an
+    open, data-scaled vocabulary — so they are deliberately NOT
+    broadcast-hinted; the equi-joins shuffle hash join and AQE still
+    broadcasts at runtime whenever the built side fits. Only the 1-row
+    corpus-size aggregate keeps its hint — scalar at any scale."""
     docs = load_table(spark, sf_dir, "documents")
     dt = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
@@ -467,8 +474,8 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2"))
         .agg(F.count("*").alias("n_ab"))
     )
-    ua = F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_a")))
-    ub = F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_b")))
+    ua = uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_b"))
     return (
         pairs.join(ua, "w1")
         .join(ub, "w2")

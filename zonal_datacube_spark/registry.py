@@ -67,67 +67,18 @@ _MODULES = (
 # leaving 103 keys never driver-attested — this window is therefore 50
 # NEVER-SAMPLED keys (r01-r07 union derived from the CORRECTNESS_r0x
 # artifacts; tests/test_registry_bench.py re-derives and enforces it),
-# Round-9 rotation (VERDICT r08 next-round #3): ALL 58 keys never
-# sampled in CORRECTNESS_r01–r08 — the exact complement of the driver
-# union — stratified round-robin across operator families. The first
-# ~50 fill this round's window (driver union → 329/337); the 8 report
-# keys at the tail lead the round-10 rotation, which finishes the
-# registry. q_ts_rolling_corr (rewritten this round) is both dark and
-# changed, so its window slot doubles as fresh attestation of the
-# chunk-parallel rewrite. Keys not listed sort after listed ones,
-# alphabetically.
+# Round-10 rotation (VERDICT r09 next-round #1): the 10 keys never
+# sampled in any CORRECTNESS_r01–r09 artifact — the 8 TPC-H-shape
+# report keys that sat at the r09 tail plus the two keys DECLARED in
+# round 9 (q_text_bm25_wand, q_text_retrieval_eval_fixed) — lead the
+# window so the driver union reaches 339/339. The rest of the window
+# re-attests this round's CHANGED keys (broadcast un-hinting, the
+# spearman single-sweep rewrite) and any newly declared keys; with
+# fewer than 40 dark keys left, the window floor in
+# tests/test_registry_bench.py drops to the dark remainder (the final
+# rotation). Keys not listed sort after listed ones, alphabetically.
 KEY_ORDER = (
-    "q_agg_grouping_flags",
-    "q_geo_radius_join",
-    "q_join_null_safe",
-    "q_report_min_cost_supplier",
-    "q_sink_write_audit_publish",
-    "q_source_csv_corrupt",
-    "q_stats_chi2",
-    "q_str_collation",
-    "q_stream_session_fn",
-    "q_subquery_correlated",
-    "q_text_fingerprint",
-    "q_ts_interval_merge",
-    "q_warehouse_time_travel",
-    "q_window_cume_nth",
-    "q_zonal_polygon_categorical",
-    "q_agg_histogram",
-    "q_report_nation_volume",
-    "q_source_jsonl_roundtrip",
-    "q_stats_corr_matrix",
-    "q_str_fuzzy",
-    "q_stream_stateful_profile",
-    "q_subquery_scalar",
-    "q_text_langid",
-    "q_ts_locf_repair",
-    "q_agg_hll_rollup",
-    "q_report_order_priority",
-    "q_source_orc_roundtrip",
-    "q_stats_ks_test",
-    "q_str_split_part",
-    "q_text_ngram_lm",
-    "q_ts_range_interval_window",
-    "q_agg_incremental",
-    "q_report_product_profit",
-    "q_source_python_stream",
-    "q_stats_mannwhitney",
-    "q_text_quality",
-    "q_ts_rolling_corr",
-    "q_agg_listagg",
-    "q_report_promo_revenue",
-    "q_source_schema_evolution",
-    "q_stats_ttest",
-    "q_text_redact",
-    "q_ts_seasonal_strength",
-    "q_agg_percentile",
-    "q_source_text_lines",
-    "q_text_repetition",
-    "q_agg_salted_skew",
-    "q_source_zorder_roundtrip",
-    "q_text_token_regex",
-    "q_agg_unpivot",
-    # --- round-10 rotation head: the last 8 never-sampled keys ---
+    # --- the 10 never-driver-sampled keys (attestation completion) ---
     "q_report_pvm_decomposition",
     "q_report_returned_items",
     "q_report_revenue_change",
@@ -136,6 +87,13 @@ KEY_ORDER = (
     "q_report_small_qty_revenue",
     "q_report_special_revenue",
     "q_report_supplier_part_counts",
+    "q_text_bm25_wand",
+    "q_text_retrieval_eval_fixed",
+    # --- round-10 changed keys: fresh driver attestation of the
+    #     un-hinted / rewritten plans ---
+    "q_text_pmi",
+    "q_text_lm_score",
+    "q_stats_spearman",
 )
 
 
