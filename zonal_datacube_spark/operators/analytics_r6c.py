@@ -15,12 +15,13 @@ Holt recursion is sequential IEEE arithmetic with the identical
 expression shape on both sides (see q_ts_holt's docstring).
 
 Scale notes (100 TB):
-- q_stats_spearman never materializes a row-level sort: per-variable
-  tie-averaged ranks live on the VALUE GRAIN (one groupBy), the strict
-  cumulative count comes from functions/prefix_sweep.py (parallelism =
-  groups × value buckets, no enum-partition window over data-scaled
-  rows), and rows join back to the two grain tables by (group, value) —
-  plain shuffle equi-joins. The moment fold is one partial-agg groupBy.
+- q_stats_spearman never materializes a row-level sort: BOTH variables'
+  tie-averaged ranks live on ONE stacked VALUE GRAIN (one groupBy over
+  (group, var, value)), the strict cumulative count comes from a single
+  functions/prefix_sweep.py pass (parallelism = groups × vars × value
+  buckets, no enum-partition window over data-scaled rows), and rows
+  join back to the persisted grain table by (group, value) — plain
+  shuffle equi-joins. The moment fold is one partial-agg groupBy.
 - q_stats_kendall pairs the TIME-BOUNDED day grain (years × 366 rows per
   type), never raw events: the self-join is grain² work with a broadcast
   side, a shape that does not grow with data volume at fixed history.
@@ -61,34 +62,60 @@ from zonal_datacube_spark.sources.loader import load_table
 # --------------------------------------------------------------------------
 
 
-def _doubled_ranks(df: DataFrame, part: str, val: str, out: str) -> DataFrame:
-    """Value-grain table (part, val, out) where out = 2·(tie-averaged
-    rank of val within part). Doubling keeps the average rank integral
+def _doubled_ranks_stacked(
+    df: DataFrame, part: str, xval: str, yval: str
+) -> DataFrame:
+    """BOTH variables' value-grain doubled tie-averaged ranks from ONE
+    prefix sweep (VERDICT r09 next-round #3 — the r09 shape ran the
+    sweep once per variable; the two sweeps shared the fact scan and
+    the sketch machinery, so stacking the variables into a single
+    (part, var, val) grain halves the sweep executions and reads the
+    fact table once for both grains).
+
+    Returns (part, var, val, u) where u = 2·(tie-averaged rank of val
+    within (part, var)). Doubling keeps the average rank integral
     (rule 8: values that feed arithmetic stay exact): for a run of n_v
     ties after c earlier rows, avg rank = c + (n_v+1)/2, so
     2·avg = 2c + n_v + 1. The strict cumulative count c comes from the
     range-bucketed prefix sweep — no enum-partition window ever touches
-    a data-scaled table."""
-    grain = df.groupBy(part, val).agg(F.count("*").alias("n_v"))
-    # quantile boundaries (heavy-tailed value grains stay balanced) at
-    # HALF the default bucket count: Spearman runs this sweep twice per
-    # call and the sketch + per-row edge scan price scales with the edge
-    # count — 32 buckets still give part×32 parallelism while keeping
-    # the repo's slowest key well inside the per-key bar
+    a data-scaled table. ``var`` rides the sweep's PARTITION key, so
+    quantile edges (heavy-tailed price grains stay balanced) are drawn
+    per (part, var): mixing the two value distributions in one column
+    costs no bucket balance. 32 buckets per (part, var) slice keep the
+    same part×var×32 parallelism the two 32-bucket sweeps had, with one
+    sketch pass instead of two.
+
+    The result is PERSISTED (MEMORY_AND_DISK): both rank-attach joins
+    consume it, and Spark plans — not caches — shared DataFrame
+    branches, so an unpersisted sweep would execute twice and give the
+    fold back. The grain is bounded by the value-grid cardinality
+    (cents/integer quantities), not by data volume, so the persist is
+    control-plane sized at any SF."""
+    from pyspark.storagelevel import StorageLevel
+
+    grain = (
+        df.selectExpr(
+            part,
+            f"stack(2, 'x', {xval}, 'y', {yval}) AS (var, val)",
+        )
+        .groupBy(part, "var", "val")
+        .agg(F.count("*").alias("n_v"))
+    )
     swept = prefix_sweep(
-        grain, [part], val, strict_sum_cols={"cum_before": "n_v"},
+        grain, [part, "var"], "val", strict_sum_cols={"cum_before": "n_v"},
         n_buckets=32, boundaries="quantile",
     )
     return swept.select(
         part,
-        val,
+        "var",
+        "val",
         "n_v",
         (
             2 * F.coalesce(F.col("cum_before"), F.lit(0))
             + F.col("n_v")
             + 1
-        ).alias(out),
-    )
+        ).alias("u"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 _RANK_SQL = """
@@ -110,32 +137,63 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed Pearson-on-ranks form: every double is one correctly-rounded
     cast/sqrt/mul/div chain over the same integers in both engines.
 
-    Perf note (VERDICT r06/r07 next-round #7, measured r08): inserting
-    localCheckpoint on the shared grain tables or on the lineitem
-    projection moves the sf0.1 wall time nowhere outside machine noise
-    (grain-ckpt 3.5-3.8 s, li-ckpt 3.2 s, plain re-runs 3.0-4.0 s over
-    interleaved trials) — the dominant cost is the two ROW-GRAIN
-    rank-attach shuffle joins, which are inherent to value-grain rank
-    attachment, while the re-derived grain aggregate is a map-side
-    partial the scan amortizes. Checkpointing the row-grain fact would
-    also be exactly the wrong trade at 100 TB (it materializes the whole
-    table to executor disks), so the plan stays derivation-pure."""
+    Perf note (VERDICT r06/r07 next-round #7, measured r08; rewritten
+    r09 next-round #3): both variables' ranks fold from ONE stacked
+    prefix sweep (see _doubled_ranks_stacked), and the moment fold now
+    never sort-merge-joins the row table at all. The r09 shape shuffled
+    the full fact TWICE (one rank-attach join per variable); the key
+    observation is an asymmetric grain: the quantity grain is
+    GRID-BOUNDED (≈ 50 integer values × flags — broadcast-sized at any
+    data volume), while the price grain is cent-grid bounded but large.
+    So the x-rank attaches to rows via a broadcast hash join (AQE picks
+    it from the persisted table's runtime size — map-only, no fact
+    shuffle), rows then collapse to the PRICE GRAIN with map-side
+    partial sums of (n_p, Σux, Σux²), and the y-rank attaches with one
+    grain×grain equi-join. Every moment is a sum of exact integers
+    regrouped by price value — addition order is irrelevant, so the
+    fold is bit-identical to the row-level one and hash parity with the
+    unchanged DuckDB oracle holds. Net: one map-side broadcast probe +
+    one grain shuffle replace two full-fact shuffle-sorts."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    xr = _doubled_ranks(li, "l_returnflag", "l_quantity", "ux")
-    yr = _doubled_ranks(li, "l_returnflag", "l_extendedprice", "uy")
-    rows = li.join(xr.drop("n_v"), ["l_returnflag", "l_quantity"]).join(
-        yr.drop("n_v"), ["l_returnflag", "l_extendedprice"]
+    ranks = _doubled_ranks_stacked(
+        li, "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    xr = ranks.filter(F.col("var") == "x").select(
+        "l_returnflag",
+        F.col("val").alias("l_quantity"),
+        F.col("u").alias("ux"),
+    )
+    yr = ranks.filter(F.col("var") == "y").select(
+        "l_returnflag",
+        F.col("val").alias("l_extendedprice"),
+        F.col("u").alias("uy"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    s = rows.groupBy("l_returnflag").agg(
-        F.count("*").alias("n_rows"),
-        F.sum(dec(F.col("ux"))).alias("su"),
-        F.sum(dec(F.col("uy"))).alias("sv"),
-        F.sum(dec(F.col("ux")) * dec(F.col("uy"))).alias("suv"),
-        F.sum(dec(F.col("ux")) * dec(F.col("ux"))).alias("suu"),
-        F.sum(dec(F.col("uy")) * dec(F.col("uy"))).alias("svv"),
+    # price-grain partial moments of the x-rank (exact integers: count,
+    # Σux, Σux² per (flag, price)). n_p is counted HERE, not taken from
+    # the y-grain's n_v: the statistic's row universe is rows that
+    # inner-join BOTH grains (the oracle's JOIN xr JOIN yr), and a row
+    # with a NULL quantity is in the y-grain but not here.
+    pg = (
+        li.join(xr, ["l_returnflag", "l_quantity"])
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(
+            F.count("*").alias("n_p"),
+            F.sum(dec(F.col("ux"))).alias("sux"),
+            F.sum(dec(F.col("ux")) * dec(F.col("ux"))).alias("suxx"),
+        )
+    )
+    joined = pg.join(yr, ["l_returnflag", "l_extendedprice"])
+    npd = dec(F.col("n_p"))
+    s = joined.groupBy("l_returnflag").agg(
+        F.sum("n_p").alias("n_rows"),
+        F.sum(F.col("sux")).alias("su"),
+        F.sum(npd * dec(F.col("uy"))).alias("sv"),
+        F.sum(F.col("sux") * dec(F.col("uy"))).alias("suv"),
+        F.sum(F.col("suxx")).alias("suu"),
+        F.sum(npd * dec(F.col("uy")) * dec(F.col("uy"))).alias("svv"),
     )
     n = dec(F.col("n_rows"))
     num = (n * F.col("suv") - F.col("su") * F.col("sv")).cast("double")
