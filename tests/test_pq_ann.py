@@ -72,3 +72,17 @@ def test_ivf_pq_recall_and_pruning(spark):
     # pruned; the fixture's label-clustered corpus keeps that rare
     assert recall >= 0.6, f"IVFPQ recall@{K} = {recall}"
     assert all(r.rn <= K for r in got)
+
+
+def test_pq_train_degrades_to_small_corpus(spark):
+    """ADVICE r09: a corpus with fewer vectors than ksub must yield a
+    len(corpus)-entry codebook per subspace, not IndexError — the seed
+    slice, Lloyd update loop, and output dict all use the effective
+    count."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(5)
+    codebook = pq_train(emb, iters=2)
+    assert codebook.count() == PQ_M * 5
+    codes = pq_encode(emb, codebook).collect()
+    assert len(codes) == 5
+    for r in codes:
+        assert all(0 <= c < 5 for c in r.codes)

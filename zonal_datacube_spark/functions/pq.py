@@ -125,8 +125,16 @@ def pq_train(
     was the Lloyd jobs' fixed overhead on a 2 k-vector corpus). The
     numpy loop reproduces the distributed formulation exactly: seeds
     are the first ``ksub`` sampled vectors by ``vec_id``, assignment is
-    L2 rounded to 9dp with the lowest-code tie-break (``argmin`` takes
-    the first minimum), empty cells keep their previous centroid."""
+    L2 rounded to 9dp HALF_UP — ``floor(d2·1e9 + 0.5)/1e9``, the same
+    rounding mode as ``F.round`` in the Spark-side ``pq_encode`` probe
+    (ADVICE r09: ``np.round`` is half-to-EVEN, so a distance landing
+    exactly on a 0.5e-9 boundary could assign differently between
+    training and encode; squared distances are non-negative, so the
+    floor form IS HALF_UP) — with the lowest-code tie-break (``argmin``
+    takes the first minimum); empty cells keep their previous centroid.
+    A corpus smaller than ``ksub`` degrades gracefully to a
+    ``len(sample)``-entry codebook (ADVICE r09: the seed slice, update
+    loop, and output dict all use the effective count)."""
     import numpy as np
 
     spark = emb.sparkSession
@@ -140,25 +148,26 @@ def pq_train(
     if dim is None:
         dim = len(sample[0].embedding)
     d = dim // m
+    ksub_eff = min(ksub, len(sample))
     x = np.array([list(r.embedding) for r in sample], dtype=np.float64)
     sub = x.reshape(len(sample), m, d).transpose(1, 0, 2)  # m × n × d
-    cb = sub[:, :ksub, :].copy()  # m × ksub × d (seed: first ksub by vec_id)
+    cb = sub[:, :ksub_eff, :].copy()  # m × ksub_eff × d (seed: first by vec_id)
     for _ in range(iters):
-        # m × n × ksub squared distances; round matches the distributed
-        # formulation's 9dp dist rounding before the tie-break
-        d2 = np.round(
-            ((sub[:, :, None, :] - cb[:, None, :, :]) ** 2).sum(-1), 9
-        )
+        # m × n × ksub_eff squared distances; HALF_UP 9dp rounding
+        # matches the distributed formulation's F.round before the
+        # tie-break (valid because d2 >= 0)
+        d2 = ((sub[:, :, None, :] - cb[:, None, :, :]) ** 2).sum(-1)
+        d2 = np.floor(d2 * 1e9 + 0.5) / 1e9
         assign = d2.argmin(-1)  # m × n, first (lowest) code wins ties
         for s in range(m):
-            for c in range(ksub):
+            for c in range(ksub_eff):
                 mask = assign[s] == c
                 if mask.any():
                     cb[s, c] = sub[s][mask].mean(axis=0)
     current = {
         (s, c): [float(v) for v in cb[s, c]]
         for s in range(m)
-        for c in range(ksub)
+        for c in range(ksub_eff)
     }
     return _codebook_df(spark, current)
 

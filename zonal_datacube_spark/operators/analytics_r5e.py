@@ -374,8 +374,14 @@ def q_text_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     sat = (1e7·1e6·tf) div (1e7·tf + 3e6 + L) ∈ [0, 1e6]; rational-idf
     weight w = (1e3·(2n−2df+1)) div (2df+1) — the BM25 odds ratio
     without the ln, monotone in true idf; impact = w·sat, doc score =
-    Σ impacts. int64-safe for corpora to ~4·10⁹ docs (w ≤ 2e12·…·sat
-    ≤ 2e18 per term; documented bound, not a silent overflow).
+    Σ impacts. int64 bound (ADVICE r09, stated jointly): the binding
+    numerator is l_norm's 9e6·n·dl, so the algebra is exact while
+    n·dl ≤ ~1e12 — e.g. 4·10⁹ docs at ≤ 250 tokens each, or 10⁹ docs
+    at ≤ 1 000 tokens (the other numerators bound lower: w·sat ≤ 2e18
+    needs only n ≤ 10⁹·avg_df ratios). Past that point Spark (non-ANSI)
+    wraps silently while DuckDB raises — a corpus beyond the bound
+    needs the l_norm numerator lifted to DECIMAL before the div
+    (documented bound, not a silent contract).
 
     The WAND machinery, re-expressed batch-first:
     1. SEED: per-term top-k postings by impact (TakeOrderedAndProject

@@ -211,6 +211,7 @@ def _retrieval_metrics(
 FIXED_PROBES = 32  # production eval sets are FIXED-SIZE, not corpus-scaled
 PROBE_HASH_A = 2654435761  # Knuth multiplicative-hash constant
 PROBE_HASH_M = 4294967296  # 2^32
+PROBE_HASH_R = 2147483648  # 2^31 — pre-reduction keeps the product int64-safe
 
 
 def q_text_retrieval_eval_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,9 +219,14 @@ def q_text_retrieval_eval_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     production variant the corpus-scaled key's docstring designs
     (VERDICT r08 next-round #5): eval sets don't grow with the corpus,
     so the probe draw is the ``FIXED_PROBES`` lowest values of the
-    multiplicative hash ``(doc_id · A) mod 2³²`` among second-chunk
-    candidates — deterministic, pseudo-random, and expressible
-    identically in both engines (unlike xxhash64, which DuckDB lacks).
+    multiplicative hash ``((doc_id mod 2³¹) · A) mod 2³²`` among
+    second-chunk candidates — deterministic, pseudo-random, and
+    expressible identically in both engines (unlike xxhash64, which
+    DuckDB lacks). The mod-2³¹ pre-reduction (ADVICE r09) caps the
+    product at 2³¹·A < 2⁶³, so the expression never overflows int64 for
+    ANY doc_id — without it, ids ≥ ~3.5e9 wrap in Spark (non-ANSI)
+    while DuckDB raises, diverging probe selection at extreme scale; on
+    ids below 2³¹ (every fixture) the reduction is the identity.
     ``orderBy(h).limit(n)`` plans as TakeOrderedAndProject
     (per-partition heaps — no global sort), so probe selection is one
     linear pass; the scoring tail is shared with the corpus-scaled twin
@@ -234,7 +240,11 @@ def q_text_retrieval_eval_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks.filter(F.col("start") == PROBE_START)
         .withColumn(
             "h",
-            F.pmod(F.col("doc_id") * F.lit(PROBE_HASH_A), F.lit(PROBE_HASH_M)),
+            F.pmod(
+                F.pmod(F.col("doc_id"), F.lit(PROBE_HASH_R))
+                * F.lit(PROBE_HASH_A),
+                F.lit(PROBE_HASH_M),
+            ),
         )
         .orderBy("h", "doc_id")
         .limit(FIXED_PROBES)
@@ -587,7 +597,8 @@ ORACLE = {
             SELECT doc_id AS probe_id, start AS probe_start, cts
             FROM c
             WHERE start = {PROBE_START}
-            ORDER BY (doc_id * {PROBE_HASH_A}) % {PROBE_HASH_M}, doc_id
+            ORDER BY ((doc_id % {PROBE_HASH_R}) * {PROBE_HASH_A})
+                     % {PROBE_HASH_M}, doc_id
             LIMIT {FIXED_PROBES}
         ),
         qterms AS (
