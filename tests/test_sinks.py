@@ -147,3 +147,91 @@ def test_stream_sink_exactly_once_across_injected_crash(spark, tmp_path):
     assert len(keys) == len(set(keys)) == 5 * 4, (
         "manifest-guarded read must deliver every source offset exactly once"
     )
+
+
+def test_batch_sink_abort_after_commit_keeps_manifested_files(spark, tmp_path):
+    """Crash injection for the BATCH jsonl writer (VERDICT r09 next-round
+    #5): the streaming twin's r09 test found a real abort-path bug —
+    abort() after a post-commit crash deleted files the manifest already
+    pointed at. The batch writer shares that manifest logic, so the same
+    window gets its own kill test: commit() publishes _MANIFEST.json,
+    THEN the driver dies; Spark calls abort(messages), and the guard must
+    recognize the manifested files as the committed truth and leave them
+    on disk. The retry then overwrites cleanly."""
+    import os
+
+    import pytest
+    from pyspark.sql.datasource import DataSource
+
+    from zonal_datacube_spark.sources.jsonl_sink import (
+        JsonlDirWriter,
+        read_manifest,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    aborted = str(tmp_path / "_abort_ran")
+
+    class CrashOnceDirWriter(JsonlDirWriter):
+        def commit(self, messages):
+            super().commit(messages)
+            marker = os.path.join(self.path, "_injected_crash")
+            if not os.path.exists(marker):
+                with open(marker, "w"):
+                    pass
+                raise RuntimeError(
+                    "injected crash after batch manifest publish"
+                )
+
+        def abort(self, messages):
+            with open(aborted, "w") as fh:
+                fh.write("\n".join(m.filename for m in messages))
+            super().abort(messages)
+
+    class CrashyBatchSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "zds_jsonl_sink_batch_crashy"
+
+        def writer(self, schema, overwrite):
+            return CrashOnceDirWriter(self.options, overwrite)
+
+    spark.dataSource.register(CrashyBatchSink)
+    df = spark.range(0, 40, 1, 4).selectExpr("id", "id * id AS sq")
+
+    def write():
+        (
+            df.write.format("zds_jsonl_sink_batch_crashy")
+            .option("path", out)
+            .mode("overwrite")
+            .save()
+        )
+
+    with pytest.raises(Exception, match="injected crash"):
+        write()
+
+    # the crash window was actually exercised: abort ran over the very
+    # messages commit had already manifested...
+    assert os.path.exists(aborted), "abort() never ran — no window tested"
+    manifest = read_manifest(out)
+    assert manifest["total_rows"] == 40
+    # ...and every manifested file SURVIVED it, byte-complete
+    for name, n_rows in manifest["files"]:
+        p = os.path.join(out, name)
+        assert os.path.exists(p), f"abort deleted manifested file {name}"
+        with open(p) as fh:
+            assert sum(1 for _ in fh) == n_rows
+    first_files = {name for name, _ in manifest["files"]}
+
+    # the retry (same path, overwrite) publishes a fresh manifest and
+    # physically removes the superseded first-attempt files
+    write()
+    manifest2 = read_manifest(out)
+    assert manifest2["total_rows"] == 40
+    on_disk = {
+        f
+        for f in os.listdir(out)
+        if f.startswith("part-") and f.endswith(".jsonl")
+    }
+    assert on_disk == {name for name, _ in manifest2["files"]}
+    assert not (on_disk & first_files), "overwrite left stale part files"
