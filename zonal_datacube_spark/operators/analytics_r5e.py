@@ -378,10 +378,12 @@ def q_text_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator is l_norm's 9e6·n·dl, so the algebra is exact while
     n·dl ≤ ~1e12 — e.g. 4·10⁹ docs at ≤ 250 tokens each, or 10⁹ docs
     at ≤ 1 000 tokens (the other numerators bound lower: w·sat ≤ 2e18
-    needs only n ≤ 10⁹·avg_df ratios). Past that point Spark (non-ANSI)
-    wraps silently while DuckDB raises — a corpus beyond the bound
-    needs the l_norm numerator lifted to DECIMAL before the div
-    (documented bound, not a silent contract).
+    needs only n ≤ 10⁹·avg_df ratios). Past that point both engines
+    fail loudly under this repo's sessions (Spark 4 defaults to ANSI
+    mode, so it raises ARITHMETIC_OVERFLOW exactly like DuckDB; a
+    non-ANSI deployment would wrap silently instead) — a corpus beyond
+    the bound needs the l_norm numerator lifted to DECIMAL before the
+    div (documented bound, not a silent contract).
 
     The WAND machinery, re-expressed batch-first:
     1. SEED: per-term top-k postings by impact (TakeOrderedAndProject

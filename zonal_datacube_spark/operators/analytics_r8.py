@@ -224,9 +224,10 @@ def q_text_retrieval_eval_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressible identically in both engines (unlike xxhash64, which
     DuckDB lacks). The mod-2³¹ pre-reduction (ADVICE r09) caps the
     product at 2³¹·A < 2⁶³, so the expression never overflows int64 for
-    ANY doc_id — without it, ids ≥ ~3.5e9 wrap in Spark (non-ANSI)
-    while DuckDB raises, diverging probe selection at extreme scale; on
-    ids below 2³¹ (every fixture) the reduction is the identity.
+    ANY doc_id — without it, ids ≥ ~3.5e9 kill the query on both
+    engines (ANSI-mode Spark raises like DuckDB; a non-ANSI deployment
+    would silently wrap and diverge from the oracle instead); on ids
+    below 2³¹ (every fixture) the reduction is the identity.
     ``orderBy(h).limit(n)`` plans as TakeOrderedAndProject
     (per-partition heaps — no global sort), so probe selection is one
     linear pass; the scoring tail is shared with the corpus-scaled twin

@@ -58,6 +58,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.analytics_r6g",
     "zonal_datacube_spark.operators.analytics_r6h",
     "zonal_datacube_spark.operators.analytics_r8",
+    "zonal_datacube_spark.operators.analytics_r10",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
@@ -94,6 +95,9 @@ KEY_ORDER = (
     "q_text_pmi",
     "q_text_lm_score",
     "q_stats_spearman",
+    # --- declared new in round 10 (never sampled, so window slots too) ---
+    "q_sim_join_auto",
+    "q_join_skew_split",
 )
 
 
