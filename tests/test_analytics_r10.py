@@ -103,3 +103,79 @@ def test_skew_split_fires_and_preserves_results(spark):
             else:
                 spark.conf.set(k, v)
     assert split_rows == baseline
+
+
+def test_hard_negatives_match_bruteforce(spark):
+    """numpy referee: each probe's positives are exactly the top-3
+    same-label neighbors and its hard negatives the top-3 cross-label
+    ones, ranked by exact cosine with the (score desc, id asc)
+    tiebreak."""
+    import math
+
+    from zonal_datacube_spark.operators.analytics_r10 import (
+        HARDNEG_K,
+        _HARDNEG_PROBES,
+        q_sim_hard_negatives,
+    )
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.itertuples()}
+    labels = {r.vec_id: r.label for r in emb.itertuples()}
+
+    got = {}
+    for r in q_sim_hard_negatives(spark, SF_SMOKE).collect():
+        got.setdefault((r.probe_id, r.is_positive), []).append(
+            (r.rn, r.neighbor_id, r.score)
+        )
+
+    for p in _HARDNEG_PROBES:
+        ranked = sorted(
+            (
+                (
+                    -math.floor(
+                        sum(x * y for x, y in zip(vecs[p], vecs[v])) * 1e6 + 0.5
+                    )
+                    / 1e6,
+                    v,
+                )
+                for v in vecs
+                if v != p
+            ),
+        )
+        for arm in (True, False):
+            want = [
+                (i + 1, v, -s)
+                for i, (s, v) in enumerate(
+                    [(s, v) for s, v in ranked if (labels[v] == labels[p]) == arm][
+                        :HARDNEG_K
+                    ]
+                )
+            ]
+            assert got[(p, arm)] == want, (p, arm)
+
+
+def test_bpe_pairs_match_python_referee(spark):
+    """Pure-Python referee: adjacent char-pair counts weighted by corpus
+    term frequency, top-20 with the pair tiebreak."""
+    from collections import Counter
+
+    from zonal_datacube_spark.operators.analytics_r10 import (
+        BPE_TOPK,
+        q_text_bpe_pairs,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    tok_counts = Counter(
+        t for text in docs["text"] for t in text.lower().split(" ")
+    )
+    pair_counts = Counter()
+    for tok, n in tok_counts.items():
+        if len(tok) >= 2:
+            for i in range(len(tok) - 1):
+                pair_counts[tok[i : i + 2]] += n
+    want = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOPK]
+    got = [
+        (r.pair, r.n_occurrences)
+        for r in q_text_bpe_pairs(spark, SF_SMOKE).collect()
+    ]
+    assert got == want

@@ -34,7 +34,7 @@ DOUBLE inner products exactly like the existing similarity keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zonal_datacube_spark.functions.banded_lsh import banded_cosine_join
@@ -179,9 +179,119 @@ def _skew_join_fold(li: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+HARDNEG_K = 3
+
+
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training: for each anchor
+    (probe), the top-k SAME-label neighbors (positives) and the top-k
+    DIFFERENT-label neighbors — the "hard negatives" whose high
+    similarity despite the label mismatch carries most of the gradient
+    signal in triplet/InfoNCE training. One broadcast probe × corpus
+    scan scores every candidate, then a single window ranks within
+    (probe, label-match arm); both arms come from the same pass — the
+    mining job never scans the corpus twice.
+
+    Scale shape: the anchor set is FIXED-SIZE (an eval/anchor draw, not
+    corpus-scaled — same contract as q_sim_knn's probe set), so the
+    scan is one linear pass with a broadcast probe table and the window
+    runs over |probes|×2 partitions. At production recall targets the
+    exact scan swaps for the LSH-blocked candidate generator
+    (functions/banded_lsh.py) with the identical rank tail. Scores are
+    6dp-rounded DOUBLE dots (the similarity-family contract); the rank
+    tiebreak is (score DESC, neighbor ASC) — engine-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id").isin(*_HARDNEG_PROBES)).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("label").alias("probe_label"),
+            F.col("embedding").alias("probe_vec"),
+        )
+    )
+    from zonal_datacube_spark.operators.similarity import _dot
+
+    scored = (
+        probes.crossJoin(emb.select("vec_id", "label", "embedding"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("label") == F.col("probe_label")).alias("is_positive"),
+            F.round(_dot("probe_vec", "embedding"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id", "is_positive").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HARDNEG_K)
+        .select("probe_id", "neighbor_id", "is_positive", "score", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate scan (tokenizer training, iteration one)
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge-candidate scan of BPE tokenizer training: corpus
+    term frequencies collapse the text to the VOCABULARY grain, every
+    distinct token explodes to its adjacent character pairs, and each
+    pair's count is the sum of its hosting tokens' corpus frequencies —
+    exactly the statistic the first BPE merge maximizes. Top-20 by
+    count with the pair itself as tiebreak: all-integer, engine-stable.
+
+    Scale shape: the heavy text never re-tokenizes per pair — the pair
+    explosion runs on the vocabulary grain (types, not tokens), which
+    is sub-linear in the corpus; the only corpus-scaled pass is the
+    token count's map-side partial aggregate. This is the real BPE
+    training layout (HuggingFace tokenizers pre-counts words for the
+    same reason). Single-char tokens host no pair and are filtered
+    explicitly on both engines (Spark's sequence(1, 0) counts DOWN —
+    the shingles() lesson)."""
+    from zonal_datacube_spark.functions.text_funcs import tokens
+
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = vocab.select(
+        "n_tok",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_tok").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(BPE_TOPK)
+    )
+
+
+_HARDNEG_PROBES = (0, 1, 2, 3, 4)
+_HARDNEG_PROBES_SQL = ", ".join(str(p) for p in _HARDNEG_PROBES)
+
+
 QUERIES = {
     "q_sim_join_auto": q_sim_join_auto,
     "q_join_skew_split": q_join_skew_split,
+    "q_sim_hard_negatives": q_sim_hard_negatives,
+    "q_text_bpe_pairs": q_text_bpe_pairs,
 }
 
 ORACLE = {
@@ -227,5 +337,42 @@ ORACLE = {
         FROM l JOIN orders ON o_orderkey = jk
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    "q_sim_hard_negatives": f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        scored AS (
+            SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+                   (e.label = p.label) AS is_positive,
+                   round(list_inner_product(p.v, e.v), 6) AS score
+            FROM (SELECT * FROM e
+                  WHERE vec_id IN ({_HARDNEG_PROBES_SQL})) p
+            CROSS JOIN e
+            WHERE e.vec_id <> p.vec_id
+        )
+        SELECT probe_id, neighbor_id, is_positive, score,
+               row_number() OVER (PARTITION BY probe_id, is_positive
+                                  ORDER BY score DESC, neighbor_id ASC) AS rn
+        FROM scored
+        QUALIFY rn <= {HARDNEG_K}
+    """,
+    "q_text_bpe_pairs": f"""
+        WITH vocab AS (
+            SELECT tok, count(*)::BIGINT AS n_tok
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents)
+            GROUP BY tok
+            HAVING length(tok) >= 2
+        ),
+        pairs AS (
+            SELECT tok[i : i + 1] AS pair, n_tok
+            FROM vocab, unnest(range(1, length(tok))) AS t(i)
+        )
+        SELECT pair, sum(n_tok)::BIGINT AS n_occurrences
+        FROM pairs
+        GROUP BY pair
+        ORDER BY n_occurrences DESC, pair
+        LIMIT {BPE_TOPK}
     """,
 }

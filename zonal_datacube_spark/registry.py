@@ -98,6 +98,8 @@ KEY_ORDER = (
     # --- declared new in round 10 (never sampled, so window slots too) ---
     "q_sim_join_auto",
     "q_join_skew_split",
+    "q_sim_hard_negatives",
+    "q_text_bpe_pairs",
 )
 
 
