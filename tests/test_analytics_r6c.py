@@ -297,3 +297,49 @@ def test_named_window_partitions_on_the_data_scaled_key(spark):
     for s in specs:
         assert "o_custkey" in s, s
     assert "CartesianProduct" not in plan
+
+
+def test_spearman_fold_with_nulls_matches_pandas(spark):
+    """The fixture has no NULLs, so this engineers them: rows with a
+    NULL quantity or price must drop out of the statistic's row
+    universe (the oracle's double inner join) while still shaping the
+    OTHER variable's tie-averaged ranks exactly as the single-column
+    grain sees them. Referee = pandas average ranks over the non-null
+    row universe."""
+    from zonal_datacube_spark.operators.analytics_r6c import _spearman_fold
+
+    rows = []
+    rng_vals = [
+        (1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 30.0), (4.0, 5.0),
+        (5.0, 50.0), (1.0, 10.0), (None, 40.0), (6.0, None), (None, None),
+        (7.0, 25.0), (2.0, 20.0),
+    ]
+    for flag in ("A", "B"):
+        for q, p in rng_vals:
+            rows.append((flag, q, p))
+    li = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    got = {
+        r["l_returnflag"]: r for r in _spearman_fold(li).collect()
+    }
+    pdf = pd.DataFrame(
+        rows, columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    ).dropna()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        # IMPORTANT: pandas ranks computed over the JOINED universe would
+        # be wrong — the grain ranks come from each column's full
+        # non-null population. Reproduce that: rank within the per-column
+        # non-null sets, then restrict to the joined rows.
+        full = pd.DataFrame(
+            [r for r in rows if r[0] == flag],
+            columns=["f", "q", "p"],
+        )
+        qr = full["q"].dropna().rank(method="average")
+        pr = full["p"].dropna().rank(method="average")
+        sub = full.dropna()
+        rx = qr.loc[sub.index].to_numpy()
+        ry = pr.loc[sub.index].to_numpy()
+        rho = np.corrcoef(rx, ry)[0, 1]
+        assert got[flag]["n_rows"] == len(sub)
+        assert abs(got[flag]["spearman_rho"] - rho) <= 1e-6, flag

@@ -157,6 +157,16 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
+    return _spearman_fold(li)
+
+
+def _spearman_fold(li: DataFrame) -> DataFrame:
+    """The full pipeline on a (l_returnflag, l_quantity,
+    l_extendedprice) frame — split out so tests can feed ENGINEERED
+    inputs the fixture never produces (NULLs in either value column:
+    the statistic's row universe is rows present in BOTH grains, and
+    n_p must be counted in that joined universe, never taken from the
+    y-grain — see the in-body comment)."""
     ranks = _doubled_ranks_stacked(
         li, "l_returnflag", "l_quantity", "l_extendedprice"
     )
