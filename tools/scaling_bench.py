@@ -184,6 +184,8 @@ FAMILIES: dict[str, list[str]] = {
     "r10 additions": [
         "q_sim_join_auto",
         "q_join_skew_split",
+        "q_sim_hard_negatives",
+        "q_text_bpe_pairs",
     ],
 }
 
