@@ -45,6 +45,17 @@ def test_lm_score_probability_join_is_not_hint_forced(spark):
     assert "strategy=broadcast" not in plan, plan
 
 
+def test_dsir_ratio_join_is_not_hint_forced(spark):
+    # the DSIR log-ratio table is keyed by the bigram (the q_text_lm_score
+    # contract): its attach join must not be hint-forced; the only hint in
+    # the plan is the 1-row totals (n_raw/n_tgt/v_types) cross join.
+    plan = _optimized(spark, "q_data_dsir_weights")
+    for line in plan.splitlines():
+        if "Join" in line and ("w1#" in line or "w2#" in line):
+            assert "strategy=broadcast" not in line, line
+    assert plan.count("strategy=broadcast") == 1, plan
+
+
 def test_no_open_vocabulary_broadcast_hint_anywhere_in_text_ops():
     # grep-level backstop (VERDICT r09 done-criterion: "grep-clean"):
     # the only F.broadcast( sites left in the text/dedup operator files

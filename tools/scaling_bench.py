@@ -9,8 +9,17 @@ healthy distributed plan lands well under 10× (fixed job overhead
 amortizes, partial aggregation compresses early); anything super-linear is
 a plan that would NOT survive scale-up and gets flagged.
 
-Usage: python tools/scaling_bench.py [--out SCALING]
+Usage: python tools/scaling_bench.py [--full]
 Writes SCALING.json (machine) and SCALING.md (judge-readable).
+
+``--full`` (VERDICT r09 next-round #4, completed past "all keys touched
+since r08"): after the curated narrative families below, every remaining
+registry key is appended under an auto-derived ``<prefix> (coverage)``
+family, so the artifact measures the ENTIRE declared suite at all three
+SFs instead of a representative subset. The curated rows keep their
+hand-written family grouping (they carry the per-rewrite asymptote
+story); the coverage rows exist so no declared key ships without a
+measured marginal ratio.
 """
 
 from __future__ import annotations
@@ -187,6 +196,13 @@ FAMILIES: dict[str, list[str]] = {
         "q_sim_hard_negatives",
         "q_text_bpe_pairs",
     ],
+    # r10b: the data-selection pair — DSIR rides the lm_score join shape
+    # (bigram-keyed, un-hinted), the curriculum rides the quantile-mode
+    # prefix sweep; both should track the corpus ~linearly at worst
+    "r10b data-selection": [
+        "q_data_dsir_weights",
+        "q_data_curriculum_tokens",
+    ],
 }
 
 N_RUNS = 3  # median of 3 warm runs
@@ -194,6 +210,15 @@ N_RUNS = 3  # median of 3 warm runs
 
 def main() -> int:
     queries = all_queries()
+    if "--full" in sys.argv:
+        covered = {k for ks in FAMILIES.values() for k in ks}
+        rest = sorted(set(queries) - covered)
+        cov: dict[str, list[str]] = {}
+        for k in rest:
+            fam = k.split("_")[1] if k.startswith("q_") else "misc"
+            cov.setdefault(f"{fam} (coverage)", []).append(k)
+        FAMILIES.update(dict(sorted(cov.items())))
+        print(f"--full: +{len(rest)} coverage keys", file=sys.stderr)
     spark = get_spark("zds-scaling")
     results: dict[str, dict[str, float]] = {}
 

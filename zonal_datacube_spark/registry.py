@@ -59,6 +59,7 @@ _MODULES = (
     "zonal_datacube_spark.operators.analytics_r6h",
     "zonal_datacube_spark.operators.analytics_r8",
     "zonal_datacube_spark.operators.analytics_r10",
+    "zonal_datacube_spark.operators.analytics_r10b",
 )
 
 # Explicit registry iteration order. The driver's CORRECTNESS artifact
@@ -100,6 +101,8 @@ KEY_ORDER = (
     "q_join_skew_split",
     "q_sim_hard_negatives",
     "q_text_bpe_pairs",
+    "q_data_dsir_weights",
+    "q_data_curriculum_tokens",
 )
 
 
