@@ -63,15 +63,28 @@ def test_matches_direct_window(spark, part, descending, n_buckets):
         strict_sum_cols={"scum": "w"},
         strict_max_cols={"smax": "w"},
         row_number_col="rn",
+        total_sum_cols={"tot": "w"},
+        total_count_col="n_rows",
         n_buckets=n_buckets,
     )
     direct = _direct(df, part, descending)
-    merged = swept.join(direct.select("tid", "d_cum", "d_scum", "d_smax", "d_rn"), "tid")
+    wp = Window.partitionBy(*part) if part else Window.partitionBy(F.lit(1))
+    direct = direct.select(
+        "*",
+        F.sum("w").over(wp).alias("d_tot"),
+        F.count("*").over(wp).alias("d_n"),
+    )
+    merged = swept.join(
+        direct.select("tid", "d_cum", "d_scum", "d_smax", "d_rn", "d_tot", "d_n"),
+        "tid",
+    )
     bad = merged.filter(
         (F.col("cum") != F.col("d_cum"))
         | ~(F.col("scum").eqNullSafe(F.col("d_scum")))
         | ~(F.col("smax").eqNullSafe(F.col("d_smax")))
         | (F.col("rn") != F.col("d_rn"))
+        | (F.col("tot") != F.col("d_tot"))
+        | (F.col("n_rows") != F.col("d_n"))
     )
     assert bad.count() == 0, bad.limit(5).collect()
 

@@ -210,6 +210,18 @@ N_RUNS = 3  # median of 3 warm runs
 
 def main() -> int:
     queries = all_queries()
+    patch_keys: set[str] = set()
+    if "--patch" in sys.argv:
+        # re-measure ONLY the named keys (comma-separated) into the
+        # existing artifact — the family layout and every other key's
+        # rows come from the committed SCALING.json, so a single-key
+        # rewrite doesn't force a ~45-min full re-sweep
+        patch_keys = set(sys.argv[sys.argv.index("--patch") + 1].split(","))
+        with open("SCALING.json") as f:
+            prev = json.load(f)
+        FAMILIES.clear()
+        FAMILIES.update(prev["families"])
+        print(f"--patch: re-measuring {sorted(patch_keys)}", file=sys.stderr)
     if "--full" in sys.argv:
         covered = {k for ks in FAMILIES.values() for k in ks}
         rest = sorted(set(queries) - covered)
@@ -220,7 +232,9 @@ def main() -> int:
         FAMILIES.update(dict(sorted(cov.items())))
         print(f"--full: +{len(rest)} coverage keys", file=sys.stderr)
     spark = get_spark("zds-scaling")
-    results: dict[str, dict[str, float]] = {}
+    results: dict[str, dict[str, float]] = (
+        prev["results"] if patch_keys else {}
+    )
 
     for fam, keys in FAMILIES.items():
         for k in keys:
@@ -237,6 +251,8 @@ def main() -> int:
         queries["q_mv_rewrite"](spark, sf_dir).count()
         for fam, keys in FAMILIES.items():
             for k in keys:
+                if patch_keys and k not in patch_keys:
+                    continue
                 times = []
                 for _ in range(N_RUNS):
                     t0 = time.perf_counter()
@@ -314,6 +330,31 @@ def main() -> int:
             "rewrite targets. The r04->r05 trend drop (anomaly 3.76->"
             "~2x, weighted median 2.57->~1.7x) is the rewrite's "
             "measurable share at these SFs.\n"
+        )
+        f.write(
+            "\nRound-10 full coverage (--full) extended the artifact from "
+            "119 curated keys to the ENTIRE declared registry and "
+            "immediately earned its keep: q_er_fuzzy_block measured 9.95x "
+            "per 10x data - its row-grain pair enumeration is Theta(d^2) "
+            "in per-name duplicate density (the fixture carries ~31 "
+            "copies per name; real catalogs are worse) - and was "
+            "rewritten the same round to a name-grain fold (the "
+            "types-not-tokens discipline: one groupBy to (brand, name, "
+            "m, max_key), levenshtein on distinct NAME pairs only, exact "
+            "integer reconstruction of pair counts and left-entity "
+            "counts), landing at ~1.2x with the output bit-identical "
+            "(differential-tested and oracle-pinned). The remaining >3x "
+            "cells all fall into documented classes: value/time-GRAIN "
+            "prefix sweeps whose grain itself still grows ~10x between "
+            "these SFs (q_agg_gini, q_agg_weighted_median, "
+            "q_window_ntile, q_agg_quantiles_multi - saturating at the "
+            "domain bound exactly in the 100 TB regime); sub-second "
+            "fixed-overhead keys where the sf0.01 base is mostly job "
+            "setup (q_join_bucketed 0.09->0.35 s, q_sample_hash, the "
+            "CSV roundtrips - the absolute cost is the signal); and "
+            "honest linear-scan keys (q_dedup_cross_source below, "
+            "q_text_pmi's doc-bounded pair explode) whose wall time "
+            "tracks corpus size because the WORK is corpus-sized.\n"
         )
         f.write(
             "\nq_dedup_cross_source is linear-scan/linear-shuffle bound "
