@@ -66,10 +66,15 @@ def test_lateral_decorrelates_to_ranked_window(spark):
     assert "Window" in plan  # Catalyst decorrelated ORDER BY…LIMIT
 
 
-def test_quantiles_multi_single_aggregate(spark):
+def test_quantiles_multi_folds_from_the_grain_sweep(spark):
     plan = _plan(spark, "q_agg_quantiles_multi")
-    # one percentile aggregate computes all five cut points
-    assert plan.count("percentile") <= 4  # partial+final, key+result refs
+    # r10 rewrite: all five cut points fold from ONE (flag, price)-grain
+    # prefix sweep — the buffered exact percentile aggregate (whole
+    # table in 3 flag-keyed executor buffers) must be GONE; the sweep's
+    # bucket machinery and its bounded percentile_approx boundary
+    # sketch are the allowed remains
+    assert "percentile(" not in plan
+    assert "_zds_ps_bucket" in plan
 
 
 def test_ltv_deciles_window_on_rollup_not_fact(spark):

@@ -357,6 +357,23 @@ def main() -> int:
             "tracks corpus size because the WORK is corpus-sized.\n"
         )
         f.write(
+            "\nThe same coverage sweep surfaced the EXACT-PERCENTILE "
+            "class: eight keys fed data-scaled groups into Spark's "
+            "buffered percentile() (whole group in one executor "
+            "buffer - the aggregation twin of the one-reducer window; "
+            "q_agg_quantiles_multi measured 4.85x with the entire "
+            "table in 3 flag-keyed buffers). All eight now fold exact "
+            "interpolated percentiles from the (part, value)-grain "
+            "prefix sweep (functions/percentiles.py): ratios dropped "
+            "to 1.1-2.3x and the unbounded buffer is gone. The "
+            "fixture-scale cost of several rose ~0.5-1 s (the sweep "
+            "machinery vs an in-memory sort of a small group) - the "
+            "same deliberate fixture-vs-100TB trade as the r09 "
+            "quantile-boundary switch, and the differential tests plus "
+            "unchanged quantile_cont oracles pin the values "
+            "bit-identical.\n"
+        )
+        f.write(
             "\nq_dedup_cross_source is linear-scan/linear-shuffle bound "
             "(every doc explodes to ~60 shingle digests; one digest-keyed "
             "aggregation), so its wall time tracks corpus size ~linearly "

@@ -1,0 +1,116 @@
+"""Exact interpolated percentiles from the value grain — the distributed
+rewrite of Spark's buffered ``percentile()`` for DATA-SCALED groups.
+
+Spark's exact ``percentile()`` materializes every value of a group in one
+executor-memory buffer (an OpenHashMap of value → count, locally sorted
+at eval): correct at any SF, but a group whose row count scales with the
+corpus is an executor OOM at 100 TB — the AGGREGATION twin of the
+one-reducer ordered window (VERDICT r04 #1) this repo retired round by
+round. The round-10 full-coverage SCALING sweep surfaced the class:
+q_agg_quantiles_multi put the entire lineitem table into 3 flag-keyed
+buffers (4.85× marginal ratio, and the buffer grows without bound).
+
+``grain_percentiles()`` computes the IDENTICAL statistic in three
+bounded, data-parallel steps:
+
+1. ONE map-side-combined groupBy collapses rows to the (part, value)
+   grain — the same types-not-tokens discipline as q_agg_weighted_median
+   (ties share a grain row; integer occurrence counts);
+2. the range-bucketed prefix sweep (prefix_sweep.py, quantile
+   boundaries) attaches each grain row's exact cumulative count at
+   (part × bucket) parallelism — no per-group buffer anywhere;
+3. the standard interpolated definition needs order statistics
+   ``floor(pos)+1`` and ``ceil(pos)+1`` (1-based; ``pos = p·(n−1)``):
+   the grain rows hosting those two integer ranks are selected by a
+   cum-range predicate and the interpolation
+   ``lower + (pos − floor(pos))·(higher − lower)`` folds in one tiny
+   aggregate per (part, p).
+
+Exactness: ranks are integers compared against exact integer cumulative
+counts, so rank containment is unambiguous under ties; the interpolation
+is one fixed IEEE chain per (part, p) — tests/test_grain_percentiles.py
+proves the fold equal to the buffered ``percentile()`` on the fixture
+and on engineered tie/singleton/interpolation corpora, and the DuckDB
+``quantile_cont`` oracles of every migrated key attest it cross-engine
+at each SF. NULL values are excluded by the sweep's non-null contract —
+the same rows ``percentile()`` ignores. One documented edge difference:
+a part whose values are ALL NULL vanishes from the output where the
+buffered aggregate would emit a NULL cell (no declared consumer feeds
+such a part).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
+
+
+def grain_percentiles(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    val_col: str,
+    ps: Sequence[float],
+) -> DataFrame:
+    """Long-format exact percentiles: one row per (part, p) with column
+    ``q`` = the interpolated percentile of ``val_col`` — distributed via
+    the (part, value)-grain prefix sweep (module docstring). Consumers
+    pivot the bounded result with conditional aggregates."""
+    parts = list(part_cols)
+    counts = df.groupBy(*parts, val_col).agg(F.count("*").alias("_gp_c"))
+    swept = prefix_sweep(
+        counts,
+        parts,
+        val_col,
+        sum_cols={"_gp_cum": "_gp_c"},
+        total_sum_cols={"_gp_n": "_gp_c"},
+        boundaries="quantile",
+    )
+    e = swept.select(
+        *parts,
+        F.col(val_col).alias("_gp_v"),
+        "_gp_cum",
+        "_gp_c",
+        "_gp_n",
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+    )
+    pos = F.col("p") * (F.col("_gp_n") - 1)
+    lo1 = F.floor(pos) + 1  # 1-based lower order-stat rank (BIGINT)
+    hi1 = F.ceil(pos) + 1  # 1-based upper order-stat rank (BIGINT)
+    cum, cnt = F.col("_gp_cum"), F.col("_gp_c")
+    host_lo = (cum - cnt < lo1) & (lo1 <= cum)
+    host_hi = (cum - cnt < hi1) & (hi1 <= cum)
+    picked = (
+        e.filter(host_lo | host_hi)
+        .groupBy(*parts, "p")
+        .agg(
+            F.max(F.when(host_lo, F.col("_gp_v"))).alias("_gp_lo"),
+            F.max(F.when(host_hi, F.col("_gp_v"))).alias("_gp_hi"),
+            F.max(pos).alias("_gp_pos"),
+        )
+    )
+    frac = F.col("_gp_pos") - F.floor("_gp_pos")
+    q = F.col("_gp_lo") + frac * (F.col("_gp_hi") - F.col("_gp_lo"))
+    return picked.select(*parts, "p", q.alias("q"))
+
+
+def pivot_percentiles(
+    long_df: DataFrame,
+    part_cols: Sequence[str],
+    ps_to_names: dict[float, str],
+) -> DataFrame:
+    """Pivot ``grain_percentiles`` output to one row per part with one
+    named column per requested p (bounded input — ps are literals, parts
+    are group keys). Float p equality is exact: both sides are the same
+    Python float literal."""
+    aggs = [
+        F.max(F.when(F.col("p") == F.lit(float(p)), F.col("q"))).alias(name)
+        for p, name in ps_to_names.items()
+    ]
+    parts = list(part_cols)
+    if parts:
+        return long_df.groupBy(*parts).agg(*aggs)
+    return long_df.agg(*aggs)

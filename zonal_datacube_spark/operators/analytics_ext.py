@@ -55,12 +55,34 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (median / p90) per group."""
+    """Exact interpolated percentiles (median / p90) per group — folded
+    from the (flag, value)-grain prefix sweeps of functions/
+    percentiles.py (round-10 exact-percentile rewrite: the old buffered
+    percentile() held every quantity AND every price in flag-keyed
+    executor buffers; the quantity grain is ~50 rows, the price grain is
+    the domain-bounded weighted-median class). Identical interpolation,
+    same DuckDB oracle."""
+    from zonal_datacube_spark.functions.percentiles import (
+        grain_percentiles,
+        pivot_percentiles,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+    qty = pivot_percentiles(
+        grain_percentiles(li, ["l_returnflag"], "l_quantity", (0.5, 0.9)),
+        ["l_returnflag"],
+        {0.5: "mq", 0.9: "pq"},
+    )
+    price = pivot_percentiles(
+        grain_percentiles(li, ["l_returnflag"], "l_extendedprice", (0.5,)),
+        ["l_returnflag"],
+        {0.5: "mp"},
+    )
+    return qty.join(price, "l_returnflag").select(
+        "l_returnflag",
+        F.round("mq", 4).alias("median_qty"),
+        F.round("pq", 4).alias("p90_qty"),
+        F.round("mp", 4).alias("median_price"),
     )
 
 

@@ -225,14 +225,24 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean: clamp each price into [p05, p95] then average —
     the robust-mean partner of the trimmed mean (q_udaf_zonal_trimmed_
     mean) that KEEPS the tail rows at the fence instead of dropping
-    them. Exact interpolating percentiles per group, broadcast back onto
-    the same scan, one final aggregate."""
+    them. Exact interpolating percentiles per group — folded from the
+    (flag, price)-grain prefix sweep (functions/percentiles.py, the
+    round-10 exact-percentile rewrite: no flag-keyed executor buffer) —
+    broadcast back onto the same scan, one final aggregate."""
+    from zonal_datacube_spark.functions.percentiles import (
+        grain_percentiles,
+        pivot_percentiles,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    fences = li.groupBy("l_returnflag").agg(
-        F.expr(f"percentile(l_extendedprice, {WINSOR_LO})").alias("lo"),
-        F.expr(f"percentile(l_extendedprice, {WINSOR_HI})").alias("hi"),
+    fences = pivot_percentiles(
+        grain_percentiles(
+            li, ["l_returnflag"], "l_extendedprice", (WINSOR_LO, WINSOR_HI)
+        ),
+        ["l_returnflag"],
+        {WINSOR_LO: "lo", WINSOR_HI: "hi"},
     )
     clamped = li.join(F.broadcast(fences), "l_returnflag").select(
         "l_returnflag",
@@ -364,7 +374,11 @@ def q_report_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer's consecutive orders (one customer-keyed window pass),
     rolled to median / p90 / mean per segment — the replenishment-cycle
     readout behind "order every N days" lifecycle campaigns. Gaps are
-    integer days; percentiles interpolate identically on both engines."""
+    integer days; percentiles interpolate identically on both engines
+    and fold from the (segment, gap)-grain prefix sweep (functions/
+    percentiles.py, round-10 exact-percentile rewrite — the gap grain is
+    calendar-bounded, the old buffered aggregate was order-count-sized
+    per segment)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
@@ -379,15 +393,36 @@ def q_report_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap_d").isNotNull())
     )
-    return (
+    from zonal_datacube_spark.functions.percentiles import (
+        grain_percentiles,
+        pivot_percentiles,
+    )
+
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: the segment-gap table (one customer-keyed window pass)
+    # feeds both the count/mean rollup and the percentile grain sweep —
+    # unpersisted, Spark re-plans the window subtree at every reference
+    seg_gaps = (
         gaps.join(cust, gaps.o_custkey == cust.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count("*").alias("n_gaps"),
-            F.round(F.expr("percentile(gap_d, 0.5)"), 6).alias("median_gap_d"),
-            F.round(F.expr("percentile(gap_d, 0.9)"), 6).alias("p90_gap_d"),
-            F.round(F.avg("gap_d"), 6).alias("mean_gap_d"),
-        )
+        .select("c_mktsegment", "gap_d")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base = seg_gaps.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_d"), 6).alias("mean_gap_d"),
+    )
+    qs = pivot_percentiles(
+        grain_percentiles(seg_gaps, ["c_mktsegment"], "gap_d", (0.5, 0.9)),
+        ["c_mktsegment"],
+        {0.5: "mg", 0.9: "pg"},
+    )
+    return base.join(qs, "c_mktsegment").select(
+        "c_mktsegment",
+        "n_gaps",
+        F.round("mg", 6).alias("median_gap_d"),
+        F.round("pg", 6).alias("p90_gap_d"),
+        "mean_gap_d",
     )
 
 

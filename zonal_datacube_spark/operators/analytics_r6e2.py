@@ -112,11 +112,28 @@ def q_agg_sketch_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("distinct_exact"),
         F.approx_count_distinct("user_id").alias("distinct_approx"),
     )
-    pcts = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
-        F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias(
-            "p50_approx"
-        ),
+    # the EXACT side folds from the (type, value) grain (functions/
+    # percentiles.py, round-10 exact-percentile rewrite — the referee
+    # must not itself be the OOM class it audits); the approx side is
+    # the bounded KLL-style sketch under test
+    from zonal_datacube_spark.functions.percentiles import (
+        grain_percentiles,
+        pivot_percentiles,
+    )
+
+    p50e = pivot_percentiles(
+        grain_percentiles(ev, ["event_type"], "value", (0.5,)),
+        ["event_type"],
+        {0.5: "p50_exact"},
+    )
+    pcts = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias(
+                "p50_approx"
+            )
+        )
+        .join(p50e, "event_type")
     )
     per_type = distincts.join(F.broadcast(pcts), "event_type")
     return per_type.select(

@@ -167,11 +167,34 @@ def q_behavior_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("gap_s")
     )
-    return gaps.agg(
+    # the conversion-gap percentiles are GLOBAL over a user-scaled gap
+    # table: folded from the gap-value grain (functions/percentiles.py,
+    # round-10 exact-percentile rewrite — the old single buffered
+    # percentile() held every user's gap in one executor buffer)
+    from zonal_datacube_spark.functions.percentiles import (
+        grain_percentiles,
+        pivot_percentiles,
+    )
+
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: the gap table (two event-window passes) feeds both the
+    # count/mean aggregate and the percentile grain sweep
+    gaps = gaps.persist(StorageLevel.MEMORY_AND_DISK)
+    base = gaps.agg(
         F.count("*").alias("n_converted"),
-        F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("median_gap_s"),
-        F.round(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_gap_s"),
         F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+    )
+    qs = pivot_percentiles(
+        grain_percentiles(gaps, [], "gap_s", (0.5, 0.9)),
+        [],
+        {0.5: "mg", 0.9: "pg"},
+    )
+    return base.crossJoin(F.broadcast(qs)).select(
+        "n_converted",
+        F.round("mg", 2).alias("median_gap_s"),
+        F.round("pg", 2).alias("p90_gap_s"),
+        "avg_gap_s",
     )
 
 

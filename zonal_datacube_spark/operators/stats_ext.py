@@ -69,14 +69,23 @@ def q_dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey IQR outlier screen per return flag: exact q1/q3 via the
     interpolating percentile, fences at q1−1.5·IQR / q3+1.5·IQR, and the
     count of points outside — the boxplot rule every DQ monitor ships.
-    Two passes over one shuffle key: the percentile aggregate, then a
-    broadcast of the 3-row fence table back onto the fact scan."""
+    The quartiles fold from the (flag, price)-grain prefix sweep
+    (functions/percentiles.py — the round-10 exact-percentile rewrite:
+    the old buffered aggregate held the whole table in 3 flag-keyed
+    executor buffers), then the 3-row fence table broadcasts back onto
+    the fact scan."""
+    from zonal_datacube_spark.functions.percentiles import (
+        grain_percentiles,
+        pivot_percentiles,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    fences = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    fences = pivot_percentiles(
+        grain_percentiles(li, ["l_returnflag"], "l_extendedprice", (0.25, 0.75)),
+        ["l_returnflag"],
+        {0.25: "q1", 0.75: "q3"},
     )
     fenced = fences.select(
         "l_returnflag",
@@ -226,17 +235,38 @@ def q_dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score 0.6745·(x−median)/MAD with the Iglewicz–Hoaglin 3.5 cutoff —
     the screen of choice when the data itself is contaminated (IQR and
     stddev both move with the outliers they are supposed to catch; the
-    MAD has a 50% breakdown point). Two exact grouped percentiles over
-    the SAME shuffle key, each broadcast back onto the fact scan."""
+    MAD has a 50% breakdown point). Two exact grouped medians over the
+    SAME shuffle key — each folded from its value grain via
+    functions/percentiles.py (round-10 exact-percentile rewrite; the
+    old buffered aggregates held every event value, then every
+    deviation, in 5 type-keyed executor buffers) — each broadcast back
+    onto the fact scan."""
+    from zonal_datacube_spark.functions.percentiles import (
+        grain_percentiles,
+        pivot_percentiles,
+    )
+
+    from pyspark.storagelevel import StorageLevel
+
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+    med = pivot_percentiles(
+        grain_percentiles(ev, ["event_type"], "value", (0.5,)),
+        ["event_type"],
+        {0.5: "med"},
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    # persisted: the deviation table feeds the second grain sweep AND
+    # the final score scan — without it Spark re-plans the whole
+    # median-sweep subtree at every reference (measured: 67 exchanges
+    # in the unpersisted plan vs the intended handful)
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
+    mad = pivot_percentiles(
+        grain_percentiles(dev, ["event_type"], "adev", (0.5,)),
+        ["event_type"],
+        {0.5: "mad"},
     )
     scored = dev.join(F.broadcast(mad), "event_type").withColumn(
         "mz", MAD_C * (F.col("value") - F.col("med")) / F.col("mad")
@@ -365,28 +395,20 @@ QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
 def q_agg_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-quantile summary in ONE pass: the five standard cut points
-    per group from a single percentile(array(...)) aggregate — one sort
-    buffer per group instead of five (how a monitoring rollup computes
-    its full latency profile). The array result EXPLODES to one row per
-    (group, p) because the driver canonicalizer hashes scalar cells
-    only — the same lesson the r02 percentile_approx crash taught."""
+    """Multi-quantile summary: the five standard cut points per group —
+    how a monitoring rollup computes its full latency profile. Round-10
+    rewrite (the full-coverage SCALING sweep caught the old
+    percentile(array(...)) aggregate at 4.85× marginal ratio with the
+    ENTIRE table in 3 flag-keyed executor buffers — the exact-percentile
+    OOM class): all five cut points now fold from ONE (flag, price)-grain
+    prefix sweep via functions/percentiles.py — identical interpolated
+    values (differential-tested; same DuckDB quantile_cont oracle), no
+    per-group buffer anywhere, (flag × bucket) parallelism."""
+    from zonal_datacube_spark.functions.percentiles import grain_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    ps_sql = ", ".join(str(p) for p in QUANTILE_PS)
-    qs = li.groupBy("l_returnflag").agg(
-        F.expr(f"percentile(l_extendedprice, array({ps_sql}))").alias("qs")
-    )
-    labels = F.array(*[F.lit(p) for p in QUANTILE_PS])
-    return qs.select(
-        "l_returnflag",
-        F.explode(F.arrays_zip(labels.alias("p"), F.col("qs").alias("q"))).alias(
-            "z"
-        ),
-    ).select(
-        "l_returnflag",
-        F.col("z.p").alias("p"),
-        F.round("z.q", 6).alias("q"),
-    )
+    qs = grain_percentiles(li, ["l_returnflag"], "l_extendedprice", QUANTILE_PS)
+    return qs.select("l_returnflag", "p", F.round("q", 6).alias("q"))
 
 
 LTV_DECILES = 10

@@ -103,6 +103,18 @@ KEY_ORDER = (
     "q_text_bpe_pairs",
     "q_data_dsir_weights",
     "q_data_curriculum_tokens",
+    # --- round-10 scale rewrites (fresh attestation of the new plans):
+    #     the name-grain ER fold and the eight exact-percentile keys
+    #     migrated onto the grain sweep (functions/percentiles.py) ---
+    "q_er_fuzzy_block",
+    "q_agg_quantiles_multi",
+    "q_agg_percentile",
+    "q_dq_outlier_iqr",
+    "q_dq_outlier_mad",
+    "q_agg_winsorized_mean",
+    "q_report_order_gap_stats",
+    "q_behavior_time_to_convert",
+    "q_agg_sketch_error_eval",
 )
 
 
