@@ -61,6 +61,23 @@ def grain_percentiles(
     pivot the bounded result with conditional aggregates."""
     parts = list(part_cols)
     counts = df.groupBy(*parts, val_col).agg(F.count("*").alias("_gp_c"))
+    return grain_percentiles_from_counts(counts, parts, val_col, "_gp_c", ps)
+
+
+def grain_percentiles_from_counts(
+    counts: DataFrame,
+    part_cols: Sequence[str],
+    val_col: str,
+    cnt_col: str,
+    ps: Sequence[float],
+) -> DataFrame:
+    """``grain_percentiles`` over a PRE-AGGREGATED (part, value, count)
+    grain — for callers that fold further statistics from the same grain
+    (outlier counts, clamped sums) and want to build/persist it once."""
+    parts = list(part_cols)
+    counts = counts.select(
+        *parts, val_col, F.col(cnt_col).cast("bigint").alias("_gp_c")
+    )
     swept = prefix_sweep(
         counts,
         parts,

@@ -62,27 +62,33 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor buffers; the quantity grain is ~50 rows, the price grain is
     the domain-bounded weighted-median class). Identical interpolation,
     same DuckDB oracle."""
-    from zonal_datacube_spark.functions.percentiles import (
-        grain_percentiles,
-        pivot_percentiles,
-    )
+    from zonal_datacube_spark.functions.percentiles import grain_percentiles
 
     li = load_table(spark, sf_dir, "lineitem")
-    qty = pivot_percentiles(
-        grain_percentiles(li, ["l_returnflag"], "l_quantity", (0.5, 0.9)),
-        ["l_returnflag"],
-        {0.5: "mq", 0.9: "pq"},
-    )
-    price = pivot_percentiles(
-        grain_percentiles(li, ["l_returnflag"], "l_extendedprice", (0.5,)),
-        ["l_returnflag"],
-        {0.5: "mp"},
-    )
-    return qty.join(price, "l_returnflag").select(
+    # BOTH variables ride ONE stacked (flag, var, value) sweep (the
+    # q_stats_spearman single-sweep trick): one fact shuffle instead of
+    # two, quantile edges drawn per (flag, var) so mixing the two value
+    # distributions costs no bucket balance
+    stacked = li.selectExpr(
         "l_returnflag",
-        F.round("mq", 4).alias("median_qty"),
-        F.round("pq", 4).alias("p90_qty"),
-        F.round("mp", 4).alias("median_price"),
+        "stack(2, 'qty', CAST(l_quantity AS DOUBLE),"
+        " 'price', l_extendedprice) AS (var, val)",
+    )
+    qs = grain_percentiles(
+        stacked, ["l_returnflag", "var"], "val", (0.5, 0.9)
+    )
+
+    def _cell(var: str, p: float) -> F.Column:
+        return F.max(
+            F.when(
+                (F.col("var") == var) & (F.col("p") == F.lit(p)), F.col("q")
+            )
+        )
+
+    return qs.groupBy("l_returnflag").agg(
+        F.round(_cell("qty", 0.5), 4).alias("median_qty"),
+        F.round(_cell("qty", 0.9), 4).alias("p90_qty"),
+        F.round(_cell("price", 0.5), 4).alias("median_price"),
     )
 
 

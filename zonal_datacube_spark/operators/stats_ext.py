@@ -69,21 +69,32 @@ def q_dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey IQR outlier screen per return flag: exact q1/q3 via the
     interpolating percentile, fences at q1−1.5·IQR / q3+1.5·IQR, and the
     count of points outside — the boxplot rule every DQ monitor ships.
-    The quartiles fold from the (flag, price)-grain prefix sweep
+    Everything folds from ONE persisted (flag, price) grain
     (functions/percentiles.py — the round-10 exact-percentile rewrite:
     the old buffered aggregate held the whole table in 3 flag-keyed
-    executor buffers), then the 3-row fence table broadcasts back onto
-    the fact scan."""
+    executor buffers): the quartiles via the grain sweep, then the row
+    and outlier counts as INTEGER sums of the grain's occurrence counts
+    against the broadcast 3-row fence table — the fact table is touched
+    exactly once (the grain groupBy), never re-scanned."""
+    from pyspark.storagelevel import StorageLevel
+
     from zonal_datacube_spark.functions.percentiles import (
-        grain_percentiles,
+        grain_percentiles_from_counts,
         pivot_percentiles,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
+    grain = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     fences = pivot_percentiles(
-        grain_percentiles(li, ["l_returnflag"], "l_extendedprice", (0.25, 0.75)),
+        grain_percentiles_from_counts(
+            grain, ["l_returnflag"], "l_extendedprice", "c", (0.25, 0.75)
+        ),
         ["l_returnflag"],
         {0.25: "q1", 0.75: "q3"},
     )
@@ -95,19 +106,20 @@ def q_dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q3") + IQR_K * (F.col("q3") - F.col("q1"))).alias("hi"),
     )
     return (
-        li.join(F.broadcast(fenced), "l_returnflag")
+        grain.join(F.broadcast(fenced), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.count("*").alias("n_rows"),
+            F.sum("c").alias("n_rows"),
             F.round(F.first("q1"), 6).alias("q1"),
             F.round(F.first("q3"), 6).alias("q3"),
             F.round(F.first("lo"), 6).alias("fence_lo"),
             F.round(F.first("hi"), 6).alias("fence_hi"),
             F.sum(
-                (
+                F.when(
                     (F.col("l_extendedprice") < F.col("lo"))
-                    | (F.col("l_extendedprice") > F.col("hi"))
-                ).cast("bigint")
+                    | (F.col("l_extendedprice") > F.col("hi")),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
             ).alias("n_outliers"),
         )
     )
