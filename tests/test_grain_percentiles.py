@@ -120,3 +120,20 @@ def test_no_single_partition_window_in_key_plans(spark):
         # percentile_approx boundary sketch is allowed
         assert "percentile(" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_width_and_quantile_modes_identical(spark):
+    """Boundary-mode independence (the r10 second-pass switch to width):
+    the two-level decomposition is exact for ANY value-order-respecting
+    bucketing, so width and quantile edges must yield bit-identical
+    percentiles — asserted on a deliberately axis-CONCENTRATED corpus
+    (geometric value spacing: width mode packs most grain rows into
+    bucket 0, the worst case the quantile mode exists to rebalance)."""
+    rows = [("A", float(2**i) / 1024) for i in range(20) for _ in range(i % 3 + 1)]
+    rows += [("B", 1.0), ("B", 1e9)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    ps = (0.0, 0.1, 0.5, 0.9, 1.0)
+    key = lambda r: (r["k"], r["p"])
+    w = {key(r): r["q"] for r in grain_percentiles(df, ["k"], "v", ps, boundaries="width").collect()}
+    q = {key(r): r["q"] for r in grain_percentiles(df, ["k"], "v", ps, boundaries="quantile").collect()}
+    assert w == q and len(w) == 2 * len(ps)

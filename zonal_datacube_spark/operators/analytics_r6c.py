@@ -79,11 +79,10 @@ def _doubled_ranks_stacked(
     2·avg = 2c + n_v + 1. The strict cumulative count c comes from the
     range-bucketed prefix sweep — no enum-partition window ever touches
     a data-scaled table. ``var`` rides the sweep's PARTITION key, so
-    quantile edges (heavy-tailed price grains stay balanced) are drawn
-    per (part, var): mixing the two value distributions in one column
-    costs no bucket balance. 32 buckets per (part, var) slice keep the
-    same part×var×32 parallelism the two 32-bucket sweeps had, with one
-    sketch pass instead of two.
+    slice bounds are drawn per (part, var): mixing the two value
+    distributions in one column costs no bucket balance. 32 buckets per
+    (part, var) slice keep the same part×var×32 parallelism the two
+    32-bucket sweeps had, with one bounds pass instead of two.
 
     The result is PERSISTED (MEMORY_AND_DISK): both rank-attach joins
     consume it, and Spark plans — not caches — shared DataFrame
@@ -103,7 +102,14 @@ def _doubled_ranks_stacked(
     )
     swept = prefix_sweep(
         grain, [part, "var"], "val", strict_sum_cols={"cum_before": "n_v"},
-        n_buckets=32, boundaries="quantile",
+        # width, not quantile (round-10 second pass): the sweep runs at
+        # the VALUE GRAIN, where slice occupancy counts DISTINCT grid
+        # values — the quantity grid and cent-grid prices are near-dense
+        # on their ranges (max/avg ≤ 1.05 measured at sf0.1), and bounds
+        # are drawn per (part, var) so each variable gets its own range;
+        # skips the GK sketch + per-row edge scan entirely. See
+        # functions/percentiles.py's boundary-mode docstring.
+        n_buckets=32, boundaries="width",
     )
     return swept.select(
         part,

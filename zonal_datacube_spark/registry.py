@@ -115,6 +115,9 @@ KEY_ORDER = (
     "q_report_order_gap_stats",
     "q_behavior_time_to_convert",
     "q_agg_sketch_error_eval",
+    # width-mode boundary switch for value-grain sweeps (r10 third
+    # session) also re-plans the weighted median
+    "q_agg_weighted_median",
 )
 
 
