@@ -278,7 +278,12 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         [],
         "value",
         strict_sum_cols={"cum_before": "n_v"},
-        boundaries="quantile",
+        # width, not quantile: value-grain sweep on the bounded events
+        # value domain — occupancy counts distinct values (axis
+        # concentration 2.8× at sf0.1 ⇒ ≥23 effective buckets, and the
+        # grid saturates toward exact balance at scale); see
+        # functions/percentiles.py's boundary-mode docstring
+        boundaries="width",
     )
     ranked = swept.select(
         "n1_v",

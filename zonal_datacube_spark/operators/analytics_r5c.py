@@ -94,7 +94,11 @@ def q_stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         sum_cols={"cum_a": "ca", "cum_b": "cb"},
         total_sum_cols={"n1": "ca", "n2": "cb"},
-        boundaries="quantile",
+        # width, not quantile: the sweep runs at the cent-grid value
+        # grain of the bounded events domain — occupancy counts
+        # distinct grid values, saturating toward exact balance at
+        # scale; see functions/percentiles.py's boundary-mode docstring
+        boundaries="width",
     )
     ds = F.abs(
         F.col("cum_a") * F.col("n2") - F.col("cum_b") * F.col("n1")

@@ -392,7 +392,12 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority"],
         "o_totalprice",
         strict_sum_cols={"r_before": "c"},
-        boundaries="quantile",
+        # width, not quantile: value-grain sweep on a BOUNDED money
+        # domain — slice occupancy counts distinct cent-grid totals
+        # (max/avg 1.1 measured at sf0.1), and the cent grid saturates
+        # at 100 TB making width exactly balanced; see
+        # functions/percentiles.py's boundary-mode docstring
+        boundaries="width",
     )
     r = F.coalesce(F.col("r_before"), F.lit(0))
     c = F.col("c")

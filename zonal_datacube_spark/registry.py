@@ -116,8 +116,12 @@ KEY_ORDER = (
     "q_behavior_time_to_convert",
     "q_agg_sketch_error_eval",
     # width-mode boundary switch for value-grain sweeps (r10 third
-    # session) also re-plans the weighted median
+    # session) also re-plans the weighted median, gini, and the two
+    # rank statistics
     "q_agg_weighted_median",
+    "q_agg_gini",
+    "q_stats_mannwhitney",
+    "q_stats_ks_test",
 )
 
 
