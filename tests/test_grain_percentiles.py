@@ -116,9 +116,11 @@ def test_no_single_partition_window_in_key_plans(spark):
 
     for q in (q_agg_quantiles_multi, q_dq_outlier_iqr):
         plan = q(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
-        # the buffered exact aggregate is gone; the sweep's bounded
-        # percentile_approx boundary sketch is allowed
+        # the buffered exact aggregate is gone — and since the r10
+        # width-mode switch the boundary pass is a min/max aggregate,
+        # not a GK sketch: value-grain sweeps never pay percentile_approx
         assert "percentile(" not in plan
+        assert "percentile_approx" not in plan
         assert "CartesianProduct" not in plan
 
 

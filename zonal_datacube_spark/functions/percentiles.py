@@ -47,10 +47,14 @@ occupancy counts DISTINCT VALUES, not rows: a million duplicates of one
 hot price are ONE grain row. Every migrated consumer's value axis is a
 (near-)dense bounded grid — money at cent granularity, integer
 quantities, the e6 quality grid, second/day gap counts — so equal-width
-slices hold near-equal numbers of distinct values (measured at sf0.1:
-max/avg bucket occupancy ≤ 1.05 on the price, quantity, and
-|x − median| grains), and at the 100 TB domain-saturation regime this
-class targets the grid is fully dense, making width EXACTLY balanced.
+slices hold near-equal numbers of distinct values. Measured max/avg
+bucket occupancy at sf0.1: ≤ 1.05 on the lineitem price / quantity /
+|x − median| grains; 3–7× on the events value / deviation / gap grains,
+whose exponential-shaped axes are still filling their bounded cent
+grids — that worst case leaves ≥ 9 effective buckets per part (×
+part-key parallelism) and shrinks toward 1 as the grid saturates. At
+the 100 TB domain-saturation regime this class targets every bounded
+grid is fully dense, making width EXACTLY balanced.
 Width also skips quantile mode's per-part GK sketch and its per-row
 63-comparison array scan — measured 3–4× end-to-end on the sf0.1 price
 grain with hash-identical output (both modes are exact; see
