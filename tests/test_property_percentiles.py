@@ -25,7 +25,9 @@ def corpora(draw):
         pool = draw(st.integers(2, 12))
         n = draw(st.integers(1, 40))
         for _ in range(n):
-            v = draw(st.integers(0, pool))
+            # mixed-sign values: the width-mode bucket arithmetic
+            # (value − lo)/width must hold on negative-spanning ranges
+            v = draw(st.integers(-pool, pool))
             # sometimes fractional values (exercise double grains)
             if draw(st.booleans()):
                 rows.append((f"p{part}", float(v) + 0.25))
