@@ -136,6 +136,11 @@ def grain_percentiles_from_counts(
         "_gp_n",
         F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
     )
+    # pos is a DOUBLE product of a literal p and an integer count: exact
+    # while n ≤ 2^53 (~9e15 rows/part — two decades above a 100 TB
+    # corpus); the extracted ranks lo1/hi1 are exact integers under that
+    # bound, which both engines share (DuckDB's quantile_cont runs the
+    # same double arithmetic)
     pos = F.col("p") * (F.col("_gp_n") - 1)
     lo1 = F.floor(pos) + 1  # 1-based lower order-stat rank (BIGINT)
     hi1 = F.ceil(pos) + 1  # 1-based upper order-stat rank (BIGINT)

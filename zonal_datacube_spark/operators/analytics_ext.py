@@ -438,7 +438,11 @@ def q_er_fuzzy_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold bit-identical to the row-grain referee on the fixture and on
     engineered duplicate/edge corpora; the DuckDB oracle keeps the
     row-grain SQL, so driver parity attests the equivalence at every
-    SF."""
+    SF. Bound note: n_pairs is inherently quadratic in block size — the
+    BIGINT count saturates once a (brand, dist) cell holds ~4.3e9
+    mutually-matching rows (n_pairs ≈ n²/2 > 2^63), the same bound the
+    enumerated row-grain count has; blocks that large are a blocking-
+    key-design failure upstream of this operator."""
     return _er_fuzzy_grain(_er_parts(spark, sf_dir))
 
 

@@ -173,7 +173,18 @@ def _skew_join_fold(li: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_items"),
-            F.sum("rev_e4").alias("revenue_e4"),
+            # DECIMAL(38,0) accumulation, not BIGINT: the hot group holds
+            # ~57% of the corpus, and at ~3.6e8 mean rev_e4 an int64 sum
+            # overflows near 2.6e10 rows per group (~4 TB of lineitem) —
+            # far below the 100 TB regime this key stress-tests. The
+            # decimal fold is exact to 1e38; emitted as its exact decimal
+            # string (the q_agg_decimal_exact convention — a cast back to
+            # BIGINT would re-introduce the overflow, a double would
+            # round above 2^53). DuckDB accumulates HUGEINT and renders
+            # the same digits.
+            F.sum(F.col("rev_e4").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("revenue_e4"),
         )
         .orderBy("is_hot", "o_orderpriority")
     )
@@ -333,7 +344,7 @@ ORACLE = {
         )
         SELECT (jk = {SKEW_HOT_KEY}) AS is_hot, o_orderpriority,
                count(*)::BIGINT AS n_items,
-               sum(rev_e4)::BIGINT AS revenue_e4
+               sum(rev_e4)::DECIMAL(38,0)::VARCHAR AS revenue_e4
         FROM l JOIN orders ON o_orderkey = jk
         GROUP BY 1, 2
         ORDER BY 1, 2
