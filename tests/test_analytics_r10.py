@@ -179,3 +179,30 @@ def test_bpe_pairs_match_python_referee(spark):
         for r in q_text_bpe_pairs(spark, SF_SMOKE).collect()
     ]
     assert got == want
+
+
+def test_skew_fold_exact_past_int64(spark):
+    """The DECIMAL(38,0) revenue fold must stay exact where a BIGINT
+    accumulator overflows: five rows of 4e18 rev_e4 sum to 2e19 > 2^63,
+    and the emitted digit string must be Python-exact."""
+    from zonal_datacube_spark.operators.analytics_r10 import (
+        SKEW_HOT_KEY,
+        _skew_join_fold,
+    )
+
+    big = 4_000_000_000_000_000_000  # 4e18; 5x sum = 2e19 > int64 max
+    li = spark.createDataFrame(
+        [(SKEW_HOT_KEY, big)] * 5 + [(7, 123)], "jk long, rev_e4 long"
+    )
+    orders = spark.createDataFrame(
+        [(SKEW_HOT_KEY, "1-URGENT"), (7, "5-LOW")],
+        "o_orderkey long, o_orderpriority string",
+    )
+    got = {
+        (r.is_hot, r.o_orderpriority): (r.n_items, r.revenue_e4)
+        for r in _skew_join_fold(li, orders).collect()
+    }
+    assert got == {
+        (True, "1-URGENT"): (5, str(5 * big)),
+        (False, "5-LOW"): (1, "123"),
+    }
