@@ -545,13 +545,21 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sd").cast("double") / F.col("nd").cast("double")).alias("v2"),
     )
     pairs = a.join(b, "event_type").filter(F.col("d1") < F.col("d2"))
+    # nullif-guarded denominator: the d1 < d2 filter makes d2 − d1 > 0
+    # for every SURVIVING row, but under ANSI mode that guarantee is
+    # only as strong as Catalyst's predicate ordering — an added
+    # conjunct (observed with an experimental sampling filter in the
+    # downstream sweep) can evaluate an expression containing this
+    # division before the d1 < d2 conjunct and raise DIVIDE_BY_ZERO on
+    # a d1 == d2 row. nullif makes the expression total (NULL, never an
+    # error) with identical values on all surviving rows.
     slopes = pairs.select(
         "event_type",
         "d1",
         "d2",
         (
             (F.col("v2") - F.col("v1"))
-            / (F.col("d2") - F.col("d1")).cast("double")
+            / F.nullif((F.col("d2") - F.col("d1")).cast("double"), F.lit(0.0))
         ).alias("slope"),
     )
     ranked = prefix_sweep(
