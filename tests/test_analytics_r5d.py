@@ -198,3 +198,35 @@ def test_acf_matches_numpy_and_scans_once(spark):
     plan = formatted_plan(df)
     scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
     assert len(scan_ids) == 1, plan[:2000]
+
+
+def test_wap_failing_audit_publishes_nothing(spark, tmp_path):
+    """The WAP contract's other half (the fixture always passes, so the
+    declared key never exercises it): a batch that fails an audit must
+    leave NO manifest and NO published data — consumer-invisible — while
+    the ledger records exactly which audit failed."""
+    import os
+
+    from zonal_datacube_spark.operators.analytics_r5d import _audit_and_publish
+
+    # poisoned candidate: one null day key (audit 2) and a count of 0
+    # (audit 3); totals also fail reconciliation against n_src=999
+    cand = spark.createDataFrame(
+        [("2024-01-01", "click", 5, 100), (None, "view", 0, 0)],
+        "day string, event_type string, n bigint, sum_v_c bigint",
+    )
+    root = str(tmp_path / "wap")
+    os.makedirs(root)
+    ledger = {
+        r.check_name: (r.observed, r.passed)
+        for r in _audit_and_publish(spark, cand, 999, root).collect()
+    }
+    assert ledger["2_null_keys"] == (1, False)
+    assert ledger["3_nonpos_counts"] == (1, False)
+    assert ledger["4_reconcile_total"] == (5 - 999, False)
+    assert ledger["5_published_rows"] == (0, False)
+    # the contract: nothing consumer-visible exists
+    assert not os.path.exists(os.path.join(root, "manifest.json"))
+    assert not os.path.exists(os.path.join(root, "published"))
+    # staging exists (the batch is parked for debugging, not published)
+    assert os.path.exists(os.path.join(root, "staging"))

@@ -168,6 +168,16 @@ def q_sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     (root,) = fresh_dirs("q_sink_write_audit_publish", "zds_wap_")
+    n_src = ev.count()
+    return _audit_and_publish(spark, cand, n_src, root)
+
+
+def _audit_and_publish(spark, cand: DataFrame, n_src: int, root: str) -> DataFrame:
+    """The stage → audit → publish machinery, factored so the failing
+    path is injectable: tests/test_analytics_r5d.py feeds a candidate
+    batch with a poisoned key and asserts the WAP CONTRACT — a batch
+    that fails any audit leaves NO manifest and NO published data
+    (consumer-invisible), while the ledger records the failure."""
     staging = os.path.join(root, "staging")
     publish = os.path.join(root, "published")
     cand.write.mode("overwrite").parquet(staging)
@@ -183,16 +193,15 @@ def q_sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n") <= 0).cast("bigint")).alias("n_nonpos"),
         F.sum("n").alias("staged_total"),
     )
-    src = ev.agg(F.count("*").alias("n_src"))
-    row = m.crossJoin(src).collect()[0]
+    row = m.collect()[0]
     audits = [
         ("1_row_count", row.n_rows, row.n_rows >= row.n_days),
         ("2_null_keys", row.n_nullkey, row.n_nullkey == 0),
         ("3_nonpos_counts", row.n_nonpos, row.n_nonpos == 0),
         (
             "4_reconcile_total",
-            row.staged_total - row.n_src,
-            row.staged_total == row.n_src,
+            (row.staged_total or 0) - n_src,
+            row.staged_total == n_src,
         ),
     ]
     if all(p for _, _, p in audits):
@@ -203,7 +212,7 @@ def q_sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             published_path = json.load(fh)["published"]
         n_pub = spark.read.parquet(published_path).count()
         audits.append(("5_published_rows", n_pub, True))
-    else:  # pragma: no cover - audited fixture always publishes
+    else:
         audits.append(("5_published_rows", 0, False))
     return spark.createDataFrame(
         [(c, int(o), bool(p)) for c, o, p in audits],
