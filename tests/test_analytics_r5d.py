@@ -230,3 +230,32 @@ def test_wap_failing_audit_publishes_nothing(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "published"))
     # staging exists (the batch is parked for debugging, not published)
     assert os.path.exists(os.path.join(root, "staging"))
+
+
+def test_wap_empty_batch_emits_failed_ledger(spark, tmp_path):
+    """ADVICE r10: an EMPTY candidate batch used to crash the ledger
+    build — F.sum over zero rows returns NULL and int(None) raises —
+    instead of emitting a failed ledger. The aggregates are now
+    coalesced to 0, so the empty batch reconciles at 0 != n_src, fails
+    audit 4, and publishes nothing."""
+    import os
+
+    from zonal_datacube_spark.operators.analytics_r5d import _audit_and_publish
+
+    cand = spark.createDataFrame(
+        [],
+        "day string, event_type string, n bigint, sum_v_c bigint",
+    )
+    root = str(tmp_path / "wap_empty")
+    os.makedirs(root)
+    ledger = {
+        r.check_name: (r.observed, r.passed)
+        for r in _audit_and_publish(spark, cand, 999, root).collect()
+    }
+    assert ledger["1_row_count"] == (0, True)  # 0 rows >= 0 days
+    assert ledger["2_null_keys"] == (0, True)
+    assert ledger["3_nonpos_counts"] == (0, True)
+    assert ledger["4_reconcile_total"] == (0 - 999, False)
+    assert ledger["5_published_rows"] == (0, False)
+    assert not os.path.exists(os.path.join(root, "manifest.json"))
+    assert not os.path.exists(os.path.join(root, "published"))

@@ -68,7 +68,15 @@ bucket totals), and un-persisted each reference re-scans and re-groups
 the FACT table — three full scans at 100 TB. The grain itself is
 domain-bounded (the precondition this class already documents), so
 caching it is a bounded-table persist, the same discipline as
-q_dq_outlier_iqr's caller-side grain persist.
+q_dq_outlier_iqr's caller-side grain persist. The persist does NOT
+outlive the call (ADVICE r10): the |parts|·|ps|-row result — fences and
+quantile cells, the same control-plane shape as the kmeans centroid
+collect, every declared consumer's part axis a ≤7-value enum — is folded
+EAGERLY and the grain unpersisted before return, so a session invoking
+all 8+ migrated consumers accumulates zero leftover cached grains.
+Callers that fold further statistics from the same grain use
+``grain_percentiles_from_counts`` and own the persist lifecycle
+themselves (q_dq_outlier_iqr).
 """
 
 from __future__ import annotations
@@ -95,13 +103,22 @@ def grain_percentiles(
     the (part, value)-grain prefix sweep (module docstring). Consumers
     pivot the bounded result with conditional aggregates. The grain is
     persisted here (module docstring: the sweep reads it three times —
-    un-persisted that is three fact-table scans at 100 TB)."""
+    un-persisted that is three fact-table scans at 100 TB) and released
+    before return: the result is eagerly folded to its |parts|·|ps| rows
+    (driver traffic bounded by the enum part axes of every declared
+    consumer) and handed back as a local relation, so no cached grain
+    outlives the call (ADVICE r10)."""
     parts = list(part_cols)
     counts = df.groupBy(*parts, val_col).agg(F.count("*").alias("_gp_c"))
     counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
-    return grain_percentiles_from_counts(
-        counts, parts, val_col, "_gp_c", ps, boundaries=boundaries
-    )
+    try:
+        long_df = grain_percentiles_from_counts(
+            counts, parts, val_col, "_gp_c", ps, boundaries=boundaries
+        )
+        rows = long_df.collect()
+    finally:
+        counts.unpersist()
+    return df.sparkSession.createDataFrame(rows, long_df.schema)
 
 
 def grain_percentiles_from_counts(

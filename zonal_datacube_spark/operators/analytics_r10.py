@@ -28,8 +28,10 @@ highest-value absent shapes.
 
 Determinism (FIXTURES.md cookbook): revenue rides the 1e4 integer grid
 (``floor(price·(1−disc)·1e4 + 0.5)`` — one identical IEEE chain per row
-in both engines, then exact BIGINT sums), cosine scores round at 6dp on
-DOUBLE inner products exactly like the existing similarity keys.
+in both engines, then an exact DECIMAL(38,0) fold emitted as its decimal
+string, since the engineered 57%-hot group would overflow an int64 sum
+near 2.6e10 rows/group), cosine scores round at 6dp on DOUBLE inner
+products exactly like the existing similarity keys.
 """
 
 from __future__ import annotations
@@ -138,8 +140,9 @@ def q_join_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes with the broadcast path disabled, and that the split run's
     result is row-identical to the default run — AQE only re-plans
     the exchange, never the answer. Revenue folds on the 1e4 integer
-    grid (exact BIGINT sums — a 3.4e9-magnitude double sum would sit
-    within FP noise of a 4dp rounding grain at this row count)."""
+    grid into an exact DECIMAL(38,0) sum emitted as its decimal string
+    (the hot group's int64 sum would overflow near 2.6e10 rows/group;
+    a double sum would round above 2^53 — see _skew_join_fold)."""
     li = _skewed_fact(load_table(spark, sf_dir, "lineitem"))
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"

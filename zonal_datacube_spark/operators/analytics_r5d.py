@@ -185,13 +185,22 @@ def _audit_and_publish(spark, cand: DataFrame, n_src: int, root: str) -> DataFra
     m = staged.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("day").alias("n_days"),
-        F.sum(
-            (F.col("day").isNull() | F.col("event_type").isNull()).cast(
-                "bigint"
-            )
+        # coalesce: F.sum over an EMPTY staged batch returns NULL, and the
+        # ledger build below casts every observed value with int(o) — the
+        # injectable empty-candidate failure must emit a failed ledger row,
+        # never crash on a None.
+        F.coalesce(
+            F.sum(
+                (F.col("day").isNull() | F.col("event_type").isNull()).cast(
+                    "bigint"
+                )
+            ),
+            F.lit(0),
         ).alias("n_nullkey"),
-        F.sum((F.col("n") <= 0).cast("bigint")).alias("n_nonpos"),
-        F.sum("n").alias("staged_total"),
+        F.coalesce(
+            F.sum((F.col("n") <= 0).cast("bigint")), F.lit(0)
+        ).alias("n_nonpos"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("staged_total"),
     )
     row = m.collect()[0]
     audits = [
