@@ -8,6 +8,7 @@ locally (SURVEY.md §2 footer rule).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import duckdb
@@ -20,9 +21,12 @@ from zonal_datacube_spark.sources.loader import TABLES
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # multi-file layouts (tools/scale_rehearsal.py writes each table as
+        # a directory of part files, the shape a real cluster produces)
+        # need a glob; the driver's single-file fixtures stay verbatim
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     return con
 
 
