@@ -1,0 +1,280 @@
+#!/usr/bin/env python
+"""Fourth scaling point for the grain-bounded value sweeps
+(VERDICT r10 next-round #2).
+
+SCALING.json measures every key at sf0.001/0.01/0.1; the width-mode
+argument for the value-grain prefix sweeps ("bounded grids go dense at
+100 TB, so the grain stops growing and width boundaries are exactly
+balanced", SURVEY §8.5 / functions/percentiles.py) was extrapolated
+from sf0.1. This tool manufactures a ~10× corpus (sf1x) by self-union
+with RE-KEYED ids and ON-GRID value jitter, then measures the
+grain-bounded keys at the 4th point and — the part a wall-clock number
+alone can't show — decomposes each ratio into GRAIN growth × time per
+grain row:
+
+* fact ids shift by copy·1e9 (keys stay unique, orders↔lineitem FKs
+  stay consistent);
+* graining values shift by copy·0.01 — still on the cent grid, same
+  domain, so new copies mimic fresh draws from the same quantized
+  distribution instead of freezing the grain at 1× (a verbatim
+  self-union would hand the sweep a grain that never grows — the
+  favorable case, not the honest one);
+* dates/timestamps stay — the day/minute grains are bounded by TIME
+  SPAN and saturate immediately (that IS their claim);
+* documents duplicate verbatim (token-count grains are already dense).
+
+What "bending toward the asymptote" means per table (cent-grid cells ×
+enum parts vs rows at sf1x):
+
+* events.value lives on a ~20k-cell grid — at 1M rows the per-(type,
+  cent) grain crosses saturation and its growth must measurably drop
+  below 10×;
+* lineitem.l_extendedprice (~1e7 cells) approaches ~0.6 rows/cell —
+  growth should begin dipping under 10×;
+* orders.o_totalprice (~6e7 cells) is still sparse at 15M rows — grain
+  growth stays ~10× HERE, and saturation arrives only at the 100 TB
+  row counts the claim targets (1.5e9 orders → ~25 rows/cell); the
+  artifact records that honestly instead of claiming a bend.
+
+The gate is therefore time-per-grain-row: for every key,
+t(sf1x)/t(sf0.1) divided by grain growth must stay ≤ ~2× — the sweep's
+cost is its grain, so a flat normalized ratio IS the asymptote argument
+even where the grain itself still grows.
+
+Writes SCALING4.json + SCALING4.md. Usage:
+  python tools/scaling_point4.py [--rebuild] [key ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from zonal_datacube_spark.registry import all_queries
+from zonal_datacube_spark.session import get_spark
+from zonal_datacube_spark.sources.loader import TABLES, load_table
+
+BASE_SF = "/root/testdata/sf0.1"
+DEST = "/tmp/zds_sf1x"
+N_COPIES = 10
+ID_OFF = 1_000_000_000
+N_RUNS = 3
+
+# the grain-bounded keys the width-mode / saturation argument covers
+KEYS = [
+    "q_agg_gini",
+    "q_agg_weighted_median",
+    "q_agg_quantiles_multi",
+    "q_agg_percentile",
+    "q_agg_percentile_disc",
+    "q_agg_winsorized_mean",
+    "q_stats_mannwhitney",
+    "q_stats_ks_test",
+    "q_stats_spearman",
+    "q_window_ntile",
+    "q_dq_outlier_iqr",
+    "q_dq_outlier_mad",
+    "q_data_curriculum_tokens",
+    "q_report_order_gap_stats",
+]
+
+# table-level grain probes (part × value-grid distinct counts) used to
+# decompose each key's wall-clock ratio into grain growth × per-row cost
+GRAINS = {
+    "lineitem (flag, price)": (
+        "lineitem",
+        lambda df: df.select("l_returnflag", "l_extendedprice"),
+    ),
+    "orders (priority, totalprice)": (
+        "orders",
+        lambda df: df.select("o_orderpriority", "o_totalprice"),
+    ),
+    "events (type, value cents)": (
+        "events",
+        lambda df: df.select(
+            "event_type", F.floor(F.col("value") * 100 + 0.5).alias("vc")
+        ),
+    ),
+    "documents (token count)": (
+        "documents",
+        lambda df: df.select(
+            F.size(F.split(F.col("body"), r"\s+")).alias("ntok")
+        ),
+    ),
+}
+
+# which grain probe explains which key's sweep input
+KEY_GRAIN = {
+    "q_agg_gini": "orders (priority, totalprice)",
+    "q_agg_weighted_median": "lineitem (flag, price)",
+    "q_agg_quantiles_multi": "lineitem (flag, price)",
+    "q_agg_percentile": "lineitem (flag, price)",
+    "q_agg_percentile_disc": "lineitem (flag, price)",
+    "q_agg_winsorized_mean": "lineitem (flag, price)",
+    "q_stats_mannwhitney": "events (type, value cents)",
+    "q_stats_ks_test": "events (type, value cents)",
+    "q_stats_spearman": "lineitem (flag, price)",
+    "q_window_ntile": "orders (priority, totalprice)",
+    "q_dq_outlier_iqr": "lineitem (flag, price)",
+    "q_dq_outlier_mad": "events (type, value cents)",
+    "q_data_curriculum_tokens": "documents (token count)",
+    "q_report_order_gap_stats": "orders (priority, totalprice)",
+}
+
+
+def _copies(spark):
+    return spark.range(N_COPIES).select(F.col("id").alias("_cp"))
+
+
+def build_sf1x(spark, rebuild: bool) -> None:
+    marker = os.path.join(DEST, "_SF1X_OK")
+    if os.path.exists(marker) and not rebuild:
+        return
+    if os.path.isdir(DEST):
+        shutil.rmtree(DEST)
+    os.makedirs(DEST)
+    cp = F.col("_cp")
+
+    def fan(table: str, repl: dict[str, F.Column]):
+        df = load_table(spark, BASE_SF, table)
+        wide = df.crossJoin(_copies(spark))
+        cols = [
+            (repl[c] if c in repl else F.col(c)).alias(c) for c in df.columns
+        ]
+        wide.select(*cols).repartition(16).write.mode("overwrite").parquet(
+            os.path.join(DEST, f"{table}.parquet")
+        )
+
+    fan(
+        "orders",
+        {
+            "o_orderkey": F.col("o_orderkey") + cp * ID_OFF,
+            "o_totalprice": F.col("o_totalprice") + cp * F.lit(0.01),
+        },
+    )
+    fan(
+        "lineitem",
+        {
+            "l_orderkey": F.col("l_orderkey") + cp * ID_OFF,
+            "l_extendedprice": F.col("l_extendedprice") + cp * F.lit(0.01),
+        },
+    )
+    fan(
+        "events",
+        {
+            "event_id": F.col("event_id") + cp * ID_OFF,
+            "value": F.col("value") + cp * F.lit(0.01),
+        },
+    )
+    fan("documents", {"doc_id": F.col("doc_id") + cp * ID_OFF})
+    for t in TABLES:
+        if t in ("orders", "lineitem", "events", "documents"):
+            continue
+        src = os.path.join(BASE_SF, f"{t}.parquet")
+        shutil.copyfile(src, os.path.join(DEST, f"{t}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write(f"{BASE_SF} x{N_COPIES}\n")
+
+
+def main() -> int:
+    rebuild = "--rebuild" in sys.argv[1:]
+    only = [a for a in sys.argv[1:] if a != "--rebuild"]
+    keys = only or KEYS
+    queries = all_queries()
+    spark = get_spark("zds-scaling4")
+    build_sf1x(spark, rebuild)
+
+    with open("SCALING.json") as f:
+        base = json.load(f)["results"]
+
+    grains: dict[str, dict[str, int]] = {}
+    for gname, (table, proj) in GRAINS.items():
+        grains[gname] = {
+            "sf0.1": proj(load_table(spark, BASE_SF, table)).distinct().count(),
+            "sf1x": proj(load_table(spark, DEST, table)).distinct().count(),
+        }
+
+    results: dict[str, dict[str, float]] = {}
+    for k in keys:
+        queries[k](spark, DEST).count()  # warm
+        times = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            queries[k](spark, DEST).count()
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        t1x = round(times[len(times) // 2], 3)
+        t01 = base[k]["sf0.1"]
+        g = grains[KEY_GRAIN[k]]
+        ggrow = g["sf1x"] / g["sf0.1"]
+        ratio = t1x / t01 if t01 else float("inf")
+        results[k] = {
+            "sf0.1": t01,
+            "sf1x": t1x,
+            "ratio": round(ratio, 2),
+            "grain": KEY_GRAIN[k],
+            "grain_growth": round(ggrow, 2),
+            "per_grain_ratio": round(ratio / ggrow, 2),
+        }
+        print(f"{k}: {t01} -> {t1x} s ({ratio:.2f}x; grain {ggrow:.2f}x; "
+              f"normalized {ratio/ggrow:.2f}x)", file=sys.stderr)
+
+    with open("SCALING4.json", "w") as f:
+        json.dump(
+            {"base": "sf0.1", "copies": N_COPIES, "n_runs": N_RUNS,
+             "grains": grains, "results": results},
+            f, indent=1,
+        )
+    with open("SCALING4.md", "w") as f:
+        f.write(
+            "# 4th scaling point — grain-bounded value sweeps at ~10x "
+            "sf0.1 (synthetic sf1x)\n\n"
+            "Corpus: sf0.1 self-unioned 10x with re-keyed ids and on-grid "
+            "cent jitter (tools/scaling_point4.py — jitter makes copies "
+            "act like fresh draws from the same quantized distribution, "
+            "so the value grain grows naturally toward its domain bound "
+            "instead of being frozen at 1x).\n\n"
+            "## Grain growth at 10x rows\n\n"
+            "| grain | sf0.1 cells | sf1x cells | growth |\n|---|---|---|---|\n"
+        )
+        for gname, g in grains.items():
+            f.write(
+                f"| {gname} | {g['sf0.1']} | {g['sf1x']} "
+                f"| {g['sf1x']/g['sf0.1']:.2f}x |\n"
+            )
+        f.write(
+            "\n## Key timings (warm 3-run medians)\n\n"
+            "| key | sf0.1 s | sf1x s | 10x-data ratio | grain growth "
+            "| ratio / grain growth |\n|---|---|---|---|---|---|\n"
+        )
+        for k, r in results.items():
+            f.write(
+                f"| {k} | {r['sf0.1']} | {r['sf1x']} | {r['ratio']:.2f}x "
+                f"| {r['grain_growth']:.2f}x | {r['per_grain_ratio']:.2f}x |\n"
+            )
+        f.write(
+            "\nReading: the sweeps' cost driver is the GRAIN, so the "
+            "normalized column (wall-clock growth per unit of grain "
+            "growth) is the asymptote evidence — ~1x means the plan "
+            "scales with its grain and the flat-at-saturation claim "
+            "follows wherever the domain bound caps the grain. The grain "
+            "table shows where saturation already bit at sf1x (the ~20k-"
+            "cell events cent grid) and where the domain is still sparse "
+            "(orders' ~6e7-cell totalprice grid keeps growing ~10x here "
+            "and saturates only at 100 TB row counts — recorded honestly "
+            "rather than claimed bent).\n"
+        )
+    print(json.dumps({"keys": len(results),
+                      "worst_norm": max(r["per_grain_ratio"] for r in results.values())}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
