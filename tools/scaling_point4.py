@@ -105,7 +105,7 @@ GRAINS = {
     "documents (token count)": (
         "documents",
         lambda df: df.select(
-            F.size(F.split(F.col("body"), r"\s+")).alias("ntok")
+            F.size(F.split(F.col("text"), r"\s+")).alias("ntok")
         ),
     ),
 }
