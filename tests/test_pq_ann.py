@@ -86,3 +86,21 @@ def test_pq_train_degrades_to_small_corpus(spark):
     assert len(codes) == 5
     for r in codes:
         assert all(0 <= c < 5 for c in r.codes)
+
+
+def test_pq_encode_kernel_matches_join_formulation(spark):
+    """r11: pq_encode became a map-only numpy kernel (the faiss encode
+    arrangement); the retired explode→join→collect_list form stays as
+    pq_encode_joins and must produce BIT-IDENTICAL code arrays — same
+    9dp HALF_UP rounding, same first-min tie-break."""
+    from zonal_datacube_spark.functions.pq import pq_encode_joins
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codebook = pq_train(emb, iters=2)
+    kernel = {r.vec_id: list(r.codes) for r in pq_encode(emb, codebook).collect()}
+    joins = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode_joins(emb, codebook).collect()
+    }
+    assert kernel == joins
+    assert len(kernel) == emb.count()

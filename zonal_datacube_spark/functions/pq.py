@@ -176,7 +176,61 @@ def pq_encode(
     emb: DataFrame, codebook: DataFrame, m: int = PQ_M, dim: int | None = None
 ) -> DataFrame:
     """(vec_id, codes ARRAY<INT>) — the compressed corpus representation:
-    m small ints instead of dim floats."""
+    m small ints instead of dim floats.
+
+    Encode is a MAP-ONLY Arrow kernel (r11): the codebook is
+    control-plane sized (m×ksub×(dim/m) doubles ≈ 8 KB) and ships
+    closure-captured; each batch computes every subspace's squared
+    distances with ONE numpy broadcast — the same ``((sub - cb)**2).
+    sum(-1)`` + 9dp HALF_UP + first-argmin chain ``pq_train`` already
+    uses, so train and encode share one arithmetic path by construction.
+    No corpus row ever shuffles (the r10 form exploded corpus×m
+    subvector rows, hash-joined the broadcast codebook, and re-grouped
+    TWICE to reassemble the code array — two data-scaled shuffles whose
+    only product was the row layout this kernel emits directly; it
+    dominated q_sim_opq_eval's wall time, VERDICT r10 watch item #1).
+    This is faiss's encode arrangement: dense linear algebra per batch,
+    exactly the mapInPandas case ``_rotate`` documents.
+    ``pq_encode_joins`` keeps the pure-JVM join formulation;
+    tests/test_pq_ann.py pins the two bit-identical on the fixture."""
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
+    d = dim // m
+    rows = codebook.collect()  # bounded: m × ksub_eff codebook entries
+    ksub_eff = max(r.code for r in rows) + 1
+    cb_list = [[None] * ksub_eff for _ in range(m)]
+    for r in rows:
+        cb_list[r.sub][r.code] = [float(v) for v in r.cvec]
+    assert all(all(c is not None for c in sub) for sub in cb_list)
+
+    def encode_batches(batches):
+        cb = np.array(cb_list, dtype=np.float64)  # m × ksub × d
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sub = x.reshape(len(pdf), m, d).transpose(1, 0, 2)  # m × n × d
+            d2 = ((sub[:, :, None, :] - cb[:, None, :, :]) ** 2).sum(-1)
+            d2 = np.floor(d2 * 1e9 + 0.5) / 1e9  # HALF_UP 9dp (d2 >= 0)
+            codes = d2.argmin(-1).T.astype(np.int32)  # n × m, first-min tie
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode_batches, "vec_id bigint, codes array<int>"
+    )
+
+
+def pq_encode_joins(
+    emb: DataFrame, codebook: DataFrame, m: int = PQ_M, dim: int | None = None
+) -> DataFrame:
+    """The pure-JVM encode formulation (explode → broadcast join →
+    min-struct → collect_list) — kept as the Arrow-free fallback and as
+    the differential referee for the kernel ``pq_encode``."""
     if dim is None:
         dim = len(emb.select("embedding").first()[0])
     assigned = _assign(_subvectors(emb, m, dim), codebook, dim // m)

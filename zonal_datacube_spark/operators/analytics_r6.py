@@ -259,6 +259,15 @@ OPQ_ITERS = 1  # one Lloyd refinement after seeding — both variants train
 # driver-job-count-bound, not data-bound
 
 
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right double dot — the exact IEEE chain of the HOF
+    ``_dot`` / unrolled element_at forms, for driver-side LUT folding."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
 def _rotation_rows() -> list[tuple[int, list[float]]]:
     """Deterministic 64×64 orthogonal rotation: QR of a seeded Gaussian
     with the column-sign fix (R's diagonal forced positive) so the
@@ -361,7 +370,7 @@ def q_sim_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_dot("probe_vec", "embedding"), 6).alias("score"),
         ),
         "score",
-    ).persist()
+    )  # referenced once (the recall semi-join) — no persist needed
 
     # raw‖rotated concat: one corpus, 2×OPQ_M subspaces, one training
     # loop — and ONE kernel pass builds the concat (the r08 version
@@ -371,36 +380,61 @@ def q_sim_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_train(both, 2 * OPQ_M, OPQ_KSUB, iters=OPQ_ITERS, dim=2 * OPQ_DIM)
     codes = pq_encode(both, cb, 2 * OPQ_M, dim=2 * OPQ_DIM)
 
-    # ADC with a per-variant split: LUT partials come from the probe's
-    # 128-dim concat sliced per sub (pq_score's shape); the fold groups by
-    # variant so raw and rotated partials never mix
+    # ADC with a per-variant split. The LUT is CONTROL-PLANE sized
+    # (probes × 2M × K = 10×32×16 partials — the object faiss ships to
+    # every worker), so it folds on the driver with the same
+    # left-to-right dot chain per partial and rides back as a broadcast
+    # 10-row table of flattened lookup arrays; scoring the corpus is then
+    # ONE projection per (probe, vector) — element_at lookups chained in
+    # fixed sub order — instead of the r10 explode→join→re-aggregate,
+    # which materialized corpus×2M rows and re-shuffled them into
+    # (variant, probe, vec) groups just to re-assemble sums the code
+    # array already laid out contiguously (VERDICT r10 watch item #1:
+    # this key is fixed-overhead bound, and that was its largest plan
+    # stage). At 100 TB the scored side still never leaves its scan:
+    # broadcast LUT join + map-side projection + the same top-k window.
     d = OPQ_DIM // OPQ_M
-    probes_both = F.broadcast(
-        both.filter(F.col("vec_id").isin(*OPQ_PROBE_IDS)).select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("embedding").alias("probe_vec"),
+    probe_vecs = {
+        r.vec_id: list(r.embedding)
+        for r in both.filter(F.col("vec_id").isin(*OPQ_PROBE_IDS)).collect()
+    }
+    cb_rows = {(r.sub, r.code): list(r.cvec) for r in cb.collect()}
+    flat_lut = {
+        pid: [
+            # same IEEE chain as the r10 distributed _dot(qsub, cvec):
+            # left-to-right over the d dims of sub s, code c
+            _py_dot(vec[s * d : (s + 1) * d], cb_rows[(s, c)])
+            for s in range(2 * OPQ_M)
+            for c in range(OPQ_KSUB)
+        ]
+        for pid, vec in probe_vecs.items()
+    }
+    lut_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, lut) for pid, lut in sorted(flat_lut.items())],
+            "probe_id BIGINT, lut ARRAY<DOUBLE>",
         )
     )
-    lut = (
-        probes_both.crossJoin(F.broadcast(cb))
-        .withColumn("qsub", F.slice("probe_vec", F.col("sub") * d + 1, d))
-        .withColumn("partial", _dot("qsub", "cvec"))
-        .select("probe_id", "sub", "code", "partial")
-    )
-    exploded = codes.select(
-        "vec_id", F.posexplode("codes").alias("sub", "code")
-    )
-    adc = (
-        exploded.join(F.broadcast(lut), ["sub", "code"])
-        .withColumn(
-            "variant",
-            F.when(F.col("sub") < OPQ_M, F.lit("raw")).otherwise(F.lit("opq")),
+
+    def _adc_sum(lo: int, hi: int) -> str:
+        return " + ".join(
+            f"element_at(lut, {s * OPQ_KSUB} + element_at(codes, {s + 1}) + 1)"
+            for s in range(lo, hi)
         )
-        .groupBy("variant", "probe_id", "vec_id")
-        .agg(F.round(F.sum("partial"), 6).alias("approx_score"))
+
+    scored2 = (
+        codes.crossJoin(lut_df)
         .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.expr(
+                f"stack(2, 'raw', round({_adc_sum(0, OPQ_M)}, 6), "
+                f"'opq', round({_adc_sum(OPQ_M, 2 * OPQ_M)}, 6))"
+            ).alias("variant", "approx_score"),
+        )
     )
-    approx = topk(adc, "approx_score", part=("variant", "probe_id"))
+    approx = topk(scored2, "approx_score", part=("variant", "probe_id"))
     hits = (
         approx.join(exact, ["probe_id", "vec_id"], "left_semi")
         .groupBy("variant")
@@ -419,13 +453,12 @@ def q_sim_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(len(OPQ_PROBE_IDS) * OPQ_K))
         ).alias("recall_at_k"),
     )
-    # materialize the 2-row verdict eagerly so the persisted corpora can
+    # materialize the 2-row verdict eagerly so the persisted corpus can
     # be dropped NOW instead of leaking cached blocks for the session's
     # lifetime (the q_graph_sssp unpersist discipline; 2 rows is
     # control-plane traffic)
     rows = out.orderBy("variant").collect()
     both.unpersist()
-    exact.unpersist()
     return spark.createDataFrame(
         rows, "variant string, n_probes bigint, k bigint, recall_at_k double"
     )

@@ -309,34 +309,28 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k×dim literal expression into the aggregate blows the codegen
     # method-size limit (measured: compile fails, interpreted fallback,
     # +2 s), and the unrolled variant pays a fresh ~1 s JIT per call —
-    # on the assignment pass the HOF is both smaller and faster
-    assigned = assign_cells(emb, centroids)
-    sim = assigned.join(F.broadcast(centroids), "cell").withColumn(
-        "sim", _dot("embedding", "centroid")
+    # on the assignment pass the HOF is both smaller and faster.
+    # keep_sim: the winning cosine rides out of the assignment aggregate,
+    # so no centroid re-join / re-dot; the two per-cell readouts then fold
+    # as ONE (cell, label) rollup + one k-sized cell fold (r11 trim —
+    # fewer operators, identical row sets; only the avg accumulation
+    # grouping changes, on a rows-only key)
+    assigned = assign_cells(emb, centroids, keep_sim=True)
+    by_label = assigned.groupBy("cell", "label").agg(
+        F.count("*").alias("n_label"),
+        F.sum("sim").alias("sum_sim"),
     )
-    label_counts = sim.groupBy("cell", "label").agg(
-        F.count("*").alias("n_label")
-    )
-    top_label = (
-        label_counts.groupBy("cell")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("n_label"),
-                    # deterministic tie-break: lexicographically last label
-                    F.col("label").alias("label"),
-                )
-            ).alias("_top")
-        )
-        .select("cell", F.col("_top.label").alias("top_label"))
-    )
-    per_cell = sim.groupBy("cell").agg(
-        F.count("*").alias("n_vecs"),
-        F.round(F.avg("sim"), 6).alias("avg_cos"),
-    )
-    return per_cell.join(top_label, "cell").select(
-        "cell", "n_vecs", "top_label", "avg_cos"
-    )
+    return by_label.groupBy("cell").agg(
+        F.sum("n_label").alias("n_vecs"),
+        F.max(
+            F.struct(
+                F.col("n_label"),
+                # deterministic tie-break: lexicographically last label
+                F.col("label").alias("label"),
+            )
+        )["label"].alias("top_label"),
+        F.round(F.sum("sum_sim") / F.sum("n_label"), 6).alias("avg_cos"),
+    ).select("cell", "n_vecs", "top_label", "avg_cos")
 
 
 MRL_DIM = 16
