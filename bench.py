@@ -86,13 +86,30 @@ def main() -> int:
     # repo's own 3-run medians live in BENCH_FULL.json). Default stays 1
     # so the driver's per-round budget is unchanged.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    load_before = os.getloadavg()
     samples: dict[str, list[float]] = {k: [] for k in queries}
     for _ in range(n_runs):
         for key in sorted(queries):
             t0 = time.perf_counter()
             queries[key](spark, sf_dir).toPandas()
             samples[key].append(round(time.perf_counter() - t0, 4))
+    load_after = os.getloadavg()
     timings = {k: sorted(v)[len(v) // 2] for k, v in samples.items()}
+
+    # Noise discipline (VERDICT r10 next-round #4): same-code samples have
+    # measured 3% suite drift and 11% driver-run drift under external
+    # load, which makes per-key deltas hard to adjudicate. Record the
+    # box's loadavg around the measured loop and flag every key whose
+    # max/median sample ratio exceeds 1.5 — a wide spread means the
+    # median itself was taken under shifting load and a cross-round delta
+    # on that key should be re-measured before it's called a regression.
+    suspect = suspect_keys(samples, timings)
+    if suspect:
+        print(
+            f"suspect under load ({len(suspect)} keys, max/median > 1.5): "
+            + ", ".join(suspect),
+            file=sys.stderr,
+        )
 
     # Full-precision per-query detail for human/judge consumption — the
     # stdout line below is width-budgeted for the driver's tail buffer.
@@ -112,12 +129,34 @@ def main() -> int:
                     k: {"min": min(v), "median": timings[k], "max": max(v)}
                     for k, v in samples.items()
                 },
+                "loadavg": {
+                    "before": [round(x, 2) for x in load_before],
+                    "after": [round(x, 2) for x in load_after],
+                },
+                "suspect_under_load": suspect,
                 "total": round(sum(timings.values()), 4),
             },
             f,
         )
     print(bench_json_line(timings, sf))
     return 0
+
+
+def suspect_keys(
+    samples: dict[str, list[float]],
+    medians: dict[str, float],
+    threshold: float = 1.5,
+) -> list[str]:
+    """Keys whose max/median sample ratio exceeds ``threshold`` — their
+    median was taken under shifting load, so a cross-round delta on them
+    needs a re-measure before it's adjudicated as a regression (VERDICT
+    r10 next-round #4). Single-run invocations have no spread and flag
+    nothing."""
+    return sorted(
+        k
+        for k, v in samples.items()
+        if len(v) > 1 and medians[k] > 0 and max(v) / medians[k] > threshold
+    )
 
 
 def resolve_bench_full_path(path: str, n_runs: int, force: bool = False) -> str:

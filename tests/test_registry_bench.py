@@ -19,7 +19,28 @@ from zonal_datacube_spark.registry import KEY_ORDER, all_oracle_sql, all_queries
 # and every EARLIER round's artifact must (ADVICE r08: the old
 # r0[1-7] glob silently pinned the derivation and made each rotation a
 # manual edit the docstring claimed was automatic).
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
+
+CHANGED_IN_R11 = (
+    # round-11 perf rewrites (VERDICT r10 next-round #3), re-proven by
+    # differential tests (pq encode kernel ≡ join form) and PARITY_r11:
+    # map-only PQ encode + driver-folded ADC LUT, fused kmeans readout
+    "q_sim_opq_eval",
+    "q_embed_kmeans",
+    "q_sim_pq_ann",
+    "q_sim_ivfpq",
+    # eager grain_percentiles fold (ADVICE r10 cache-leak fix) — same
+    # values (unchanged oracles), new plan boundary
+    "q_agg_percentile",
+    "q_agg_quantiles_multi",
+    "q_agg_winsorized_mean",
+    "q_dq_outlier_mad",
+    "q_agg_sketch_error_eval",
+    "q_report_order_gap_stats",
+    "q_behavior_time_to_convert",
+    # null-guarded WAP ledger aggregates (ADVICE r10)
+    "q_sink_write_audit_publish",
+)
 
 CHANGED_IN_R10 = (
     # round-10 scale fixes (VERDICT r09 next-round #2/#3), re-attested
@@ -124,7 +145,9 @@ def test_registry_order_puts_priority_keys_first():
         f"({dark_total} dark keys remain registry-wide)"
     )
     # changed keys are re-proven by the parity artifact, not the window
-    for k in CHANGED_IN_R08 + CHANGED_IN_R09 + CHANGED_IN_R10:
+    for k in (
+        CHANGED_IN_R08 + CHANGED_IN_R09 + CHANGED_IN_R10 + CHANGED_IN_R11
+    ):
         assert k in all_queries(), k
 
 
@@ -265,3 +288,19 @@ def test_bench_full_clobber_guard(tmp_path):
     with open(target, "w") as fh:
         fh.write("{torn")
     assert resolve_bench_full_path(target, 1) == target
+
+
+def test_suspect_keys_flags_wide_spread_only():
+    """Noise discipline (VERDICT r10 next-round #4): keys whose
+    max/median ratio exceeds 1.5 are flagged as measured-under-load;
+    single-run samples and tight spreads are not."""
+    from bench import suspect_keys
+
+    samples = {
+        "q_tight": [1.0, 1.02, 1.05],
+        "q_loaded": [1.0, 1.1, 2.0],
+        "q_single": [9.9],
+        "q_zero": [0.0, 0.0],
+    }
+    medians = {k: sorted(v)[len(v) // 2] for k, v in samples.items()}
+    assert suspect_keys(samples, medians) == ["q_loaded"]

@@ -79,8 +79,39 @@ _MODULES = (
 # fewer than 40 dark keys left, the window floor in
 # tests/test_registry_bench.py drops to the dark remainder (the final
 # rotation). Keys not listed sort after listed ones, alphabetically.
+# Round-11 rotation: the driver-attested union reached 345/345 in r10
+# (zero dark keys remain), so the window's job flips from attestation
+# completion to RE-ATTESTING this round's changed plans: the PQ encode
+# kernel + driver-folded ADC LUT (opq_eval, pq_ann, ivfpq), the fused
+# kmeans readout, the eager grain_percentiles fold (its 8+ consumers),
+# the null-guarded WAP ledger, and the 4th-scaling-point cohort whose
+# saturation evidence SCALING4.md now records.
 KEY_ORDER = (
-    # --- the 10 never-driver-sampled keys (attestation completion) ---
+    # --- r11 perf rewrites (VERDICT r10 next-round #3) ---
+    "q_sim_opq_eval",
+    "q_embed_kmeans",
+    "q_sim_pq_ann",
+    "q_sim_ivfpq",
+    # --- r11 eager grain_percentiles consumers (ADVICE r10 fix) ---
+    "q_agg_percentile",
+    "q_agg_quantiles_multi",
+    "q_agg_winsorized_mean",
+    "q_dq_outlier_mad",
+    "q_agg_sketch_error_eval",
+    "q_report_order_gap_stats",
+    "q_behavior_time_to_convert",
+    "q_sink_write_audit_publish",
+    # --- r11 4th-scaling-point cohort (SCALING4.md) ---
+    "q_agg_gini",
+    "q_agg_weighted_median",
+    "q_agg_percentile_disc",
+    "q_dq_outlier_iqr",
+    "q_stats_mannwhitney",
+    "q_stats_ks_test",
+    "q_stats_spearman",
+    "q_window_ntile",
+    "q_data_curriculum_tokens",
+    # --- r10 cohort kept in the window (recent plans, cheap re-attest) ---
     "q_report_pvm_decomposition",
     "q_report_returned_items",
     "q_report_revenue_change",
@@ -91,37 +122,14 @@ KEY_ORDER = (
     "q_report_supplier_part_counts",
     "q_text_bm25_wand",
     "q_text_retrieval_eval_fixed",
-    # --- round-10 changed keys: fresh driver attestation of the
-    #     un-hinted / rewritten plans ---
     "q_text_pmi",
     "q_text_lm_score",
-    "q_stats_spearman",
-    # --- declared new in round 10 (never sampled, so window slots too) ---
     "q_sim_join_auto",
     "q_join_skew_split",
     "q_sim_hard_negatives",
     "q_text_bpe_pairs",
     "q_data_dsir_weights",
-    "q_data_curriculum_tokens",
-    # --- round-10 scale rewrites (fresh attestation of the new plans):
-    #     the name-grain ER fold and the eight exact-percentile keys
-    #     migrated onto the grain sweep (functions/percentiles.py) ---
     "q_er_fuzzy_block",
-    "q_agg_quantiles_multi",
-    "q_agg_percentile",
-    "q_dq_outlier_iqr",
-    "q_dq_outlier_mad",
-    "q_agg_winsorized_mean",
-    "q_report_order_gap_stats",
-    "q_behavior_time_to_convert",
-    "q_agg_sketch_error_eval",
-    # width-mode boundary switch for value-grain sweeps (r10 third
-    # session) also re-plans the weighted median, gini, and the two
-    # rank statistics
-    "q_agg_weighted_median",
-    "q_agg_gini",
-    "q_stats_mannwhitney",
-    "q_stats_ks_test",
 )
 
 
