@@ -139,3 +139,20 @@ def test_width_and_quantile_modes_identical(spark):
     w = {key(r): r["q"] for r in grain_percentiles(df, ["k"], "v", ps, boundaries="width").collect()}
     q = {key(r): r["q"] for r in grain_percentiles(df, ["k"], "v", ps, boundaries="quantile").collect()}
     assert w == q and len(w) == 2 * len(ps)
+
+
+def test_grain_percentiles_leaves_nothing_cached(spark):
+    """ADVICE r10: the grain persist must not outlive the call — a
+    session invoking many percentile-class keys used to accumulate one
+    cached grain per call for its lifetime. The eager fold releases the
+    grain before returning; the returned local relation needs no cache."""
+    from zonal_datacube_spark.functions.percentiles import grain_percentiles
+    from zonal_datacube_spark.sources.loader import load_table
+    from tests.conftest import SF_SMOKE
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = grain_percentiles(li, ["l_returnflag"], "l_extendedprice", (0.5,))
+    assert out.count() > 0
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, "grain_percentiles leaked a cached grain"
