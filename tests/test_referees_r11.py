@@ -414,3 +414,59 @@ def test_geo_polygon_metrics_matches_triangle_fan_referee(spark):
         assert abs(g.perimeter - perim) < 1e-3, zid
         assert abs(g.centroid_x - cx) < 1e-3, zid
         assert abs(g.centroid_y - cy) < 1e-3, zid
+
+
+# --------------------------------------------------------------------------
+# q_agg_gini — direct sorted rank-sum formula vs the grain sweep
+# --------------------------------------------------------------------------
+
+
+def test_gini_matches_direct_rank_formula(spark):
+    from zonal_datacube_spark.operators.stats_ext import q_agg_gini
+
+    got = {r.o_orderpriority: r for r in q_agg_gini(spark, SF_SMOKE).collect()}
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_prio: dict[str, list[float]] = defaultdict(list)
+    for r in orders:
+        by_prio[r.o_orderpriority].append(float(r.o_totalprice))
+    assert set(got) == set(by_prio)
+    for prio, vals in by_prio.items():
+        vals.sort()  # ties contiguous — rank sum is order-invariant there
+        n = len(vals)
+        rank_sum = math.fsum((i + 1) * x for i, x in enumerate(vals))
+        gini = 2 * rank_sum / (n * math.fsum(vals)) - (n + 1) / n
+        g = got[prio]
+        assert g.n_orders == n, prio
+        assert abs(g.gini - gini) < 1e-5, (prio, g.gini, gini)
+
+
+# --------------------------------------------------------------------------
+# q_ts_theil_sen — O(n²) pair-slope scan vs the prefix-sweep rank
+# --------------------------------------------------------------------------
+
+
+def test_theil_sen_matches_pair_scan(spark):
+    from zonal_datacube_spark.operators.analytics_r5e import q_ts_theil_sen
+
+    got = {r.event_type: r for r in q_ts_theil_sen(spark, SF_SMOKE).collect()}
+    daily = _daily_grain(spark)
+    by_type: dict[str, list[tuple[int, float]]] = defaultdict(list)
+    for (t, d), (nd, sd) in daily.items():
+        by_type[t].append((d, sd / nd))  # same single IEEE division
+    assert set(got) == set(by_type)
+    for t, rows in by_type.items():
+        rows.sort()
+        slopes = [
+            ((v2 - v1) / (d2 - d1), d1, d2)
+            for i, (d1, v1) in enumerate(rows)
+            for d2, v2 in rows[i + 1 :]
+        ]
+        slopes.sort()  # total order (slope, d1, d2) — the key's tiebreak
+        m = len(slopes)
+        lower_median = slopes[(m + 1) // 2 - 1][0]  # 1-based k=(m+1)÷2
+        g = got[t]
+        assert g.n_days == len(rows), t
+        assert g.n_pairs == m, t
+        assert abs(g.median_slope - _g6(lower_median / 100)) < 1e-9, t
