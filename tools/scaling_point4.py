@@ -129,27 +129,31 @@ KEY_GRAIN = {
 }
 
 
-def _copies(spark):
-    return spark.range(N_COPIES).select(F.col("id").alias("_cp"))
-
-
-def build_sf1x(spark, rebuild: bool) -> None:
-    marker = os.path.join(DEST, "_SF1X_OK")
+def build_sf1x(
+    spark,
+    rebuild: bool,
+    base_sf: str = BASE_SF,
+    dest: str = DEST,
+    n_copies: int = N_COPIES,
+) -> None:
+    marker = os.path.join(dest, "_SF1X_OK")
     if os.path.exists(marker) and not rebuild:
         return
-    if os.path.isdir(DEST):
-        shutil.rmtree(DEST)
-    os.makedirs(DEST)
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest)
     cp = F.col("_cp")
 
     def fan(table: str, repl: dict[str, F.Column]):
-        df = load_table(spark, BASE_SF, table)
-        wide = df.crossJoin(_copies(spark))
+        df = load_table(spark, base_sf, table)
+        wide = df.crossJoin(
+            spark.range(n_copies).select(F.col("id").alias("_cp"))
+        )
         cols = [
             (repl[c] if c in repl else F.col(c)).alias(c) for c in df.columns
         ]
         wide.select(*cols).repartition(16).write.mode("overwrite").parquet(
-            os.path.join(DEST, f"{table}.parquet")
+            os.path.join(dest, f"{table}.parquet")
         )
 
     fan(
@@ -177,10 +181,10 @@ def build_sf1x(spark, rebuild: bool) -> None:
     for t in TABLES:
         if t in ("orders", "lineitem", "events", "documents"):
             continue
-        src = os.path.join(BASE_SF, f"{t}.parquet")
-        shutil.copyfile(src, os.path.join(DEST, f"{t}.parquet"))
+        src = os.path.join(base_sf, f"{t}.parquet")
+        shutil.copyfile(src, os.path.join(dest, f"{t}.parquet"))
     with open(marker, "w") as fh:
-        fh.write(f"{BASE_SF} x{N_COPIES}\n")
+        fh.write(f"{base_sf} x{n_copies}\n")
 
 
 def main() -> int:
