@@ -70,11 +70,34 @@ def test_quantiles_multi_folds_from_the_grain_sweep(spark):
     plan = _plan(spark, "q_agg_quantiles_multi")
     # r10 rewrite: all five cut points fold from ONE (flag, price)-grain
     # prefix sweep — the buffered exact percentile aggregate (whole
-    # table in 3 flag-keyed executor buffers) must be GONE; the sweep's
-    # bucket machinery and its bounded percentile_approx boundary
-    # sketch are the allowed remains
+    # table in 3 flag-keyed executor buffers) must be GONE. Since r11
+    # grain_percentiles folds its bounded result EAGERLY (ADVICE r10
+    # cache-leak fix), so the KEY's returned plan is the tiny local
+    # relation and the sweep machinery is gated on the lazy path below.
     assert "percentile(" not in plan
-    assert "_zds_ps_bucket" in plan
+    assert "Scan ExistingRDD" in plan  # the |parts|·|ps|-row local fold
+
+    # the sweep path itself (grain_percentiles_from_counts — what the
+    # eager fold executes) still carries the bucket machinery and no
+    # buffered percentile
+    from pyspark.sql import functions as F
+
+    from zonal_datacube_spark.functions.percentiles import (
+        grain_percentiles_from_counts,
+    )
+    from zonal_datacube_spark.sources.loader import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("c")
+    )
+    sweep_plan = formatted_plan(
+        grain_percentiles_from_counts(
+            counts, ["l_returnflag"], "l_extendedprice", "c", (0.5,)
+        )
+    )
+    assert "_zds_ps_bucket" in sweep_plan
+    assert "percentile(" not in sweep_plan
 
 
 def test_ltv_deciles_window_on_rollup_not_fact(spark):
