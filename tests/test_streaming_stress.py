@@ -111,7 +111,10 @@ def _run(spark, src, schema, builder, out_dir, max_files):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        finished = q.awaitTermination(180)
+        if not finished:
+            q.stop()  # don't leave a live query writing while we read
+        assert finished, "availableNow drain did not finish within 180 s"
         progress = q.recentProgress
     states = [
         op["numRowsTotal"]

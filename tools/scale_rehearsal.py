@@ -177,11 +177,26 @@ def classify(plan: str) -> dict[str, int]:
     }
 
 
+def _layout_stamp(sf_dir: str) -> str:
+    """Identity of the SOURCE fixtures: absolute dir + per-table
+    (mtime, size). A reused layout is only valid while this matches —
+    regenerated fixtures or a different tree sharing the basename must
+    force a rebuild, never silently rehearse stale copies."""
+    parts = [os.path.abspath(sf_dir)]
+    for t in TABLES:
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    return "\n".join(parts) + "\n"
+
+
 def build_layout(spark, sf_dir: str, dest: str, rebuild: bool) -> None:
     """Rewrite each fixture table as a multi-file directory under dest."""
     marker = os.path.join(dest, "_REHEARSAL_OK")
+    stamp = _layout_stamp(sf_dir)
     if os.path.exists(marker) and not rebuild:
-        return
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return
     if os.path.isdir(dest):
         shutil.rmtree(dest)
     os.makedirs(dest, exist_ok=True)
@@ -195,7 +210,7 @@ def build_layout(spark, sf_dir: str, dest: str, rebuild: bool) -> None:
             "overwrite"
         ).parquet(os.path.join(dest, f"{t}.parquet"))
     with open(marker, "w") as fh:
-        fh.write(sf_dir + "\n")
+        fh.write(stamp)
 
 
 class _conf:

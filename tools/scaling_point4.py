@@ -192,11 +192,32 @@ def main() -> int:
     only = [a for a in sys.argv[1:] if a != "--rebuild"]
     keys = only or KEYS
     queries = all_queries()
-    spark = get_spark("zds-scaling4")
-    build_sf1x(spark, rebuild)
-
+    # validate BEFORE the expensive corpus build: a key must exist, have
+    # a grain-probe mapping (this tool only speaks for the grain-bounded
+    # class), and have a committed sf0.1 baseline row to normalize by
+    bad = [
+        k
+        for k in keys
+        if k not in queries or k not in KEY_GRAIN
+    ]
+    if bad:
+        print(
+            f"not grain-bounded keys (no KEY_GRAIN probe): {bad}",
+            file=sys.stderr,
+        )
+        return 2
     with open("SCALING.json") as f:
         base = json.load(f)["results"]
+    no_base = [k for k in keys if k not in base or "sf0.1" not in base[k]]
+    if no_base:
+        print(
+            f"keys without an sf0.1 baseline in SCALING.json: {no_base}",
+            file=sys.stderr,
+        )
+        return 2
+
+    spark = get_spark("zds-scaling4")
+    build_sf1x(spark, rebuild)
 
     grains: dict[str, dict[str, int]] = {}
     for gname, (table, proj) in GRAINS.items():

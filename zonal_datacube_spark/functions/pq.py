@@ -97,6 +97,28 @@ def _codebook_df(spark, rows: dict[tuple[int, int], list[float]]) -> DataFrame:
 PQ_TRAIN_CAP = 4096  # vectors pulled for codebook fitting — corpus-independent
 
 
+def _nearest_codes(sub, cb):
+    """First-argmin nearest code per (sub, vector) under 9dp HALF_UP L2 —
+    THE numpy arithmetic path shared by pq_train's Lloyd assignment and
+    pq_encode's kernel, factored so the two can never drift. ``sub`` is
+    m×n×d, ``cb`` m×k×d; returns m×n int codes. The squared distance
+    accumulates dim-by-dim in an explicit left-to-right loop (never
+    ``.sum(-1)``): numpy switches to blocked pairwise summation past 8
+    elements, which could differ from the JVM ``_l2`` chain's strict
+    left-to-right order on a value landing exactly on a 0.5e-9 rounding
+    boundary — the loop pins the IEEE chain for ANY d (all shipped
+    configs use d=4, where the two happen to agree; the loop makes the
+    bit-identity contract unconditional)."""
+    import numpy as np
+
+    diff = sub[:, :, None, :] - cb[:, None, :, :]  # m × n × k × d
+    d2 = np.zeros(diff.shape[:3], dtype=np.float64)
+    for i in range(diff.shape[-1]):
+        d2 += diff[..., i] * diff[..., i]
+    d2 = np.floor(d2 * 1e9 + 0.5) / 1e9  # HALF_UP 9dp (d2 >= 0)
+    return d2.argmin(-1)  # first (lowest) code wins ties
+
+
 def pq_train(
     emb: DataFrame,
     m: int = PQ_M,
@@ -153,12 +175,9 @@ def pq_train(
     sub = x.reshape(len(sample), m, d).transpose(1, 0, 2)  # m × n × d
     cb = sub[:, :ksub_eff, :].copy()  # m × ksub_eff × d (seed: first by vec_id)
     for _ in range(iters):
-        # m × n × ksub_eff squared distances; HALF_UP 9dp rounding
-        # matches the distributed formulation's F.round before the
-        # tie-break (valid because d2 >= 0)
-        d2 = ((sub[:, :, None, :] - cb[:, None, :, :]) ** 2).sum(-1)
-        d2 = np.floor(d2 * 1e9 + 0.5) / 1e9
-        assign = d2.argmin(-1)  # m × n, first (lowest) code wins ties
+        # HALF_UP 9dp + first-min tie-break matching the distributed
+        # formulation's F.round — the shared _nearest_codes chain
+        assign = _nearest_codes(sub, cb)  # m × n
         for s in range(m):
             for c in range(ksub_eff):
                 mask = assign[s] == c
@@ -180,10 +199,10 @@ def pq_encode(
 
     Encode is a MAP-ONLY Arrow kernel (r11): the codebook is
     control-plane sized (m×ksub×(dim/m) doubles ≈ 8 KB) and ships
-    closure-captured; each batch computes every subspace's squared
-    distances with ONE numpy broadcast — the same ``((sub - cb)**2).
-    sum(-1)`` + 9dp HALF_UP + first-argmin chain ``pq_train`` already
-    uses, so train and encode share one arithmetic path by construction.
+    closure-captured; each batch computes every subspace's nearest codes
+    through ``_nearest_codes`` — the SAME function ``pq_train``'s Lloyd
+    assignment calls, so train and encode share one arithmetic path by
+    construction (not by parallel copies).
     No corpus row ever shuffles (the r10 form exploded corpus×m
     subvector rows, hash-joined the broadcast codebook, and re-grouped
     TWICE to reassemble the code array — two data-scaled shuffles whose
@@ -213,9 +232,7 @@ def pq_encode(
                 continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             sub = x.reshape(len(pdf), m, d).transpose(1, 0, 2)  # m × n × d
-            d2 = ((sub[:, :, None, :] - cb[:, None, :, :]) ** 2).sum(-1)
-            d2 = np.floor(d2 * 1e9 + 0.5) / 1e9  # HALF_UP 9dp (d2 >= 0)
-            codes = d2.argmin(-1).T.astype(np.int32)  # n × m, first-min tie
+            codes = _nearest_codes(sub, cb).T.astype(np.int32)  # n × m
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "codes": list(codes)}
             )

@@ -381,10 +381,10 @@ def q_sim_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(both, cb, 2 * OPQ_M, dim=2 * OPQ_DIM)
 
     # ADC with a per-variant split. The LUT is CONTROL-PLANE sized
-    # (probes × 2M × K = 10×32×16 partials — the object faiss ships to
+    # (probes × 2M × K = 5×32×16 partials — the object faiss ships to
     # every worker), so it folds on the driver with the same
     # left-to-right dot chain per partial and rides back as a broadcast
-    # 10-row table of flattened lookup arrays; scoring the corpus is then
+    # 5-row table of flattened lookup arrays; scoring the corpus is then
     # ONE projection per (probe, vector) — element_at lookups chained in
     # fixed sub order — instead of the r10 explode→join→re-aggregate,
     # which materialized corpus×2M rows and re-shuffled them into
@@ -399,13 +399,18 @@ def q_sim_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in both.filter(F.col("vec_id").isin(*OPQ_PROBE_IDS)).collect()
     }
     cb_rows = {(r.sub, r.code): list(r.cvec) for r in cb.collect()}
+    # LUT stride = the codebook's EFFECTIVE code count: pq_train degrades
+    # to a len(sample)-entry codebook on corpora smaller than OPQ_KSUB
+    # (its documented contract), and pq_encode emits codes < ksub_eff —
+    # iterating range(OPQ_KSUB) here would KeyError on the missing codes
+    ksub_eff = max(c for _, c in cb_rows) + 1
     flat_lut = {
         pid: [
             # same IEEE chain as the r10 distributed _dot(qsub, cvec):
             # left-to-right over the d dims of sub s, code c
             _py_dot(vec[s * d : (s + 1) * d], cb_rows[(s, c)])
             for s in range(2 * OPQ_M)
-            for c in range(OPQ_KSUB)
+            for c in range(ksub_eff)
         ]
         for pid, vec in probe_vecs.items()
     }
@@ -418,7 +423,7 @@ def q_sim_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _adc_sum(lo: int, hi: int) -> str:
         return " + ".join(
-            f"element_at(lut, {s * OPQ_KSUB} + element_at(codes, {s + 1}) + 1)"
+            f"element_at(lut, {s * ksub_eff} + element_at(codes, {s + 1}) + 1)"
             for s in range(lo, hi)
         )
 
