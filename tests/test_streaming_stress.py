@@ -174,3 +174,72 @@ def test_left_outer_emits_null_purchase_rows(spark, tmp_path, chunked_events):
     assert len(null_views) == len(set(null_views))
     matched_views = {r[1] for r in rows if r[3] is not None}
     assert not (set(null_views) & matched_views)
+
+
+def test_append_aggregation_finalizes_windows_progressively(
+    spark, tmp_path, chunked_events
+):
+    """The stateful-AGGREGATION twin of the join stress: a watermarked
+    1-day tumbling count in APPEND mode emits each window exactly once
+    when the watermark passes its end. Under maxFilesPerTrigger=1 the
+    chronological feed must finalize windows progressively (state holds
+    only the open tail, never the whole month), and the drained result
+    must equal both the one-batch drain and a plain batch groupBy."""
+    from collections import Counter
+
+    src, schema, chunk_sizes, _, _ = chunked_events
+
+    def agg_builder(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                "event_type",
+                "n",
+            )
+        )
+
+    one, _, _, _ = _run(
+        spark, src, schema, agg_builder, str(tmp_path / "agg1"), None
+    )
+    many, max_state, final_state, n_batches = _run(
+        spark, src, schema, agg_builder, str(tmp_path / "aggN"), 1
+    )
+    assert many == one
+    assert n_batches >= len(chunk_sizes)
+    # batch ground truth over the same files, cut to FINALIZED windows:
+    # append mode emits a window only once the watermark (max ts − 1 h)
+    # passes its END, so the stream's last open day legitimately never
+    # emits — the deterministic compared region is every earlier day
+    # (the same horizon cut q_stream_outer_join documents)
+    raw = spark.read.parquet(src).select(
+        F.expr("cast(ts AS timestamp)").alias("ts"), "event_type"
+    )
+    batch_df = (
+        raw.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(
+            F.broadcast(
+                raw.agg(
+                    F.expr("max(ts) - INTERVAL 1 HOUR").alias("wm_final")
+                )
+            )
+        )
+        .filter(F.col("w.end") <= F.col("wm_final"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+        )
+    )
+    batch = Counter((r.day, r.event_type, r.n) for r in batch_df.collect())
+    assert many == batch
+    # state = OPEN windows only: one (day × type) row set per un-finalized
+    # day — the chronological feed keeps at most a few days open at once,
+    # never the month's full window count
+    n_days = len({d for d, _, _ in batch})
+    n_types = len({t for _, t, _ in batch})
+    assert max_state < n_days * n_types, (max_state, n_days * n_types)
+    assert final_state <= 2 * n_types, (final_state, n_types)
