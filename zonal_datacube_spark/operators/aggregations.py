@@ -22,14 +22,22 @@ from zonal_datacube_spark.sources.loader import load_table
 
 
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ungrouped aggregates over the fact table (single final combine)."""
+    """Ungrouped aggregates over the fact table (single final combine).
+    avg_discount folds the 2dp discount on its exact integer cent grid
+    (one division at the end — a double avg's partial-sum order is
+    partition-layout dependent, and the r11 multi-file rehearsal caught
+    it flipping the 6dp rounding on a boundary value; FIXTURES.md rule
+    6)."""
     li = load_table(spark, sf_dir, "lineitem")
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
     return li.agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        F.round(
+            F.sum(disc_c).cast("double") / F.count("*") / 100, 6
+        ).alias("avg_discount"),
     )
 
 
@@ -46,7 +54,18 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_disc_price"
             ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # exact cent-grid fold (q_agg_global r11 discipline — a raw
+            # double avg's 6dp rounding is partition-order dependent)
+            F.round(
+                F.sum(
+                    F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / F.count("*")
+                / 100,
+                6,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -247,7 +266,8 @@ ORACLE = {
                round(sum(l_quantity), 2) AS sum_qty,
                round(min(l_extendedprice), 2) AS min_price,
                round(max(l_extendedprice), 2) AS max_price,
-               round(avg(l_discount), 6) AS avg_discount
+               round(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::DOUBLE
+                     / count(*) / 100, 6) AS avg_discount
         FROM lineitem
     """,
     "q_agg_groupby": """
@@ -256,7 +276,8 @@ ORACLE = {
                round(sum(l_extendedprice), 2) AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                round(avg(l_quantity), 6) AS avg_qty,
-               round(avg(l_discount), 6) AS avg_disc,
+               round(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::DOUBLE
+                     / count(*) / 100, 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -101,10 +101,18 @@ def q_zonal_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     inside = points_in_polygons(pts, edges_df(spark))
-    return inside.groupBy("zone_id").agg(
+    # 6dp mean folds on the exact 1e-6 grid (q_zonal_stats r11
+    # discipline — order-independent integer sums, one trailing division)
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    return inside.withColumn("_v6", v6).groupBy("zone_id").agg(
         F.count("*").alias("n_points"),
         F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(
+            F.sum(F.col("_v6").cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+            / 1000000,
+            6,
+        ).alias("mean_value"),
     )
 
 
@@ -293,7 +301,8 @@ ORACLE = {
         )
         SELECT zone_id, count(*) AS n_points,
                round(sum(value), 2) AS sum_value,
-               round(avg(value), 6) AS mean_value
+               round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                          AS DOUBLE) / count(*) / 1000000, 6) AS mean_value
         FROM inside
         GROUP BY zone_id
     """,

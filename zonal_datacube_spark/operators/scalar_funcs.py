@@ -116,12 +116,20 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from events.props, aggregated by the value."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
+    # 6dp mean on the exact 1e-6 grid (q_zonal_stats r11 discipline)
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
     return (
         ev.withColumn("k", k)
+        .withColumn("_v6", v6)
         .groupBy("k")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                F.sum(F.col("_v6").cast("decimal(38,0)")).cast("double")
+                / F.count("*")
+                / 1000000,
+                6,
+            ).alias("avg_value"),
         )
     )
 
@@ -322,7 +330,8 @@ ORACLE = {
     "q_json_funcs": """
         SELECT json_extract(props, '$.k')::BIGINT AS k,
                count(*) AS n_events,
-               round(avg(value), 6) AS avg_value
+               round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                          AS DOUBLE) / count(*) / 1000000, 6) AS avg_value
         FROM events
         GROUP BY k
     """,

@@ -303,10 +303,21 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn(
             "bin", F.floor(F.col("value") / HIST_BIN_WIDTH).cast("bigint")
         )
+        .withColumn(
+            "_v6",
+            F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint"),
+        )
         .groupBy("bin")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_in_bin"),
+            # 6dp mean on the exact 1e-6 grid (q_zonal_stats r11
+            # discipline — bins are corpus-sized groups)
+            F.round(
+                F.sum(F.col("_v6").cast("decimal(38,0)")).cast("double")
+                / F.count("*")
+                / 1000000,
+                6,
+            ).alias("avg_in_bin"),
         )
     )
 
@@ -556,7 +567,8 @@ ORACLE = {
     "q_agg_histogram": f"""
         SELECT floor(value / {HIST_BIN_WIDTH})::BIGINT AS bin,
                count(*) AS n,
-               round(avg(value), 6) AS avg_in_bin
+               round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                          AS DOUBLE) / count(*) / 1000000, 6) AS avg_in_bin
         FROM events GROUP BY 1
     """,
     "q_agg_incremental": """

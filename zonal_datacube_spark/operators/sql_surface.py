@@ -254,6 +254,14 @@ def q_report_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEYMAN_TOTAL = 100
 
 
+def _bal_c_sum() -> F.Column:
+    """Exact cent sum of c_acctbal as a double (order-independent —
+    floor-half-up is sign-consistent in both engines for the 2dp grid)."""
+    return F.sum(
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    ).cast("double")
+
+
 def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman-allocation stratified sampling: the variance-optimal
     allocation n_h ∝ N_h·S_h over market-segment strata of customer
@@ -272,7 +280,10 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.stddev_samp("c_acctbal") * 100 + F.lit(0.5)) / 100).alias(
             "s_h"
         ),
-        F.round(F.avg("c_acctbal"), 6).alias("true_mean"),
+        # exact cent-grid fold (q_agg_global r11 discipline): acctbal is
+        # 2dp money, so the 6dp mean folds as an integer cent sum — a raw
+        # double avg's partition order can flip the 6dp rounding
+        F.round(_bal_c_sum() / F.count("*") / 100, 6).alias("true_mean"),
     )
     tot = moments.agg(
         F.sum(F.col("n_h") * F.col("s_h")).alias("weight_total")
@@ -321,7 +332,9 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.first("n_h").alias("n_stratum"),
             F.first("n_alloc").alias("n_alloc"),
-            F.round(F.avg("c_acctbal"), 6).alias("sample_mean"),
+            F.round(_bal_c_sum() / F.count("*") / 100, 6).alias(
+                "sample_mean"
+            ),
             F.first("true_mean").alias("true_mean"),
         )
         .orderBy("c_mktsegment")
@@ -766,7 +779,9 @@ ORACLE = {
         WITH moments AS (
             SELECT c_mktsegment, count(*)::BIGINT AS n_h,
                    floor(stddev_samp(c_acctbal) * 100 + 0.5) / 100 AS s_h,
-                   round(avg(c_acctbal), 6) AS true_mean
+                   round(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5)
+                                       AS BIGINT)) AS DOUBLE)
+                         / count(*) / 100, 6) AS true_mean
             FROM customer GROUP BY c_mktsegment
         ),
         tot AS (SELECT sum(n_h * s_h) AS weight_total FROM moments),
@@ -788,7 +803,9 @@ ORACLE = {
         SELECT r.c_mktsegment,
                any_value(a.n_h) AS n_stratum,
                any_value(a.n_alloc) AS n_alloc,
-               round(avg(r.c_acctbal), 6) AS sample_mean,
+               round(CAST(sum(CAST(floor(r.c_acctbal * 100 + 0.5)
+                                   AS BIGINT)) AS DOUBLE)
+                     / count(*) / 100, 6) AS sample_mean,
                any_value(a.true_mean) AS true_mean
         FROM ranked r JOIN alloc a USING (c_mktsegment)
         WHERE r.rnk <= a.n_alloc

@@ -311,7 +311,20 @@ def q_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         F.round(F.exp(F.avg(F.log("o_totalprice"))), 6).alias("geo_mean"),
-        F.round(F.avg("o_totalprice"), 6).alias("arith_mean"),
+        # exact cent-grid fold (q_agg_global r11 discipline): totalprice
+        # sits on the cent grid, and a raw double avg over ~1e5-magnitude
+        # values accumulates enough order-dependent noise to flip a 6dp
+        # rounding under partition relayout
+        F.round(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / F.count("*")
+            / 100,
+            6,
+        ).alias("arith_mean"),
     )
 
 
@@ -533,7 +546,9 @@ ORACLE = {
         SELECT o_orderpriority,
                count(*) AS n_orders,
                round(exp(avg(ln(o_totalprice))), 6) AS geo_mean,
-               round(avg(o_totalprice), 6) AS arith_mean
+               round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS DOUBLE)
+                     / count(*) / 100, 6) AS arith_mean
         FROM orders WHERE o_totalprice > 0
         GROUP BY o_orderpriority
     """,

@@ -84,13 +84,28 @@ def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("timestampdiff(MICROSECOND, ts, next_ts)").alias("dt_us"),
         )
     )
+    # 6dp means fold on the exact 1e-6 grid (q_zonal_stats r11
+    # discipline): v6·dt_us can reach ~1.7e19 per row, so the product is
+    # taken IN DECIMAL (casting after a BIGINT multiply would overflow
+    # first) and both sums accumulate order-independently
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    spans = spans.withColumn("_v6", v6)
     return spans.groupBy("event_type").agg(
         F.count("*").alias("n_spans"),
         F.sum("dt_us").alias("total_us"),
         F.round(
-            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            F.sum(F.col("_v6").cast("decimal(38,0)") * F.col("dt_us"))
+            .cast("double")
+            / F.sum("dt_us")
+            / 1000000,
+            6,
         ).alias("tw_avg"),
-        F.round(F.avg("value"), 6).alias("naive_avg"),
+        F.round(
+            F.sum(F.col("_v6").cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+            / 1000000,
+            6,
+        ).alias("naive_avg"),
     )
 
 
@@ -809,6 +824,7 @@ ORACLE = {
     "q_ts_time_weighted_avg": """
         WITH spans AS (
             SELECT event_type, value,
+                   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6,
                    date_diff('microsecond', ts,
                              lead(ts) OVER (PARTITION BY event_type
                                             ORDER BY ts, event_id)) AS dt_us
@@ -817,8 +833,10 @@ ORACLE = {
         SELECT event_type,
                count(*) AS n_spans,
                sum(dt_us)::BIGINT AS total_us,
-               round(sum(value * dt_us) / sum(dt_us), 6) AS tw_avg,
-               round(avg(value), 6) AS naive_avg
+               round(CAST(sum(v6::HUGEINT * dt_us) AS DOUBLE)
+                     / sum(dt_us) / 1000000, 6) AS tw_avg,
+               round(CAST(sum(v6) AS DOUBLE) / count(*) / 1000000, 6)
+                   AS naive_avg
         FROM spans WHERE dt_us IS NOT NULL
         GROUP BY event_type
     """,

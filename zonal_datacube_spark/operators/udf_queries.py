@@ -42,9 +42,19 @@ def q_udaf_zonal_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     trimmed = ranked.filter(
         (F.col("rn") > F.expr("n div 10")) & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
     )
+    # 6dp mean on the exact 1e-6 grid (q_zonal_stats r11 discipline)
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
     return (
-        trimmed.groupBy("zone_id")
-        .agg(F.round(F.avg("value"), 6).alias("trimmed_mean"))
+        trimmed.withColumn("_v6", v6)
+        .groupBy("zone_id")
+        .agg(
+            F.round(
+                F.sum(F.col("_v6").cast("decimal(38,0)")).cast("double")
+                / F.count("*")
+                / 1000000,
+                6,
+            ).alias("trimmed_mean")
+        )
         .orderBy("zone_id")
     )
 
@@ -198,7 +208,10 @@ ORACLE = {
                    count(*) OVER (PARTITION BY zone_id) AS n
             FROM assigned
         )
-        SELECT zone_id, round(avg(value), 6) AS trimmed_mean
+        SELECT zone_id,
+               round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                          AS DOUBLE) / count(*) / 1000000, 6)
+                   AS trimmed_mean
         FROM ranked
         WHERE rn > n // 10 AND rn <= n - n // 10
         GROUP BY zone_id

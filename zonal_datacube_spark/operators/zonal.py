@@ -49,21 +49,43 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-zone count/sum/mean/min/max/stddev of cell values.
 
     Flagship query: scan → broadcast range join → partial+final groupBy.
-    """
+
+    The 6dp moments fold on the exact 1e-6 integer grid (r11): a double
+    avg/stddev accumulates in partition order, and the multi-file
+    rehearsal sweep caught exactly this class flipping a 6dp rounding
+    boundary under relayout (q_zonal_timeseries). Here S1/S2 accumulate
+    as DECIMAL(38,0) (order-independent exact integers; v6² ≤ 4e16 per
+    row and the decimal sum is exact to 1e38 — far past 100 TB zone
+    populations), then mean/stddev are ONE fixed double chain per group
+    identical in both engines. The 2dp sum keeps the raw double fold:
+    its rounding grain is ~7 orders above the accumulation noise."""
     cells = load_table(spark, sf_dir, "events")
     zones = F.broadcast(zones_df(spark))
     joined = cells.join(
         zones, (cells.value >= zones.lo) & (cells.value < zones.hi), "inner"
+    ).withColumn(
+        "_v6", F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    )
+    n = F.count("*")
+    s1 = F.sum(F.col("_v6").cast("decimal(38,0)")).cast("double")
+    s2 = F.sum(
+        (F.col("_v6") * F.col("_v6")).cast("decimal(38,0)")
+    ).cast("double")
+    stddev = F.when(
+        n > 1,
+        F.round(
+            F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))) / 1000000, 6
+        ),
     )
     return (
         joined.groupBy("zone_id")
         .agg(
-            F.count("*").alias("n_cells"),
+            n.alias("n_cells"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.round(s1 / n / 1000000, 6).alias("mean_value"),
             F.round(F.min("value"), 2).alias("min_value"),
             F.round(F.max("value"), 2).alias("max_value"),
-            F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+            stddev.alias("stddev_value"),
         )
         .orderBy("zone_id")
     )
@@ -97,11 +119,20 @@ def q_zonal_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = cells.join(
         zones, (cells.value >= zones.lo) & (cells.value < zones.hi), "inner"
     )
+    # mean folds on the exact 1e-6 integer grid (one trailing division):
+    # a double avg's partial order is partition-layout dependent, and the
+    # r11 multi-file rehearsal caught it flipping the 6dp rounding on a
+    # boundary cell (FIXTURES.md rule 6/15). |value| ≤ 200 ⇒ 2e8
+    # micro-units/row ⇒ the BIGINT sum holds past 4e10 rows per
+    # (zone, day) group — orders beyond any daily zone at 100 TB.
+    val_e6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
     return joined.groupBy(
         "zone_id", F.date_trunc("day", "ts").alias("day")
     ).agg(
         F.count("*").alias("n_cells"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(
+            F.sum(val_e6).cast("double") / F.count("*") / 1000000, 6
+        ).alias("mean_value"),
         F.round(F.max("value"), 2).alias("max_value"),
     )
 
@@ -153,13 +184,28 @@ def q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = cells.join(
         zones, (cells.value >= zones.lo) & (cells.value < zones.hi), "inner"
     )
+    # 6dp means fold on the exact 1e-6 grid (the q_zonal_stats r11
+    # discipline): w is integer-valued, so w·v6 is an exact integer and
+    # both sums accumulate order-independently as DECIMAL(38,0)
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    wl = F.col("w").cast("bigint")
+    joined = joined.withColumn("_v6", v6).withColumn("_wl", wl)
     return joined.groupBy("zone_id").agg(
         F.count("*").alias("n_cells"),
         F.round(F.sum("w"), 2).alias("sum_weight"),
-        F.round(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6).alias(
-            "weighted_mean"
-        ),
-        F.round(F.avg("value"), 6).alias("unweighted_mean"),
+        F.round(
+            F.sum((F.col("_wl") * F.col("_v6")).cast("decimal(38,0)"))
+            .cast("double")
+            / F.sum("_wl")
+            / 1000000,
+            6,
+        ).alias("weighted_mean"),
+        F.round(
+            F.sum(F.col("_v6").cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+            / 1000000,
+            6,
+        ).alias("unweighted_mean"),
     )
 
 
@@ -194,13 +240,21 @@ def q_zonal_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p1v = F.when(F.col("in_p1"), F.col("value"))
     p2v = F.when(~F.col("in_p1"), F.col("value"))
+    # epoch means fold on the exact 1e-6 grid (q_zonal_stats r11
+    # discipline) — conditional integer sums, one trailing division
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    p1v6 = F.when(F.col("in_p1"), v6).cast("decimal(38,0)")
+    p2v6 = F.when(~F.col("in_p1"), v6).cast("decimal(38,0)")
+    mean = lambda s, c: F.round(  # noqa: E731
+        F.sum(s).cast("double") / F.count(c) / 1000000, 6
+    )
     return (
         joined.groupBy("zone_id")
         .agg(
             F.count(p1v).alias("n_p1"),
             F.count(p2v).alias("n_p2"),
-            F.round(F.avg(p1v), 6).alias("mean_p1"),
-            F.round(F.avg(p2v), 6).alias("mean_p2"),
+            mean(p1v6, p1v).alias("mean_p1"),
+            mean(p2v6, p2v).alias("mean_p2"),
         )
         .select(
             "zone_id",
@@ -316,6 +370,7 @@ ORACLE = {
         ),
         joined AS (
             SELECT z.zone_id, e.value,
+                   CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) AS v6,
                    date_diff('microsecond',
                              TIMESTAMP '1970-01-01 00:00:00', e.ts)
                        < b.mid_us AS in_p1
@@ -328,9 +383,12 @@ ORACLE = {
             SELECT zone_id,
                    count(CASE WHEN in_p1 THEN value END) AS n_p1,
                    count(CASE WHEN NOT in_p1 THEN value END) AS n_p2,
-                   round(avg(CASE WHEN in_p1 THEN value END), 6) AS mean_p1,
-                   round(avg(CASE WHEN NOT in_p1 THEN value END), 6)
-                       AS mean_p2
+                   round(CAST(sum(CASE WHEN in_p1 THEN v6 END) AS DOUBLE)
+                         / count(CASE WHEN in_p1 THEN value END)
+                         / 1000000, 6) AS mean_p1,
+                   round(CAST(sum(CASE WHEN NOT in_p1 THEN v6 END) AS DOUBLE)
+                         / count(CASE WHEN NOT in_p1 THEN value END)
+                         / 1000000, 6) AS mean_p2
             FROM joined GROUP BY zone_id
         )
         SELECT zone_id, n_p1, n_p2, mean_p1, mean_p2,
@@ -341,13 +399,18 @@ ORACLE = {
     "q_zonal_weighted": f"""
         WITH zones(zone_id, lo, hi) AS (VALUES {ZONES_SQL_VALUES}),
         cells AS (
-            SELECT value, json_extract(props, '$.k')::DOUBLE AS w FROM events
+            SELECT value, json_extract(props, '$.k')::DOUBLE AS w,
+                   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6,
+                   json_extract(props, '$.k')::BIGINT AS wl
+            FROM events
         )
         SELECT zone_id,
                count(*) AS n_cells,
                round(sum(w), 2) AS sum_weight,
-               round(sum(w * value) / sum(w), 6) AS weighted_mean,
-               round(avg(value), 6) AS unweighted_mean
+               round(CAST(sum(wl * v6) AS DOUBLE) / sum(wl) / 1000000, 6)
+                   AS weighted_mean,
+               round(CAST(sum(v6) AS DOUBLE) / count(*) / 1000000, 6)
+                   AS unweighted_mean
         FROM cells JOIN zones ON value >= lo AND value < hi
         GROUP BY zone_id
     """,
@@ -355,7 +418,8 @@ ORACLE = {
         WITH zones(zone_id, lo, hi) AS (VALUES {ZONES_SQL_VALUES})
         SELECT zone_id, date_trunc('day', ts) AS day,
                count(*) AS n_cells,
-               round(avg(value), 6) AS mean_value,
+               round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))::DOUBLE
+                     / count(*) / 1000000, 6) AS mean_value,
                round(max(value), 2) AS max_value
         FROM events JOIN zones ON value >= lo AND value < hi
         GROUP BY zone_id, day
@@ -378,11 +442,20 @@ ORACLE = {
         SELECT zone_id,
                count(*) AS n_cells,
                round(sum(value), 2) AS sum_value,
-               round(avg(value), 6) AS mean_value,
+               round(CAST(sum(v6) AS DOUBLE) / count(*) / 1000000, 6)
+                   AS mean_value,
                round(min(value), 2) AS min_value,
                round(max(value), 2) AS max_value,
-               round(stddev_samp(value), 6) AS stddev_value
-        FROM events JOIN zones ON value >= lo AND value < hi
+               CASE WHEN count(*) > 1 THEN
+                   round(sqrt((CAST(sum(v6 * v6) AS DOUBLE)
+                               - CAST(sum(v6) AS DOUBLE)
+                                 * CAST(sum(v6) AS DOUBLE) / count(*))
+                              / (count(*) - 1)) / 1000000, 6)
+               END AS stddev_value
+        FROM (SELECT value, CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                     AS v6
+              FROM events) e
+        JOIN zones ON value >= lo AND value < hi
         GROUP BY zone_id
     """,
     "q_zonal_categorical": f"""
