@@ -40,6 +40,22 @@ CHANGED_IN_R11 = (
     "q_behavior_time_to_convert",
     # null-guarded WAP ledger aggregates (ADVICE r10)
     "q_sink_write_audit_publish",
+    # determinism migration: order-dependent 6dp double means folded on
+    # exact integer grids after the multi-file rehearsal sweep flipped
+    # two of them (new plans AND new oracle SQL — PARITY_r11 re-attests)
+    "q_agg_global",
+    "q_zonal_timeseries",
+    "q_zonal_stats",
+    "q_zonal_weighted",
+    "q_zonal_change",
+    "q_zonal_polygon",
+    "q_json_funcs",
+    "q_agg_histogram",
+    "q_ts_time_weighted_avg",
+    "q_udaf_zonal_trimmed_mean",
+    "q_agg_groupby",
+    "q_agg_geomean",
+    "q_sample_neyman",
 )
 
 CHANGED_IN_R10 = (

@@ -101,6 +101,22 @@ KEY_ORDER = (
     "q_report_order_gap_stats",
     "q_behavior_time_to_convert",
     "q_sink_write_audit_publish",
+    # --- r11 determinism migration (the order-dependent 6dp double-mean
+    #     class caught by the multi-file rehearsal sweep — exact
+    #     integer-grid folds, new plans + new oracle SQL) ---
+    "q_agg_global",
+    "q_zonal_timeseries",
+    "q_zonal_stats",
+    "q_zonal_weighted",
+    "q_zonal_change",
+    "q_zonal_polygon",
+    "q_json_funcs",
+    "q_agg_histogram",
+    "q_ts_time_weighted_avg",
+    "q_udaf_zonal_trimmed_mean",
+    "q_agg_groupby",
+    "q_agg_geomean",
+    "q_sample_neyman",
     # --- r11 4th-scaling-point cohort (SCALING4.md) ---
     "q_agg_gini",
     "q_agg_weighted_median",
@@ -111,19 +127,9 @@ KEY_ORDER = (
     "q_stats_spearman",
     "q_window_ntile",
     "q_data_curriculum_tokens",
-    # --- r10 cohort kept in the window (recent plans, cheap re-attest) ---
-    "q_report_pvm_decomposition",
-    "q_report_returned_items",
-    "q_report_revenue_change",
-    "q_report_segment_migration",
-    "q_report_shipping_priority",
-    "q_report_small_qty_revenue",
-    "q_report_special_revenue",
-    "q_report_supplier_part_counts",
+    # --- r10 cohort retained up to the ~50-key window boundary ---
     "q_text_bm25_wand",
     "q_text_retrieval_eval_fixed",
-    "q_text_pmi",
-    "q_text_lm_score",
     "q_sim_join_auto",
     "q_join_skew_split",
     "q_sim_hard_negatives",
