@@ -87,6 +87,24 @@ def test_parity_holds_on_rehearsed_layout(spark, rehearsal_dir):
         con.close()
 
 
+def test_streaming_parity_on_rehearsed_layout(spark, rehearsal_dir):
+    """The r11 weak mark: q_stream_enrich_join silently returned 0 rows on
+    a directory-per-table layout (REHEARSAL_r11.txt:308). The layout-aware
+    source must make it oracle-green on the rehearsed files, via the exact
+    code path the full tool runs."""
+    from zonal_datacube_spark.compare import compare_query, duck_connect
+    from zonal_datacube_spark.registry import all_oracle_sql, all_queries
+
+    k = "q_stream_enrich_join"
+    queries, oracles = all_queries(), all_oracle_sql()
+    con = duck_connect(rehearsal_dir)
+    try:
+        res = compare_query(k, spark, con, queries[k], oracles[k], rehearsal_dir)
+        assert res.ok, str(res)
+    finally:
+        con.close()
+
+
 def test_classify_detects_red_flags():
     plan = (
         "CartesianProduct\n Exchange SinglePartition\n"

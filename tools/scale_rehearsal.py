@@ -41,9 +41,13 @@ asserts every key keeps its plan class:
    plan flips must never change answers. Rows-only keys in the subset
    assert a non-empty stable row count instead.
 
-Streaming keys and the two eager keys execute at plan time and are
-skipped with the same notes as tools/plan_audit.py (their state-store /
-training behavior is audited in tests, not in a batch plan).
+Streaming keys and the two eager keys execute at plan time, so they are
+excluded from the PLAN gate with the same notes as tools/plan_audit.py
+(their state-store / training behavior is audited in tests, not in a
+batch plan) — but since r12 the 7 TRUE-streaming keys RUN in the parity
+gate over the multi-file layout: the streaming file source is
+layout-aware and must produce batch-identical results on a directory of
+part files, never a silent empty (the r11 weak mark).
 
 Exit 0 iff every gated key passes. Wired into tests via
 tests/test_scale_rehearsal.py (a fast subset so the gate can never rot;
@@ -74,15 +78,17 @@ REHEARSAL_PARTITIONS = "200"
 FACT_FILES, DIM_FILES = 16, 2
 DIM_TABLES = {"region", "nation"}
 
-# superset of tools/plan_audit.py's skips: TRUE-streaming keys EXECUTE a
-# streaming query at plan time, pin their own shuffle partitions (the
-# state-store sizing contract in streaming_batch._stream_shuffle_partitions
-# — the rehearsal conf wouldn't even apply), and their file-stream source
-# reads the fixture with pathGlobFilter=events.parquet, which cannot see a
-# directory-per-table layout; the two eager keys return local relations.
-# Their scale behavior is audited in the streaming tests (including the
-# maxFilesPerTrigger=1 state-bound stress) and their own test modules.
-SKIP = {
+# PLAN-phase skips (superset of tools/plan_audit.py's): TRUE-streaming keys
+# EXECUTE a streaming query at plan time and pin their own shuffle
+# partitions (the state-store sizing contract in
+# streaming_batch._stream_shuffle_partitions — the rehearsal conf wouldn't
+# even apply), and the two eager keys return local relations — there is no
+# lazy batch plan to classify. They are NOT exempt from the PARITY phase:
+# since r12 the streaming file source is layout-aware (streaming/demo.py
+# _events_source reads single-file AND directory-of-part-files layouts,
+# asserting ≥1 input file), so every one of these keys runs — and must be
+# green — in the rehearsal parity sweep below (VERDICT r11 next-round #1).
+SKIP_PLAN = {
     "q_stream_foreach_roundtrip",
     "q_stream_upsert_roundtrip",
     "q_stream_enrich_join",
@@ -156,6 +162,17 @@ PARITY_SUBSET = (
     "q_view_ivm_join",
     "q_set_union_distinct",
     "q_subquery_correlated",
+    # TRUE streaming over the rehearsal's directory-per-table layout —
+    # the r11 weak mark: the old glob source saw 0 files here and two of
+    # these returned EMPTY silently (REHEARSAL_r11.txt:308). Layout-aware
+    # since r12; a regression to silent-empty fails this gate.
+    "q_stream_foreach_roundtrip",
+    "q_stream_upsert_roundtrip",
+    "q_stream_enrich_join",
+    "q_stream_stream_join",
+    "q_stream_outer_join",
+    "q_stream_state_reader",
+    "q_stream_stateful_profile",
 )
 
 RED_FLAGS = ("cartesian", "nlj", "single_part", "buffered_pct")
@@ -243,8 +260,8 @@ def main() -> int:
     dest = os.path.join(REHEARSAL_ROOT, os.path.basename(sf_dir.rstrip("/")))
     build_layout(spark, sf_dir, dest, rebuild)
 
-    plan_keys = [k for k in sorted(only or queries) if k not in SKIP]
-    parity_keys = [k for k in (only or PARITY_SUBSET) if k not in SKIP]
+    plan_keys = [k for k in sorted(only or queries) if k not in SKIP_PLAN]
+    parity_keys = list(only or PARITY_SUBSET)
 
     failures, flips = 0, 0
     # ---- phase 1: plan-class gate over every plannable key ----
