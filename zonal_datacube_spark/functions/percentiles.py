@@ -118,6 +118,16 @@ def grain_percentiles(
         rows = long_df.collect()
     finally:
         counts.unpersist()
+    # Loud misuse guard (ADVICE r11): the eager fold is bounded only
+    # because every declared consumer's part axis is a small enum. A
+    # future caller passing a high-cardinality part column would
+    # otherwise silently materialize |parts|·|ps| rows on the driver.
+    assert len(rows) <= 10_000, (
+        f"grain_percentiles folded {len(rows)} (part, p) rows to the "
+        "driver — part_cols must be enum-like; high-cardinality parts "
+        "should use grain_percentiles_from_counts and keep the result "
+        "distributed"
+    )
     return df.sparkSession.createDataFrame(rows, long_df.schema)
 
 

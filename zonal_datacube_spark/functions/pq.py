@@ -79,10 +79,22 @@ def _subvectors(emb: DataFrame, m: int, dim: int) -> DataFrame:
 def _assign(sv: DataFrame, codebook: DataFrame, d: int) -> DataFrame:
     """Nearest code per (vec_id, sub) under L2 — equi-join on sub against
     the broadcast codebook, then a min-struct (deterministic tie-break on
-    code id). Returns (vec_id, sub, code)."""
+    code id). Returns (vec_id, sub, code).
+
+    The 9dp HALF_UP rounding is the SAME IEEE chain as ``_nearest_codes``
+    — ``floor(d2·1e9 + 0.5)/1e9`` in double arithmetic, NOT ``F.round``
+    (ADVICE r11: F.round is BigDecimal HALF_UP on the double's decimal
+    repr, which can land differently from the *1e9 multiply on a value
+    exactly at a 0.5e-9 boundary; sharing the expression makes the
+    kernel/JVM bit-identity hold by construction, not by fixture luck).
+    FLOOR(double)→BIGINT is exact here: d2·1e9 < 2^53 for any distance
+    the unit-scale fixture embeddings can produce."""
     return (
         sv.join(F.broadcast(codebook), "sub")
-        .withColumn("dist", F.round(_l2("sv", "cvec", d), 9))
+        .withColumn(
+            "dist",
+            F.floor(_l2("sv", "cvec", d) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9),
+        )
         .groupBy("vec_id", "sub")
         .agg(F.min(F.struct("dist", "code")).alias("best"))
         .select("vec_id", "sub", F.col("best.code").alias("code"))

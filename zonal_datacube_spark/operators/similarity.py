@@ -313,12 +313,21 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep_sim: the winning cosine rides out of the assignment aggregate,
     # so no centroid re-join / re-dot; the two per-cell readouts then fold
     # as ONE (cell, label) rollup + one k-sized cell fold (r11 trim —
-    # fewer operators, identical row sets; only the avg accumulation
-    # grouping changes, on a rows-only key)
+    # fewer operators, identical row sets).
+    # avg_cos folds on the exact 1e-9 integer grid (ADVICE r11): the raw
+    # double sum's partial order is partition-layout dependent — exactly
+    # the 6dp-boundary class the r11 migration retired everywhere else —
+    # and this rows-only key has no DuckDB oracle to catch a flip. Each
+    # sim rounds HALF_UP to nano-units (perturbation ≤ 5e-10, three
+    # orders below the 6dp readout grain) and accumulates as
+    # DECIMAL(38,0); the mean is then one fixed double chain per cell,
+    # identical under any partitioning. |sim| ≤ 1 ⇒ ≤ 1e9/row: no
+    # magnitude bound to document.
     assigned = assign_cells(emb, centroids, keep_sim=True)
+    sim_e9 = F.floor(F.col("sim") * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
     by_label = assigned.groupBy("cell", "label").agg(
         F.count("*").alias("n_label"),
-        F.sum("sim").alias("sum_sim"),
+        F.sum(sim_e9).alias("sum_sim_e9"),
     )
     return by_label.groupBy("cell").agg(
         F.sum("n_label").alias("n_vecs"),
@@ -329,7 +338,9 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("label").alias("label"),
             )
         )["label"].alias("top_label"),
-        F.round(F.sum("sum_sim") / F.sum("n_label"), 6).alias("avg_cos"),
+        F.round(
+            F.sum("sum_sim_e9").cast("double") / F.sum("n_label") / 1e9, 6
+        ).alias("avg_cos"),
     ).select("cell", "n_vecs", "top_label", "avg_cos")
 
 

@@ -122,16 +122,23 @@ def q_zonal_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean folds on the exact 1e-6 integer grid (one trailing division):
     # a double avg's partial order is partition-layout dependent, and the
     # r11 multi-file rehearsal caught it flipping the 6dp rounding on a
-    # boundary cell (FIXTURES.md rule 6/15). |value| ≤ 200 ⇒ 2e8
-    # micro-units/row ⇒ the BIGINT sum holds past 4e10 rows per
-    # (zone, day) group — orders beyond any daily zone at 100 TB.
+    # boundary cell (FIXTURES.md rule 6/15). The micro-unit sum
+    # accumulates as DECIMAL(38,0) like the sibling migrations
+    # (q_zonal_stats/weighted/change) — exact to 1e38, so no per-group
+    # row-count bound at all (ADVICE r11: the raw BIGINT form held to
+    # 4e10 rows/(zone,day) but wraps silently past int64 in non-ANSI
+    # Spark, and the inconsistency invited copy-paste of the weaker
+    # form). DuckDB's sum(BIGINT) is HUGEINT — already exact.
     val_e6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
     return joined.groupBy(
         "zone_id", F.date_trunc("day", "ts").alias("day")
     ).agg(
         F.count("*").alias("n_cells"),
         F.round(
-            F.sum(val_e6).cast("double") / F.count("*") / 1000000, 6
+            F.sum(val_e6.cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+            / 1000000,
+            6,
         ).alias("mean_value"),
         F.round(F.max("value"), 2).alias("max_value"),
     )
