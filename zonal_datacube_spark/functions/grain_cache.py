@@ -1,0 +1,105 @@
+"""Shared (part, value) occurrence grains — build once per process, fold many.
+
+The exact-percentile family (functions/percentiles.py) reduced every
+buffered quantile to folds over a DOMAIN-BOUNDED value grain: one
+map-side-combined groupBy collapsing the fact table to
+(part, value, count). Round 11's bench showed the remaining cost is not
+the fold but REBUILDING THE SAME GRAIN key after key: q_agg_percentile,
+q_agg_quantiles_multi, q_agg_winsorized_mean and q_dq_outlier_iqr each
+re-scan lineitem to rebuild the (l_returnflag, l_extendedprice) grain;
+q_dq_outlier_mad and q_agg_sketch_error_eval both rebuild the
+(event_type, value) grain (VERDICT r11 next-round #2).
+
+This module is the prescribed fix: ONE persisted grain per
+(sf_dir, table, part-axis, value-axis), shared across consecutive suite
+keys in the same process. That is also the honest production
+arrangement — a deployment derives the shared summary once and serves
+every percentile/fence/outlier readout from it, rather than re-scanning
+100 TB per dashboard tile.
+
+Safety rails:
+- The cache key embeds the SparkContext applicationId, so a fresh
+  session can never be handed a DataFrame bound to a dead context.
+- Entries are LRU-evicted (unpersist) beyond a small cap; eviction is
+  safe mid-use — an unpersisted DataFrame silently recomputes.
+- Only fixture tables via ``load_table`` are cacheable here, and the
+  value axis is a caller-supplied SQL expression that becomes part of
+  the key — two different derivations can never collide.
+- Grain boundedness is the same precondition the percentile family
+  already documents (value axes are bounded grids: cent prices, integer
+  quantities, the e6 events grid); the persist is MEMORY_AND_DISK, the
+  same discipline as the per-key persists this replaces.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from zonal_datacube_spark.sources.loader import load_table
+
+GRAIN_COUNT = "_gc_c"
+
+_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_CAP = 8
+
+
+def table_value_grain(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    part_cols: tuple[str, ...] | list[str],
+    val_expr: str,
+    val_name: str,
+) -> DataFrame:
+    """The persisted occurrence grain ``(part_cols..., val_name,
+    _gc_c)`` of ``val_expr`` over one fixture table — cached per
+    (session, sf_dir, table, parts, expression). ``val_expr`` is a SQL
+    expression over the table's columns (often just a column name);
+    ``val_name`` is the output column the grain exposes it as.
+
+    The returned DataFrame is shared: callers must treat it as
+    read-only and must NOT unpersist it — lifecycle belongs to the LRU
+    here. Folds over it (sweeps, fence joins, weighted counts) read the
+    cache instead of re-scanning the fact table."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        table,
+        tuple(part_cols),
+        val_expr,
+        val_name,
+    )
+    hit = _CACHE.get(key)
+    if hit is not None:
+        _CACHE.move_to_end(key)
+        return hit
+    grain = (
+        load_table(spark, sf_dir, table)
+        .groupBy(*part_cols, F.expr(val_expr).alias(val_name))
+        .agg(F.count("*").alias(GRAIN_COUNT))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # materialize NOW, under the session conf: this is the one
+    # fact-table-scaled shuffle — downstream folds then read the cache
+    # at grain-scale parallelism (percentiles.GRAIN_FOLD_PARTITIONS)
+    grain.count()
+    _CACHE[key] = grain
+    while len(_CACHE) > _CAP:
+        _, evicted = _CACHE.popitem(last=False)
+        evicted.unpersist()
+    return grain
+
+
+def clear_grain_cache() -> None:
+    """Unpersist and drop every cached grain (test hook)."""
+    while _CACHE:
+        _, df = _CACHE.popitem(last=False)
+        try:
+            df.unpersist()
+        except Exception:
+            pass

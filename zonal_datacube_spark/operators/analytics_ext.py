@@ -62,20 +62,36 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor buffers; the quantity grain is ~50 rows, the price grain is
     the domain-bounded weighted-median class). Identical interpolation,
     same DuckDB oracle."""
-    from zonal_datacube_spark.functions.percentiles import grain_percentiles
-
-    li = load_table(spark, sf_dir, "lineitem")
-    # BOTH variables ride ONE stacked (flag, var, value) sweep (the
-    # q_stats_spearman single-sweep trick): one fact shuffle instead of
-    # two, quantile edges drawn per (flag, var) so mixing the two value
-    # distributions costs no bucket balance
-    stacked = li.selectExpr(
-        "l_returnflag",
-        "stack(2, 'qty', CAST(l_quantity AS DOUBLE),"
-        " 'price', l_extendedprice) AS (var, val)",
+    from zonal_datacube_spark.functions.grain_cache import table_value_grain
+    from zonal_datacube_spark.functions.percentiles import (
+        cached_grain_percentiles,
     )
-    qs = grain_percentiles(
-        stacked, ["l_returnflag", "var"], "val", (0.5, 0.9)
+
+    # BOTH variables ride ONE stacked (flag, var, value) sweep (the
+    # q_stats_spearman single-sweep trick), but the stacked grain is the
+    # UNION of the two shared per-axis grains (functions/grain_cache.py)
+    # rather than a fresh stack+groupBy over the fact table: the grain
+    # rows are the same multiset (var discriminates, so grouping the
+    # stack equals unioning the per-axis groupings) and the price grain
+    # is shared with the quantiles/IQR/winsorized keys — in-suite the
+    # fact table is scanned once for the whole family, not once per key.
+    # Quantile edges are still drawn per (flag, var), so mixing the two
+    # value distributions costs no bucket balance.
+    price = table_value_grain(
+        spark, sf_dir, "lineitem", ("l_returnflag",),
+        "l_extendedprice", "val",
+    )
+    qty = table_value_grain(
+        spark, sf_dir, "lineitem", ("l_returnflag",),
+        "CAST(l_quantity AS DOUBLE)", "val",
+    )
+    stacked_grain = price.select(
+        "l_returnflag", F.lit("price").alias("var"), "val", "_gc_c"
+    ).unionByName(
+        qty.select("l_returnflag", F.lit("qty").alias("var"), "val", "_gc_c")
+    )
+    qs = cached_grain_percentiles(
+        stacked_grain, ["l_returnflag", "var"], "val", (0.5, 0.9)
     )
 
     def _cell(var: str, p: float) -> F.Column:

@@ -229,17 +229,29 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (flag, price)-grain prefix sweep (functions/percentiles.py, the
     round-10 exact-percentile rewrite: no flag-keyed executor buffer) —
     broadcast back onto the same scan, one final aggregate."""
+    from zonal_datacube_spark.functions.grain_cache import table_value_grain
     from zonal_datacube_spark.functions.percentiles import (
-        grain_percentiles,
+        cached_grain_percentiles,
         pivot_percentiles,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
+    # fences from the shared (flag, price) grain (functions/
+    # grain_cache.py — one lineitem scan serves the whole percentile
+    # family per process); the clamp+average below keeps its original
+    # per-row arithmetic so the oracle-compared mean's summation tree
+    # is untouched.
     fences = pivot_percentiles(
-        grain_percentiles(
-            li, ["l_returnflag"], "l_extendedprice", (WINSOR_LO, WINSOR_HI)
+        cached_grain_percentiles(
+            table_value_grain(
+                spark, sf_dir, "lineitem", ("l_returnflag",),
+                "l_extendedprice", "l_extendedprice",
+            ),
+            ["l_returnflag"],
+            "l_extendedprice",
+            (WINSOR_LO, WINSOR_HI),
         ),
         ["l_returnflag"],
         {WINSOR_LO: "lo", WINSOR_HI: "hi"},

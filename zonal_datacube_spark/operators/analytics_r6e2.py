@@ -116,13 +116,21 @@ def q_agg_sketch_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentiles.py, round-10 exact-percentile rewrite — the referee
     # must not itself be the OOM class it audits); the approx side is
     # the bounded KLL-style sketch under test
+    from zonal_datacube_spark.functions.grain_cache import table_value_grain
     from zonal_datacube_spark.functions.percentiles import (
-        grain_percentiles,
+        cached_grain_percentiles,
         pivot_percentiles,
     )
 
     p50e = pivot_percentiles(
-        grain_percentiles(ev, ["event_type"], "value", (0.5,)),
+        cached_grain_percentiles(
+            table_value_grain(
+                spark, sf_dir, "events", ("event_type",), "value", "value"
+            ),
+            ["event_type"],
+            "value",
+            (0.5,),
+        ),
         ["event_type"],
         {0.5: "p50_exact"},
     )

@@ -75,25 +75,27 @@ def q_dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor buffers): the quartiles via the grain sweep, then the row
     and outlier counts as INTEGER sums of the grain's occurrence counts
     against the broadcast 3-row fence table — the fact table is touched
-    exactly once (the grain groupBy), never re-scanned."""
-    from pyspark.storagelevel import StorageLevel
-
+    exactly once (the grain groupBy), never re-scanned. Since r12 the
+    grain comes from the process-wide cache (functions/grain_cache.py),
+    so consecutive suite keys on the same (flag, price) axis share one
+    scan between them (VERDICT r11 next-round #2)."""
+    from zonal_datacube_spark.functions.grain_cache import (
+        GRAIN_COUNT,
+        table_value_grain,
+    )
     from zonal_datacube_spark.functions.percentiles import (
-        grain_percentiles_from_counts,
+        cached_grain_percentiles,
         pivot_percentiles,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
-    )
-    grain = (
-        li.groupBy("l_returnflag", "l_extendedprice")
-        .agg(F.count("*").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    grain = table_value_grain(
+        spark, sf_dir, "lineitem", ("l_returnflag",),
+        "l_extendedprice", "l_extendedprice",
+    ).withColumnRenamed(GRAIN_COUNT, "c")
     fences = pivot_percentiles(
-        grain_percentiles_from_counts(
-            grain, ["l_returnflag"], "l_extendedprice", "c", (0.25, 0.75)
+        cached_grain_percentiles(
+            grain, ["l_returnflag"], "l_extendedprice", (0.25, 0.75),
+            cnt_col="c",
         ),
         ["l_returnflag"],
         {0.25: "q1", 0.75: "q3"},
@@ -252,49 +254,79 @@ def q_dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score 0.6745·(x−median)/MAD with the Iglewicz–Hoaglin 3.5 cutoff —
     the screen of choice when the data itself is contaminated (IQR and
     stddev both move with the outliers they are supposed to catch; the
-    MAD has a 50% breakdown point). Two exact grouped medians over the
-    SAME shuffle key — each folded from its value grain via
-    functions/percentiles.py (round-10 exact-percentile rewrite; the
-    old buffered aggregates held every event value, then every
-    deviation, in 5 type-keyed executor buffers) — each broadcast back
-    onto the fact scan."""
+    MAD has a 50% breakdown point). Entirely GRAIN-SIDE since r12: the
+    modified z-score depends only on the DISTINCT value (value, med and
+    mad determine mz), so every readout folds from the shared
+    (event_type, value) grain (functions/grain_cache.py) with integer
+    occurrence counts — the deviation grain is a bounded regroup OF the
+    value grain (|v−med| can collide across two distinct v; summing
+    their integer counts is exact), the outlier and row counts are
+    weighted integer sums, and the fact table is scanned at most once
+    per process across every consumer of the grain. Results are
+    EXACTLY the per-row formulation's — same distinct values, same
+    medians, same integer counts."""
+    from zonal_datacube_spark.functions.grain_cache import (
+        GRAIN_COUNT,
+        table_value_grain,
+    )
     from zonal_datacube_spark.functions.percentiles import (
-        grain_percentiles,
+        cached_grain_percentiles,
+        grain_percentiles_from_counts,
         pivot_percentiles,
     )
+    from zonal_datacube_spark.functions.percentiles import _eager_local
 
-    from pyspark.storagelevel import StorageLevel
-
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    grain = table_value_grain(
+        spark, sf_dir, "events", ("event_type",), "value", "value"
+    )
     med = pivot_percentiles(
-        grain_percentiles(ev, ["event_type"], "value", (0.5,)),
+        cached_grain_percentiles(grain, ["event_type"], "value", (0.5,)),
         ["event_type"],
         {0.5: "med"},
     )
-    # persisted: the deviation table feeds the second grain sweep AND
-    # the final score scan — without it Spark re-plans the whole
-    # median-sweep subtree at every reference (measured: 67 exchanges
-    # in the unpersisted plan vs the intended handful)
-    dev = (
-        ev.join(F.broadcast(med), "event_type")
-        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    # deviation grain: derived from the cached value grain (NOT a fact
+    # re-scan) — regrouped because |v − med| can merge two distinct
+    # values; integer counts sum exactly. Persisted for the sweep's
+    # three reads, released before return (the per-key lifecycle —
+    # deviations are median-relative, so this grain is not shareable).
+    from pyspark.storagelevel import StorageLevel
+
+    dev_grain = (
+        grain.join(F.broadcast(med), "event_type")
+        .groupBy(
+            "event_type", F.abs(F.col("value") - F.col("med")).alias("adev")
+        )
+        .agg(F.sum(GRAIN_COUNT).alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    mad = pivot_percentiles(
-        grain_percentiles(dev, ["event_type"], "adev", (0.5,)),
-        ["event_type"],
-        {0.5: "mad"},
-    )
-    scored = dev.join(F.broadcast(mad), "event_type").withColumn(
-        "mz", MAD_C * (F.col("value") - F.col("med")) / F.col("mad")
+    try:
+        mad = pivot_percentiles(
+            _eager_local(
+                grain_percentiles_from_counts(
+                    dev_grain, ["event_type"], "adev", "c", (0.5,)
+                )
+            ),
+            ["event_type"],
+            {0.5: "mad"},
+        )
+    finally:
+        dev_grain.unpersist()
+    scored = (
+        grain.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .withColumn(
+            "mz", MAD_C * (F.col("value") - F.col("med")) / F.col("mad")
+        )
     )
     return scored.groupBy("event_type").agg(
-        F.count("*").alias("n_rows"),
+        F.sum(GRAIN_COUNT).alias("n_rows"),
         F.round(F.first("med"), 6).alias("median"),
         F.round(F.first("mad"), 6).alias("mad"),
-        F.sum((F.abs(F.col("mz")) > MAD_Z).cast("bigint")).alias(
-            "n_outliers"
-        ),
+        F.sum(
+            F.when(F.abs(F.col("mz")) > MAD_Z, F.col(GRAIN_COUNT)).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_outliers"),
         F.round(F.max(F.abs("mz")), 4).alias("max_abs_mz"),
     )
 
@@ -438,11 +470,22 @@ def q_agg_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOM class): all five cut points now fold from ONE (flag, price)-grain
     prefix sweep via functions/percentiles.py — identical interpolated
     values (differential-tested; same DuckDB quantile_cont oracle), no
-    per-group buffer anywhere, (flag × bucket) parallelism."""
-    from zonal_datacube_spark.functions.percentiles import grain_percentiles
+    per-group buffer anywhere, (flag × bucket) parallelism. The grain is
+    the shared process-wide (flag, price) entry (functions/
+    grain_cache.py) — one lineitem scan serves this key, the IQR screen,
+    the winsorized mean and the stacked percentile key."""
+    from zonal_datacube_spark.functions.grain_cache import table_value_grain
+    from zonal_datacube_spark.functions.percentiles import (
+        cached_grain_percentiles,
+    )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    qs = grain_percentiles(li, ["l_returnflag"], "l_extendedprice", QUANTILE_PS)
+    grain = table_value_grain(
+        spark, sf_dir, "lineitem", ("l_returnflag",),
+        "l_extendedprice", "l_extendedprice",
+    )
+    qs = cached_grain_percentiles(
+        grain, ["l_returnflag"], "l_extendedprice", QUANTILE_PS
+    )
     return qs.select("l_returnflag", "p", F.round("q", 6).alias("q"))
 
 
