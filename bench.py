@@ -37,6 +37,18 @@ def main() -> int:
     spark = get_spark("zds-bench")
     queries = all_queries()
 
+    # Subset mode (VERDICT r11 next-round #3): `bench.py q_foo q_bar ...`
+    # re-measures just the named keys — the tool for adjudicating
+    # suspect_under_load entries on an idle box. Subset runs keep the
+    # full warm-up (in-suite medians assume warm shared caches) but never
+    # write BENCH_FULL.json: a partial artifact must not masquerade as
+    # the committed full-suite medians.
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    unknown = [k for k in only if k not in queries]
+    if unknown:
+        print(f"unknown keys: {unknown}", file=sys.stderr)
+        return 2
+
     # Warm the JVM + parquet footers with the flagship query, and the
     # shared dedup caches (shingle arrays + signature tables) with one
     # shingle consumer — BASELINE.md measures warm steady-state timings,
@@ -87,9 +99,10 @@ def main() -> int:
     # so the driver's per-round budget is unchanged.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     load_before = os.getloadavg()
-    samples: dict[str, list[float]] = {k: [] for k in queries}
+    measured = only or sorted(queries)
+    samples: dict[str, list[float]] = {k: [] for k in measured}
     for _ in range(n_runs):
-        for key in sorted(queries):
+        for key in measured:
             t0 = time.perf_counter()
             queries[key](spark, sf_dir).toPandas()
             samples[key].append(round(time.perf_counter() - t0, 4))
@@ -115,9 +128,12 @@ def main() -> int:
     # stdout line below is width-budgeted for the driver's tail buffer.
     #
     full_path = resolve_bench_full_path(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_FULL.json" if not only else "BENCH_FULL_subset.json",
+        ),
         n_runs,
-        force=bool(os.environ.get("SPARK_GRAFT_BENCH_FORCE")),
+        force=bool(os.environ.get("SPARK_GRAFT_BENCH_FORCE")) and not only,
     )
     with open(full_path, "w") as f:
         json.dump(
