@@ -19,7 +19,39 @@ from zonal_datacube_spark.registry import KEY_ORDER, all_oracle_sql, all_queries
 # and every EARLIER round's artifact must (ADVICE r08: the old
 # r0[1-7] glob silently pinned the derivation and made each rotation a
 # manual edit the docstring claimed was automatic).
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
+
+CHANGED_IN_R12 = (
+    # layout-aware TRUE-streaming file source (VERDICT r11 weak mark:
+    # the old glob matched only the single-file fixture; on directory
+    # layouts two of these silently returned empty) — same oracles,
+    # re-attested in PARITY_r12 and the rehearsal's multi-file parity
+    "q_stream_foreach_roundtrip",
+    "q_stream_upsert_roundtrip",
+    "q_stream_enrich_join",
+    "q_stream_stream_join",
+    "q_stream_outer_join",
+    "q_stream_state_reader",
+    "q_stream_stateful_profile",
+    # shared-grain percentile family (VERDICT r11 next-round #2): one
+    # persisted (table, value-axis) grain per process + grain-scale fold
+    # parallelism; q_dq_outlier_mad folds entirely grain-side (exactly
+    # equal — the modified z-score depends only on the distinct value)
+    "q_agg_percentile",
+    "q_agg_quantiles_multi",
+    "q_agg_winsorized_mean",
+    "q_dq_outlier_iqr",
+    "q_dq_outlier_mad",
+    "q_agg_sketch_error_eval",
+    "q_report_order_gap_stats",
+    "q_behavior_time_to_convert",
+    # ADVICE r11 determinism fixes: DECIMAL(38,0) micro-unit sum and the
+    # 1e-9-grid avg_cos fold
+    "q_zonal_timeseries",
+    "q_embed_kmeans",
+    # managed-table fixtures moved to a per-process warehouse
+    "q_join_bucketed",
+)
 
 CHANGED_IN_R11 = (
     # round-11 perf rewrites (VERDICT r10 next-round #3), re-proven by
@@ -162,7 +194,11 @@ def test_registry_order_puts_priority_keys_first():
     )
     # changed keys are re-proven by the parity artifact, not the window
     for k in (
-        CHANGED_IN_R08 + CHANGED_IN_R09 + CHANGED_IN_R10 + CHANGED_IN_R11
+        CHANGED_IN_R08
+        + CHANGED_IN_R09
+        + CHANGED_IN_R10
+        + CHANGED_IN_R11
+        + CHANGED_IN_R12
     ):
         assert k in all_queries(), k
 

@@ -81,31 +81,44 @@ _MODULES = (
 # rotation). Keys not listed sort after listed ones, alphabetically.
 # Round-11 rotation: the driver-attested union reached 345/345 in r10
 # (zero dark keys remain), so the window's job flips from attestation
-# completion to RE-ATTESTING this round's changed plans: the PQ encode
-# kernel + driver-folded ADC LUT (opq_eval, pq_ann, ivfpq), the fused
-# kmeans readout, the eager grain_percentiles fold (its 8+ consumers),
-# the null-guarded WAP ledger, and the 4th-scaling-point cohort whose
-# saturation evidence SCALING4.md now records.
+# completion to RE-ATTESTING this round's changed plans.
+# Round-12 rotation: the window fronts this round's changed keys — the
+# 7 TRUE-streaming keys whose file source became layout-aware (the r11
+# weak mark), the grain-cache percentile family (shared persisted grain
+# per (table, value-axis) + grain-scale fold parallelism; q_dq_outlier_
+# mad is now entirely grain-side), the two ADVICE determinism fixes
+# (q_zonal_timeseries DECIMAL sum, q_embed_kmeans 1e-9-grid avg_cos),
+# and q_join_bucketed whose managed-table warehouse moved to a
+# per-process temp dir. The rest of the window re-attests the r11
+# cohort.
 KEY_ORDER = (
-    # --- r11 perf rewrites (VERDICT r10 next-round #3) ---
-    "q_sim_opq_eval",
-    "q_embed_kmeans",
-    "q_sim_pq_ann",
-    "q_sim_ivfpq",
-    # --- r11 eager grain_percentiles consumers (ADVICE r10 fix) ---
+    # --- r12 layout-aware streaming source (VERDICT r11 weak mark) ---
+    "q_stream_foreach_roundtrip",
+    "q_stream_upsert_roundtrip",
+    "q_stream_enrich_join",
+    "q_stream_stream_join",
+    "q_stream_outer_join",
+    "q_stream_state_reader",
+    "q_stream_stateful_profile",
+    # --- r12 shared-grain percentile family (VERDICT r11 #2) ---
     "q_agg_percentile",
     "q_agg_quantiles_multi",
     "q_agg_winsorized_mean",
+    "q_dq_outlier_iqr",
     "q_dq_outlier_mad",
     "q_agg_sketch_error_eval",
     "q_report_order_gap_stats",
     "q_behavior_time_to_convert",
-    "q_sink_write_audit_publish",
-    # --- r11 determinism migration (the order-dependent 6dp double-mean
-    #     class caught by the multi-file rehearsal sweep — exact
-    #     integer-grid folds, new plans + new oracle SQL) ---
-    "q_agg_global",
+    # --- r12 ADVICE determinism fixes + warehouse isolation ---
+    "q_embed_kmeans",
     "q_zonal_timeseries",
+    "q_join_bucketed",
+    # --- r11 cohort retained up to the ~50-key window boundary ---
+    "q_sim_opq_eval",
+    "q_sim_pq_ann",
+    "q_sim_ivfpq",
+    "q_sink_write_audit_publish",
+    "q_agg_global",
     "q_zonal_stats",
     "q_zonal_weighted",
     "q_zonal_change",
@@ -117,17 +130,14 @@ KEY_ORDER = (
     "q_agg_groupby",
     "q_agg_geomean",
     "q_sample_neyman",
-    # --- r11 4th-scaling-point cohort (SCALING4.md) ---
     "q_agg_gini",
     "q_agg_weighted_median",
     "q_agg_percentile_disc",
-    "q_dq_outlier_iqr",
     "q_stats_mannwhitney",
     "q_stats_ks_test",
     "q_stats_spearman",
     "q_window_ntile",
     "q_data_curriculum_tokens",
-    # --- r10 cohort retained up to the ~50-key window boundary ---
     "q_text_bm25_wand",
     "q_text_retrieval_eval_fixed",
     "q_sim_join_auto",
