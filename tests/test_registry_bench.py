@@ -51,6 +51,10 @@ CHANGED_IN_R12 = (
     "q_embed_kmeans",
     # managed-table fixtures moved to a per-process warehouse
     "q_join_bucketed",
+    # oracle gained the engine's event_id tie-break in its bracketing
+    # windows: the sf1x rehearsal (duplicate timestamps everywhere)
+    # caught the oracle under-determined on same-instant observations
+    "q_ts_resample_interp",
 )
 
 CHANGED_IN_R11 = (

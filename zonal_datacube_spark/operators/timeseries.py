@@ -710,30 +710,41 @@ ORACLE = {
             FROM bounds
         ),
         merged AS (
-            SELECT event_type, ts, value, 0 AS is_grid FROM events
+            -- event_id rides along as the SAME unique tie-break the
+            -- engine's carry uses (ADVICE r08): without it, two
+            -- observations at an identical (type, ts) leave the window
+            -- order — and therefore which tied value brackets a grid
+            -- point — to scan order, which diverges across engines the
+            -- moment a corpus carries duplicate timestamps (caught by
+            -- the r12 sf1x rehearsal, whose 10x fan duplicates every
+            -- instant; the single-copy fixtures never tied in practice).
+            -- Grid rows take NULL: is_grid DESC already orders them
+            -- before same-instant observations, and the hourly spine
+            -- never ties with itself.
+            SELECT event_type, ts, value, 0 AS is_grid, event_id FROM events
             UNION ALL
-            SELECT event_type, ts, NULL, 1 FROM spine WHERE ts >= mn
+            SELECT event_type, ts, NULL, 1, NULL FROM spine WHERE ts >= mn
         ),
         bracketed AS (
             SELECT event_type, ts, is_grid,
                    last_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
                        OVER (PARTITION BY event_type
-                             ORDER BY ts, is_grid DESC
+                             ORDER BY ts, is_grid DESC, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND CURRENT ROW) AS pt,
                    last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
                        OVER (PARTITION BY event_type
-                             ORDER BY ts, is_grid DESC
+                             ORDER BY ts, is_grid DESC, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND CURRENT ROW) AS pv,
                    first_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
                        OVER (PARTITION BY event_type
-                             ORDER BY ts, is_grid DESC
+                             ORDER BY ts, is_grid DESC, event_id
                              ROWS BETWEEN CURRENT ROW
                                    AND UNBOUNDED FOLLOWING) AS nt,
                    first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
                        OVER (PARTITION BY event_type
-                             ORDER BY ts, is_grid DESC
+                             ORDER BY ts, is_grid DESC, event_id
                              ROWS BETWEEN CURRENT ROW
                                    AND UNBOUNDED FOLLOWING) AS nv
             FROM merged

@@ -109,10 +109,12 @@ KEY_ORDER = (
     "q_agg_sketch_error_eval",
     "q_report_order_gap_stats",
     "q_behavior_time_to_convert",
-    # --- r12 ADVICE determinism fixes + warehouse isolation ---
+    # --- r12 ADVICE determinism fixes + warehouse isolation + the
+    #     sf1x-caught oracle tie-break ---
     "q_embed_kmeans",
     "q_zonal_timeseries",
     "q_join_bucketed",
+    "q_ts_resample_interp",
     # --- r11 cohort retained up to the ~50-key window boundary ---
     "q_sim_opq_eval",
     "q_sim_pq_ann",
