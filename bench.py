@@ -162,16 +162,26 @@ def suspect_keys(
     samples: dict[str, list[float]],
     medians: dict[str, float],
     threshold: float = 1.5,
+    min_delta: float = 0.5,
 ) -> list[str]:
-    """Keys whose max/median sample ratio exceeds ``threshold`` — their
+    """Keys whose max/median sample ratio exceeds ``threshold`` AND whose
+    absolute spread (max − median) exceeds ``min_delta`` seconds — their
     median was taken under shifting load, so a cross-round delta on them
     needs a re-measure before it's adjudicated as a regression (VERDICT
-    r10 next-round #4). Single-run invocations have no spread and flag
-    nothing."""
+    r10 next-round #4). The absolute floor (r12, VERDICT r11 #3: the
+    ratio-only list held 38 entries, most of them sub-second keys) keeps
+    timer/GC wobble on cheap keys out: a 0.3 s swing on a 0.3 s key
+    trips the ratio but can never produce an adjudicable regression
+    against second-scale bars, while a genuinely load-shifted median
+    moves by hundreds of ms or more. Single-run invocations have no
+    spread and flag nothing."""
     return sorted(
         k
         for k, v in samples.items()
-        if len(v) > 1 and medians[k] > 0 and max(v) / medians[k] > threshold
+        if len(v) > 1
+        and medians[k] > 0
+        and max(v) / medians[k] > threshold
+        and max(v) - medians[k] > min_delta
     )
 
 
