@@ -46,9 +46,13 @@ CHANGED_IN_R12 = (
     "q_report_order_gap_stats",
     "q_behavior_time_to_convert",
     # ADVICE r11 determinism fixes: DECIMAL(38,0) micro-unit sum and the
-    # 1e-9-grid avg_cos fold
+    # 1e-9-grid avg_cos fold; kmeans_fit also moved driver-side onto a
+    # bounded sample (pq_train discipline — 2.9 -> 0.2 s fit, and the
+    # layout-dependent distributed avg update is gone), which also
+    # re-plans q_sim_ivfpq's coarse quantizer
     "q_zonal_timeseries",
     "q_embed_kmeans",
+    "q_sim_ivfpq",
     # managed-table fixtures moved to a per-process warehouse
     "q_join_bucketed",
     # oracle gained the engine's event_id tie-break in its bracketing

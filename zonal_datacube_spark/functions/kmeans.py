@@ -1,16 +1,20 @@
-"""Distributed k-means (Lloyd) over embedding arrays — fits the IVF coarse
-quantizer when no label/cluster column exists (ROADMAP item; pairs with
-functions/ivf_ann.py).
+"""k-means (Lloyd) over embedding arrays — fits the IVF coarse quantizer
+when no label/cluster column exists (pairs with functions/ivf_ann.py).
 
-Spark-shaped iteration: the *assignment* step is a broadcast cross join
-against k centroids (k tiny), the *update* step is posexplode → per-dim
-mean — both fully distributed. Only the k×dim centroid matrix ever touches
-the driver (to be re-broadcast), which is the textbook structure for
-iterative ML on Spark: per-iteration driver traffic is O(k·dim), not
-O(rows).
+Two formulations, one spec:
+- ``kmeans_fit`` (default): driver-side numpy Lloyd over a bounded
+  deterministic sample (≤ KMEANS_TRAIN_CAP) — the pq_train discipline;
+  the coarse quantizer is control-plane-sized and production ANN tiers
+  train it from a sample while the cluster does the data-scaled work.
+- ``kmeans_fit_distributed``: ONE job + ONE shuffle per iteration,
+  O(k·dim) driver traffic — the full-corpus path, and the differential
+  referee for the sample fit (tests/test_kmeans.py).
 
-Deterministic: seeds are the first k vectors by vec_id; ties in assignment
-break on the lower cell id.
+``assign_cells`` (the data-scaled corpus assignment) is always
+distributed.
+
+Deterministic: seeds are the first k (sampled) vectors by vec_id; ties in
+assignment break on the lower cell id.
 """
 
 from __future__ import annotations
@@ -89,8 +93,72 @@ def assign_cells(
     return assigned.drop("_best")
 
 
+KMEANS_TRAIN_CAP = 4096  # vectors pulled for centroid fitting — corpus-independent
+
+
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
-    """Fit k centroids; returns DataFrame(cell INT, centroid ARRAY<DOUBLE>)."""
+    """Fit k centroids; returns DataFrame(cell INT, centroid ARRAY<DOUBLE>).
+
+    Centroid fitting runs DRIVER-SIDE in numpy over a bounded
+    deterministic sample (≤ ``KMEANS_TRAIN_CAP`` vectors — the
+    functions/pq.py ``pq_train`` discipline, applied here in r12 for the
+    same reason: a coarse quantizer needs ~100·k training points, not
+    the corpus, and the distributed Lloyd's cost on fixture corpora was
+    pure driver-job overhead — ~1.4 s per iteration of plan-compile +
+    JIT of the k×dim literal projection for 2000 rows of arithmetic.
+    Production ANN tiers train coarse quantizers exactly this way; the
+    CLUSTER still does all data-scaled work — ``assign_cells`` over the
+    corpus stays distributed). The sample is the ``KMEANS_TRAIN_CAP``
+    lowest ``xxhash64(vec_id)`` rows (TakeOrderedAndProject heaps, one
+    pass); on fixtures smaller than the cap it is the whole corpus, so
+    small-SF results don't depend on the hash draw at all.
+
+    The numpy loop reproduces the distributed formulation
+    (``kmeans_fit_distributed``, kept below as the full-corpus path and
+    differential referee): seeds = the first k sampled vectors by
+    vec_id, spherical normalization before each assignment, first-argmax
+    tie-break (``array_position`` takes the first match = np.argmax),
+    per-cell mean update, empty cells keep their previous centroid.
+    A corpus smaller than k degrades gracefully to a len(sample)-entry
+    quantizer, matching the distributed form. As a side effect the fit
+    is now bit-deterministic under ANY partitioning — the distributed
+    update's per-dim ``F.avg`` folded in partition order, so centroids
+    (and the rows-only readouts derived from them) could wiggle in the
+    last ulp across layouts; the sorted driver-side sample cannot."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(KMEANS_TRAIN_CAP)
+        .collect()
+    )
+    sample.sort(key=lambda r: r.vec_id)
+    x = np.array([list(r.embedding) for r in sample], dtype=np.float64)
+    k_eff = min(k, len(sample))
+    cb = x[:k_eff].copy()
+    for _ in range(iters):
+        norms = np.sqrt((cb * cb).sum(-1, keepdims=True))
+        norms[norms == 0] = 1.0
+        sims = x @ (cb / norms).T  # n × k
+        assign = sims.argmax(1)  # first max wins ties (lowest cell)
+        for c in range(k_eff):
+            mask = assign == c
+            if mask.any():
+                cb[c] = x[mask].mean(axis=0)
+    return _centroids_to_rows(
+        spark, [(c, [float(v) for v in cb[c]]) for c in range(k_eff)]
+    )
+
+
+def kmeans_fit_distributed(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
+    """The distributed Lloyd formulation — ONE job and ONE shuffle per
+    iteration, O(k·dim) driver traffic — kept as the full-corpus
+    training path for callers whose quantizer genuinely needs more than
+    a ``KMEANS_TRAIN_CAP`` sample, and as the differential referee for
+    the driver-side ``kmeans_fit`` (tests/test_kmeans.py pins the two
+    equal on the fixture, where the sample IS the corpus)."""
     spark = emb.sparkSession
     current = [
         (i, [float(v) for v in r.embedding])

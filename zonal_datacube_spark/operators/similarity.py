@@ -290,17 +290,20 @@ KMEANS_ITERS = 2  # Lloyd rounds; each is a full fixed-cost Spark job and
 
 
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed spherical k-means clustering of the embedding table
-    (functions/kmeans.py): k=8 centroids, 3 Lloyd iterations, seeds =
+    """Spherical k-means clustering of the embedding table
+    (functions/kmeans.py): k=8 centroids, Lloyd iterations, seeds =
     first k vectors by vec_id (deterministic — no RNG). Declared
     rows-only: the iterative float fixed-point has no SQL oracle, so
-    correctness is pinned by tests/test_kmeans.py (assignment optimality,
-    inertia monotonicity) plus the stable output shape here. Per
-    iteration only the k×dim centroid matrix touches the driver; the
-    assignment+update is ONE job with ONE shuffle — the canonical
-    iterative-ML arrangement on Spark, sized for any corpus. Output: one
-    row per cluster with population, dominant label, and mean cosine to
-    the centroid."""
+    correctness is pinned by tests/test_kmeans.py (assignment
+    optimality, inertia monotonicity, and the sample-fit ≡
+    distributed-fit differential) plus the stable output shape here.
+    Centroid FITTING runs driver-side on a bounded deterministic sample
+    since r12 (the pq_train discipline — a coarse quantizer needs
+    ~100·k points, not the corpus; the fixture fit was pure driver-job
+    overhead, 2.9 → 0.2 s); the data-scaled ASSIGNMENT over the corpus
+    below stays distributed — one aggregate pass, one shuffle. Output:
+    one row per cluster with population, dominant label, and mean
+    cosine to the centroid."""
     from zonal_datacube_spark.functions.kmeans import assign_cells, kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
