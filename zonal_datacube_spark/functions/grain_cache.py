@@ -91,7 +91,14 @@ def table_value_grain(
     _CACHE[key] = grain
     while len(_CACHE) > _CAP:
         _, evicted = _CACHE.popitem(last=False)
-        evicted.unpersist()
+        try:
+            evicted.unpersist()
+        except Exception:
+            # an entry keyed by a STOPPED SparkContext (new session in
+            # the same process) cannot be unpersisted — dropping the
+            # reference is all the cleanup that remains possible, and
+            # eviction must never break the live caller
+            pass
     return grain
 
 
