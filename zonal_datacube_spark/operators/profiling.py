@@ -58,7 +58,9 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def evolved_orders_path(spark: SparkSession, sf_dir: str) -> str:
     """Two-generation orders layout: gen1 (even orderkeys) lacks
     o_orderpriority; gen2 (odd orderkeys) carries it."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    from zonal_datacube_spark.sources.loader import corpus_cache_tag
+
+    tag = corpus_cache_tag(sf_dir, "orders")  # corpus identity, not basename
     path = os.path.join(_EVO_CACHE_ROOT, tag, "orders_evolved")
     if not os.path.exists(os.path.join(path, "gen=2", "_SUCCESS")):
         orders = load_table(spark, sf_dir, "orders").select(

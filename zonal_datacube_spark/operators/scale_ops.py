@@ -151,8 +151,11 @@ _ORC_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "zds_orc_cache")
 
 def orc_orders_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per sf_dir) an ORC copy of orders under the system
-    temp dir — the ORC-side twin of partitioned_events_path."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    temp dir — the ORC-side twin of partitioned_events_path (and like it,
+    tagged by corpus identity, not basename — r12 review)."""
+    from zonal_datacube_spark.sources.loader import corpus_cache_tag
+
+    tag = corpus_cache_tag(sf_dir, "orders")
     path = os.path.join(_ORC_CACHE_ROOT, tag, "orders_orc")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_orc(load_table(spark, sf_dir, "orders"), path)
@@ -168,8 +171,9 @@ def zorder_events_path(spark: SparkSession, sf_dir: str) -> str:
     layout (functions/zorder.py); filters on EITHER dimension prune files
     by footer statistics (proven in tests/test_zorder.py)."""
     from zonal_datacube_spark.functions.zorder import write_zordered
+    from zonal_datacube_spark.sources.loader import corpus_cache_tag
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = corpus_cache_tag(sf_dir, "events")
     path = os.path.join(_ZORDER_CACHE_ROOT, tag, "events_zorder")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev = (
@@ -254,11 +258,16 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     managed tables on the join key — the choose-the-partitioning-once
     storage layout that every later equi-join/aggregation on that key reads
     shuffle-free."""
+    import re
     import shutil
 
     from zonal_datacube_spark.sources.bucketing import write_bucketed
+    from zonal_datacube_spark.sources.loader import corpus_cache_tag
 
-    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    # corpus-identity tag (r12 review: basename-only table names meant a
+    # session touching two same-named corpora would silently serve the
+    # first one's buckets to the second), sanitized for the catalog
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", corpus_cache_tag(sf_dir, "orders"))
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")

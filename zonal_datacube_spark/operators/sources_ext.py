@@ -42,8 +42,23 @@ DOCS_JSON_SCHEMA = (
 )
 
 
+_CACHE_SRC_TABLE = {
+    # which fixture table each derived copy is materialized FROM — the
+    # corpus_cache_tag identity source (basename-only tags aliased
+    # same-named corpora; r12 review)
+    "orders_csv": "orders",
+    "orders_csv_corrupt": "orders",
+    "documents_jsonl": "documents",
+    "documents_txt": "documents",
+    "events_by_type": "events",
+    "events_compacted": "events",
+}
+
+
 def _cache_path(sf_dir: str, name: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    from zonal_datacube_spark.sources.loader import corpus_cache_tag
+
+    tag = corpus_cache_tag(sf_dir, _CACHE_SRC_TABLE[name])
     return os.path.join(_SRC_CACHE_ROOT, tag, name)
 
 

@@ -50,8 +50,15 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per sf_dir, cached under the system temp dir) a
     day-partitioned copy of events — the on-disk fishnet-tile analogue:
     ``day=YYYY-MM-DD/`` directories let a time predicate prune whole
-    partitions at planning time instead of filtering rows at runtime."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    partitions at planning time instead of filtering rows at runtime.
+
+    The cache tag embeds the SOURCE's identity (``corpus_cache_tag`` —
+    absolute path + events mtime/size), not just the dir basename (r12
+    review): two corpora sharing a basename must never alias each
+    other's cached copy, and regenerated fixtures must invalidate it."""
+    from zonal_datacube_spark.sources.loader import corpus_cache_tag
+
+    tag = corpus_cache_tag(sf_dir, "events")
     path = os.path.join(_PART_CACHE_ROOT, tag, "events_by_day")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events").withColumn(

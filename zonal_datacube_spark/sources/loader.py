@@ -9,6 +9,8 @@ analogue of the reference's fishnet tile pruning + windowed reads
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -44,6 +46,28 @@ def ensure_session_confs(spark: SparkSession) -> None:
     for k, v in _SESSION_CONFS.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
+
+
+def corpus_cache_tag(sf_dir: str, table: str) -> str:
+    """Identity tag for derived-layout caches (CSV/ORC/partitioned/
+    z-ordered/bucketed copies materialized once per corpus under the
+    temp dir): the dir basename PLUS a hash of the source table's
+    identity (absolute path, mtime, size — works for a single parquet
+    file or a directory of part files, whose mtime changes on rewrite).
+
+    Basename-only tags were the r12 review's silent-wrong-answer find:
+    two corpora sharing a basename — the rehearsal relayout of sf0.01
+    vs the fixture sf0.01 — would alias each other's cached copies, and
+    a regenerated fixture would silently serve the stale one (the same
+    failure class as the r11 streaming-glob weak mark; it only ever
+    passed because the aliased copies happened to hold identical
+    data)."""
+    import hashlib
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    ident = f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
+    return f"{base}-{hashlib.md5(ident.encode()).hexdigest()[:10]}"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
