@@ -66,9 +66,16 @@ def table_value_grain(
     read-only and must NOT unpersist it — lifecycle belongs to the LRU
     here. Folds over it (sweeps, fence joins, weighted counts) read the
     cache instead of re-scanning the fact table."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(src)
     key = (
         spark.sparkContext.applicationId,
         os.path.realpath(sf_dir),
+        # source-content stamp: a corpus REBUILT under the same path
+        # within one process (scale_rehearsal relayouts do exactly this)
+        # must miss the cache, never serve the stale persisted grain
+        st.st_mtime_ns,
+        st.st_size,
         table,
         tuple(part_cols),
         val_expr,
