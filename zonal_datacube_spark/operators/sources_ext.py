@@ -51,6 +51,7 @@ _CACHE_SRC_TABLE = {
     "documents_jsonl": "documents",
     "documents_txt": "documents",
     "events_by_type": "events",
+    "events_by_type_1f": "events",
     "events_compacted": "events",
 }
 
