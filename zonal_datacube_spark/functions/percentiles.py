@@ -106,6 +106,14 @@ GRAIN_FOLD_PARTITIONS = 8
 
 @contextlib.contextmanager
 def _fold_partitions(spark, n: int = GRAIN_FOLD_PARTITIONS):
+    # Session-global override, restored on exit (ADVICE r12): any query
+    # PLANNED concurrently on the shared session during the eager collect
+    # would pick up the 8-partition conf. The engine's harnesses are
+    # single-threaded per session (bench/parity/driver run keys
+    # sequentially; the streaming keys are AvailableNow one-shots that
+    # complete inside their call), so no concurrent planning exists on a
+    # declared path — a future multi-threaded caller should scope the
+    # fold with spark.newSession() instead of widening this.
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, str(n))
@@ -179,12 +187,16 @@ def _eager_local(long_df: DataFrame) -> DataFrame:
     otherwise silently materialize |parts|·|ps| rows on the driver."""
     with _fold_partitions(long_df.sparkSession):
         rows = long_df.collect()
-    assert len(rows) <= 10_000, (
-        f"grain_percentiles folded {len(rows)} (part, p) rows to the "
-        "driver — part_cols must be enum-like; high-cardinality parts "
-        "should use grain_percentiles_from_counts and keep the result "
-        "distributed"
-    )
+    if len(rows) > 10_000:
+        # explicit raise, not assert: the guard must survive python -O
+        # (ADVICE r12 — stripped asserts would silently re-enable the
+        # unbounded driver materialization this exists to prevent)
+        raise ValueError(
+            f"grain_percentiles folded {len(rows)} (part, p) rows to the "
+            "driver — part_cols must be enum-like; high-cardinality parts "
+            "should use grain_percentiles_from_counts and keep the result "
+            "distributed"
+        )
     return long_df.sparkSession.createDataFrame(rows, long_df.schema)
 
 

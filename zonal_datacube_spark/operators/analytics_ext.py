@@ -76,19 +76,32 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is shared with the quantiles/IQR/winsorized keys — in-suite the
     # fact table is scanned once for the whole family, not once per key.
     # Quantile edges are still drawn per (flag, var), so mixing the two
-    # value distributions costs no bucket balance.
+    # value distributions costs no bucket balance. Grains are fetched
+    # under their CANONICAL (val_expr, val_name) specs
+    # (grain_cache.FAMILY_GRAINS) and aliased to "val" here — val_name is
+    # part of the cache key, so a per-key alias would rebuild and persist
+    # the (flag, price) grain a second time beside the entry the
+    # quantiles/IQR/winsorized keys share (ADVICE r12 medium).
     price = table_value_grain(
         spark, sf_dir, "lineitem", ("l_returnflag",),
-        "l_extendedprice", "val",
+        "l_extendedprice", "l_extendedprice",
     )
     qty = table_value_grain(
         spark, sf_dir, "lineitem", ("l_returnflag",),
-        "CAST(l_quantity AS DOUBLE)", "val",
+        "CAST(l_quantity AS DOUBLE)", "l_quantity",
     )
     stacked_grain = price.select(
-        "l_returnflag", F.lit("price").alias("var"), "val", "_gc_c"
+        "l_returnflag",
+        F.lit("price").alias("var"),
+        F.col("l_extendedprice").alias("val"),
+        "_gc_c",
     ).unionByName(
-        qty.select("l_returnflag", F.lit("qty").alias("var"), "val", "_gc_c")
+        qty.select(
+            "l_returnflag",
+            F.lit("qty").alias("var"),
+            F.col("l_quantity").alias("val"),
+            "_gc_c",
+        )
     )
     qs = cached_grain_percentiles(
         stacked_grain, ["l_returnflag", "var"], "val", (0.5, 0.9)

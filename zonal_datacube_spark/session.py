@@ -15,7 +15,9 @@ Config rationale (SURVEY.md §4.4):
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import SparkSession
@@ -27,9 +29,19 @@ DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 # under any concurrent session writing the same table dirs (VERDICT r11
 # nit #3: opaque py4j errors when the judge's parity run raced the suite).
 # The in-memory catalog already forgets managed tables between processes —
-# sharing the directory never bought reuse, only collisions. Derby gets the
-# same home in case a Hive-backed catalog is ever enabled.
-_WAREHOUSE_DIR = tempfile.mkdtemp(prefix="zds_warehouse_")
+# sharing the directory never bought reuse, only collisions. Created
+# LAZILY on first get_spark and removed at interpreter exit (ADVICE r12:
+# import-time mkdtemp accumulated never-cleaned dirs across every
+# suite/bench/tool run that merely imported this module).
+_WAREHOUSE_DIR: str | None = None
+
+
+def _warehouse_dir() -> str:
+    global _WAREHOUSE_DIR
+    if _WAREHOUSE_DIR is None:
+        _WAREHOUSE_DIR = tempfile.mkdtemp(prefix="zds_warehouse_")
+        atexit.register(shutil.rmtree, _WAREHOUSE_DIR, ignore_errors=True)
+    return _WAREHOUSE_DIR
 
 
 def get_spark(app_name: str = "zonal-datacube-spark", cpus: str | None = None) -> SparkSession:
@@ -48,11 +60,11 @@ def get_spark(app_name: str = "zonal-datacube-spark", cpus: str | None = None) -
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.warehouse.dir", _WAREHOUSE_DIR)
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-Dderby.system.home={_WAREHOUSE_DIR}",
-        )
+        # no derby.system.home java option: extraJavaOptions set at
+        # session-build time cannot reach an already-launched client-mode
+        # driver JVM (ADVICE r12), and no Hive catalog is enabled — the
+        # in-memory catalog never starts Derby.
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .getOrCreate()
     )

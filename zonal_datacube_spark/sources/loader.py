@@ -48,12 +48,32 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+def source_stamp(path: str) -> tuple:
+    """Content-identity stamp of a fixture source: (mtime_ns, size) for a
+    plain file; for a DIRECTORY of part files, the folded sorted
+    (name, mtime_ns, size) listing of its entries. The directory's own
+    stat is NOT sufficient (ADVICE r12): rewriting part-file CONTENTS in
+    place — same filenames, e.g. ``cp`` over an existing part — leaves
+    the directory's mtime and size unchanged, so a regenerated corpus
+    would silently serve a stale cached grain or derived-layout copy,
+    exactly the aliasing class the r12 content-stamp change closed."""
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    parts = []
+    for name in sorted(os.listdir(path)):
+        pst = os.stat(os.path.join(path, name))
+        parts.append((name, pst.st_mtime_ns, pst.st_size))
+    return (len(parts), tuple(parts))
+
+
 def corpus_cache_tag(sf_dir: str, table: str) -> str:
     """Identity tag for derived-layout caches (CSV/ORC/partitioned/
     z-ordered/bucketed copies materialized once per corpus under the
     temp dir): the dir basename PLUS a hash of the source table's
-    identity (absolute path, mtime, size — works for a single parquet
-    file or a directory of part files, whose mtime changes on rewrite).
+    identity (absolute path + ``source_stamp`` — for a directory of
+    part files the stamp folds the per-part listing, so an in-place
+    part rewrite misses the cache too, ADVICE r12).
 
     Basename-only tags were the r12 review's silent-wrong-answer find:
     two corpora sharing a basename — the rehearsal relayout of sf0.01
@@ -65,8 +85,8 @@ def corpus_cache_tag(sf_dir: str, table: str) -> str:
     import hashlib
 
     base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-    ident = f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
+    stamp = source_stamp(os.path.join(sf_dir, f"{table}.parquet"))
+    ident = f"{os.path.abspath(sf_dir)}:{stamp}"
     return f"{base}-{hashlib.md5(ident.encode()).hexdigest()[:10]}"
 
 
