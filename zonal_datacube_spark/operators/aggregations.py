@@ -83,11 +83,32 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct count — rows-only key (approx values are
-    implementation-defined, so no value oracle by design)."""
+    implementation-defined, so no value oracle by design). Since r13 the
+    row carries its OWN referee (VERDICT r12 next-round #8, the
+    q_agg_sketch_error_eval pattern): the exact distinct count, the
+    relative error, and a boolean ``in_bound`` against 3× the sketch's
+    default relative standard deviation (rsd 0.05 → 0.15) — so the
+    driver's rows-only check attests a bounded error, not just a row
+    count. Exact and approx are one fused aggregate: both are
+    distinct-rewrites over the same (type, user) expand, no extra scan."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    out = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
+    rel_err = (F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return out.select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        F.round(rel_err, 6).alias("rel_err"),
+        (F.abs(rel_err) <= 3 * 0.05).alias("in_bound"),
+    )
+
+
+PCTL_APPROX_ACC = 10_000  # percentile_approx accuracy → rank eps = 1/acc
 
 
 def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,14 +120,114 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-percentile twin ``q_agg_percentile`` is the oracle-checked
     surface). Scalar columns only: the driver's rows-only canonicalizer
     sorts every column, and array cells are unhashable there — one sketch
-    per output column keeps the check runnable."""
+    per output column keeps the check runnable.
+
+    Since r13 the row carries its own referee (VERDICT r12 next-round
+    #8): each returned cell is an ACTUAL data value whose rank the GK
+    summary guarantees within ``±n/accuracy`` of the target; the five
+    cells melt to (flag, axis, p, v), each value's exact rank interval
+    ``[n_lt+1, n_le]`` folds from the shared (flag, value) grains
+    (functions/grain_cache.py — grain-side integer sums, no fact
+    re-scan), and ``ranks_in_bound`` attests every interval intersects
+    the guaranteed window — a bounded-error attestation inside the
+    rows-only check itself."""
+    from zonal_datacube_spark.functions.grain_cache import (
+        GRAIN_COUNT,
+        table_value_grain,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("price_p25"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
-        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("price_p75"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("price_p99"),
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", 0.25, PCTL_APPROX_ACC
+        ).alias("price_p25"),
+        F.percentile_approx(
+            "l_extendedprice", 0.5, PCTL_APPROX_ACC
+        ).alias("price_p50"),
+        F.percentile_approx(
+            "l_extendedprice", 0.75, PCTL_APPROX_ACC
+        ).alias("price_p75"),
+        F.percentile_approx(
+            "l_extendedprice", 0.99, PCTL_APPROX_ACC
+        ).alias("price_p99"),
+        F.percentile_approx("l_quantity", 0.5, PCTL_APPROX_ACC).alias(
+            "median_qty"
+        ),
+    )
+
+    def _c(axis: str, p: float, col: str) -> F.Column:
+        return F.struct(
+            F.lit(axis).alias("axis"),
+            F.lit(p).alias("p"),
+            F.col(col).cast("double").alias("v"),
+        )
+
+    cells = approx.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                _c("price", 0.25, "price_p25"),
+                _c("price", 0.5, "price_p50"),
+                _c("price", 0.75, "price_p75"),
+                _c("price", 0.99, "price_p99"),
+                _c("qty", 0.5, "median_qty"),
+            )
+        ).alias("cell"),
+    ).select("l_returnflag", "cell.*")
+    # both axes are the canonical family grains — pre-warmed in-suite,
+    # and at any SF a bounded-grid table, never the fact table
+    price = table_value_grain(
+        spark, sf_dir, "lineitem", ("l_returnflag",),
+        "l_extendedprice", "l_extendedprice",
+    ).select(
+        "l_returnflag",
+        F.lit("price").alias("axis"),
+        F.col("l_extendedprice").cast("double").alias("gv"),
+        F.col(GRAIN_COUNT).alias("c"),
+    )
+    qty = table_value_grain(
+        spark, sf_dir, "lineitem", ("l_returnflag",),
+        "CAST(l_quantity AS DOUBLE)", "l_quantity",
+    ).select(
+        "l_returnflag",
+        F.lit("qty").alias("axis"),
+        F.col("l_quantity").alias("gv"),
+        F.col(GRAIN_COUNT).alias("c"),
+    )
+    checked = (
+        price.unionByName(qty)
+        .join(F.broadcast(cells), ["l_returnflag", "axis"])
+        .groupBy("l_returnflag", "axis", "p", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("gv") < F.col("v"), F.col("c")).otherwise(0)
+            ).alias("n_lt"),
+            F.sum(
+                F.when(F.col("gv") <= F.col("v"), F.col("c")).otherwise(0)
+            ).alias("n_le"),
+            F.sum("c").alias("n"),
+        )
+    )
+    eps = 1.0 / PCTL_APPROX_ACC
+    ok = (
+        F.col("n_lt") + 1 <= (F.col("p") + eps) * F.col("n") + 1
+    ) & (F.col("n_le") >= (F.col("p") - eps) * F.col("n"))
+
+    def _cell(axis: str, p: float) -> F.Column:
+        return F.max(
+            F.when(
+                (F.col("axis") == axis) & (F.col("p") == F.lit(p)),
+                F.col("v"),
+            )
+        )
+
+    return checked.withColumn("ok", ok).groupBy("l_returnflag").agg(
+        _cell("price", 0.25).alias("price_p25"),
+        _cell("price", 0.5).alias("price_p50"),
+        _cell("price", 0.75).alias("price_p75"),
+        _cell("price", 0.99).alias("price_p99"),
+        _cell("qty", 0.5).alias("median_qty"),
+        F.bool_and("ok").alias("ranks_in_bound"),
     )
 
 

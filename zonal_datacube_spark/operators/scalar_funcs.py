@@ -176,11 +176,36 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via the approx_top_k frequency sketch (rows-only key:
     sketch output is implementation-defined under ties, same policy as the
-    HLL and quantile-sketch keys). Exploded to one row per hitter."""
+    HLL and quantile-sketch keys). Exploded to one row per hitter.
+
+    Since r13 each hitter carries its own referee (VERDICT r12
+    next-round #8): the EXACT count of the reported item (one bounded
+    groupBy on the enum type column, broadcast back), the absolute
+    error, and ``in_bound`` at 0.5% of total rows — the frequency-sketch
+    guarantee class (count error ≤ N/capacity; the default capacity far
+    exceeds this domain, so the sketch is exact here and the bound is
+    loose on purpose — it must hold at any SF, not just the fixture)."""
     ev = load_table(spark, sf_dir, "events")
     top = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
-    return top.select(F.posexplode("tk").alias("rank", "hit")).select(
+    hits = top.select(F.posexplode("tk").alias("rank", "hit")).select(
         "rank", F.col("hit.item").alias("item"), F.col("hit.count").alias("n")
+    )
+    exact = ev.groupBy(F.col("event_type").alias("item")).agg(
+        F.count("*").alias("exact_n")
+    )
+    total = exact.agg(F.sum("exact_n").alias("n_total"))
+    err = F.col("n") - F.col("exact_n")
+    return (
+        hits.join(F.broadcast(exact), "item", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "item",
+            "n",
+            "exact_n",
+            err.alias("err"),
+            (F.abs(err) <= 0.005 * F.col("n_total")).alias("in_bound"),
+        )
     )
 
 
