@@ -136,7 +136,10 @@ def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def run_stream_foreach_batch(
-    stream_df: DataFrame, spark: SparkSession, out_dir: str
+    stream_df: DataFrame,
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint: str | None = None,
 ) -> None:
     """foreachBatch sink: each micro-batch lands as parquet via the normal
     batch writer — the escape hatch for sinks without a native streaming
@@ -150,12 +153,19 @@ def run_stream_foreach_batch(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
-    q = (
+    w = (
         stream_df.writeStream.foreachBatch(write_batch)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint:
+        # a durable checkpoint makes the run RESTARTABLE: the file
+        # source's offset log records which input files were processed
+        # and the aggregation state store persists across stop/start, so
+        # a second start() with the same dir resumes exactly where the
+        # first stopped (tests/test_stream_restart.py)
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     q.awaitTermination(120)
 
 
@@ -211,7 +221,11 @@ def upsert_into_versioned_state(
 
 
 def run_stream_upsert(
-    stream_df: DataFrame, spark: SparkSession, state_dir: str, keys: list[str]
+    stream_df: DataFrame,
+    spark: SparkSession,
+    state_dir: str,
+    keys: list[str],
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Update-mode foreachBatch upsert: each micro-batch carries only the
     keys whose aggregate changed since the last trigger (update mode), and
@@ -219,7 +233,7 @@ def run_stream_upsert(
     shape that scales when the full result no longer fits a complete-mode
     snapshot (complete mode re-emits EVERY window every batch; update mode
     is O(changed keys)). Returns the final merged state."""
-    q = (
+    w = (
         stream_df.writeStream.foreachBatch(
             lambda batch_df, batch_id: upsert_into_versioned_state(
                 batch_df, batch_id, state_dir, keys
@@ -227,8 +241,10 @@ def run_stream_upsert(
         )
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     q.awaitTermination(120)
     result = read_versioned_state(spark, state_dir)
     assert result is not None, "stream produced no batches"
