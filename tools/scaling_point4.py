@@ -248,8 +248,142 @@ def build_sf1x(
         fh.write(stamp)
 
 
+# ---- saturation bend (r13 — VERDICT r12 next-round #4) ----------------
+# SCALING4 honestly recorded that the lineitem (flag, price) and orders
+# (priority, totalprice) grains still grow ~10x at sf1x: their cent
+# grids are orders of magnitude larger than sf0.1's row count, so
+# domain saturation — the regime the width-mode/flat-cost claim actually
+# targets at 100 TB — was argued, not measured. This section MEASURES
+# it: a second fan whose on-grid jitter wraps inside a CAPPED cent
+# domain sized below rows-per-part, so at 10x rows the grain has
+# nowhere left to grow. Two corpora per cap (1 copy and 10 copies, both
+# through the same wrap so the comparison is apples-to-apples), the
+# value-grain cells counted at each, and the grain-dominated keys timed
+# at both points. Done-bar: grain growth < 2x at 10x rows with the
+# wall tracking the grain, not the row count.
+SAT_DEST_1 = "/tmp/zds_sat1"
+SAT_DEST_10 = "/tmp/zds_sat10"
+SAT_CAP_LI = 60_000  # lineitem price cents wrap into [0, 600.00)
+SAT_CAP_ORD = 20_000  # orders totalprice cents wrap into [0, 200.00)
+SAT_KEYS = {
+    # key -> (grain probe label, which table feeds it)
+    "q_agg_quantiles_multi": "lineitem (flag, price)",
+    "q_dq_outlier_iqr": "lineitem (flag, price)",
+    "q_agg_gini": "orders (priority, totalprice)",
+}
+
+
+def build_saturated(spark, dest: str, n_copies: int, rebuild: bool) -> None:
+    """Fan lineitem + orders ``n_copies``x with ids re-keyed and value
+    cents wrapped into the capped grids (a distinct prime stride per
+    copy mimics fresh draws from the bounded domain); every other table
+    copies verbatim — the measured keys read only lineitem/orders."""
+    marker = os.path.join(dest, "_SAT_OK")
+    stamp = f"v1 {BASE_SF} x{n_copies} li{SAT_CAP_LI} ord{SAT_CAP_ORD}\n"
+    if os.path.exists(marker) and not rebuild:
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest)
+    cp = F.col("_cp")
+
+    def wrap(col: str, cap: int) -> F.Column:
+        cents = F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
+        return (
+            F.pmod(cents + cp * F.lit(9973), F.lit(cap)).cast("double") / 100.0
+        )
+
+    def fan(table: str, repl: dict[str, F.Column]):
+        df = load_table(spark, BASE_SF, table)
+        wide = df.crossJoin(
+            spark.range(n_copies).select(F.col("id").alias("_cp"))
+        )
+        cols = [
+            (repl[c] if c in repl else F.col(c)).alias(c) for c in df.columns
+        ]
+        wide.select(*cols).repartition(16).write.mode("overwrite").parquet(
+            os.path.join(dest, f"{table}.parquet")
+        )
+
+    fan(
+        "lineitem",
+        {
+            "l_orderkey": F.col("l_orderkey") + cp * ID_OFF,
+            "l_extendedprice": wrap("l_extendedprice", SAT_CAP_LI),
+        },
+    )
+    fan(
+        "orders",
+        {
+            "o_orderkey": F.col("o_orderkey") + cp * ID_OFF,
+            "o_totalprice": wrap("o_totalprice", SAT_CAP_ORD),
+        },
+    )
+    for t in TABLES:
+        if t in ("lineitem", "orders"):
+            continue
+        shutil.copyfile(
+            os.path.join(BASE_SF, f"{t}.parquet"),
+            os.path.join(dest, f"{t}.parquet"),
+        )
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+
+
+def measure_saturation(spark, queries, rebuild: bool) -> dict:
+    build_saturated(spark, SAT_DEST_1, 1, rebuild)
+    build_saturated(spark, SAT_DEST_10, N_COPIES, rebuild)
+    out: dict = {"grains": {}, "results": {}}
+    for gname, (table, proj) in GRAINS.items():
+        if gname not in set(SAT_KEYS.values()):
+            continue
+        g1 = proj(load_table(spark, SAT_DEST_1, table)).distinct().count()
+        g10 = proj(load_table(spark, SAT_DEST_10, table)).distinct().count()
+        out["grains"][gname] = {
+            "sat1": g1,
+            "sat10": g10,
+            "growth": round(g10 / g1, 2),
+        }
+    for k, gname in SAT_KEYS.items():
+        times = {}
+        for label, dest in (("sat1", SAT_DEST_1), ("sat10", SAT_DEST_10)):
+            queries[k](spark, dest).count()  # warm
+            runs = []
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                queries[k](spark, dest).count()
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            times[label] = round(runs[len(runs) // 2], 3)
+        g = out["grains"][gname]
+        ratio = times["sat10"] / times["sat1"] if times["sat1"] else None
+        out["results"][k] = {
+            "sat1": times["sat1"],
+            "sat10": times["sat10"],
+            "wall_ratio": round(ratio, 2),
+            "grain": gname,
+            "grain_growth": g["growth"],
+        }
+        print(
+            f"{k}: sat1 {times['sat1']} -> sat10 {times['sat10']} s "
+            f"({ratio:.2f}x wall at 10x rows; grain {g['growth']:.2f}x)",
+            file=sys.stderr,
+        )
+    return out
+
+
 def main() -> int:
     rebuild = "--rebuild" in sys.argv[1:]
+    if "--saturation-only" in sys.argv[1:]:
+        # debug mode while iterating on the capped fan: measures and
+        # prints the saturation section, writes NO artifacts (same
+        # no-clobber rule as key subsets)
+        spark = get_spark("zds-scaling4")
+        sat = measure_saturation(spark, all_queries(), rebuild)
+        print(json.dumps(sat))
+        return 0
     only = [a for a in sys.argv[1:] if a != "--rebuild"]
     queries = all_queries()
     # validate BEFORE the expensive corpus build: a key must exist, be in
@@ -352,11 +486,13 @@ def main() -> int:
                           "subset": True}))
         return 0
 
+    saturation = measure_saturation(spark, queries, rebuild)
+
     with open("SCALING4.json", "w") as f:
         json.dump(
             {"base": "sf0.1", "copies": N_COPIES, "n_runs": N_RUNS,
              "grains": grains, "results": results,
-             "iter_results": iter_results},
+             "iter_results": iter_results, "saturation": saturation},
             f, indent=1,
         )
     with open("SCALING4.md", "w") as f:
@@ -421,6 +557,41 @@ def main() -> int:
                     f"{r['rows_sf1x']} ({r['rows_growth']}x) "
                     f"| {r['cost_driver']} |\n"
                 )
+        if saturation["results"]:
+            f.write(
+                "\n## Saturation bend — the two still-growing grains, "
+                "measured AT the domain bound (r13 — VERDICT r12 "
+                "next-round #4)\n\n"
+                "The sf1x table above records honestly that the lineitem "
+                "price and orders totalprice grains still grow ~10x: "
+                "their cent grids dwarf sf0.1's row count, so domain "
+                "saturation was argued, not measured. This section wraps "
+                "the same on-grid jitter inside a CAPPED cent domain "
+                "(lineitem 60k cells, orders 20k — sized below rows per "
+                "part at 1x) and measures the grain-dominated keys on a "
+                "1-copy and a 10-copy corpus built through the SAME "
+                "wrap: at 10x rows the grain has nowhere left to grow, "
+                "and wall must track the (now ~flat) grain, not the row "
+                "count. The residual wall ratio is the one fact-scaled "
+                "map-side-combined grain-build scan — the part that "
+                "parallelizes with executors at 100 TB.\n\n"
+                "| grain | sat1 cells | sat10 cells | growth |\n"
+                "|---|---|---|---|\n"
+            )
+            for gname, g in saturation["grains"].items():
+                f.write(
+                    f"| {gname} (capped) | {g['sat1']} | {g['sat10']} "
+                    f"| {g['growth']:.2f}x |\n"
+                )
+            f.write(
+                "\n| key | sat1 s | sat10 s | wall ratio at 10x rows "
+                "| grain growth |\n|---|---|---|---|---|\n"
+            )
+            for k, r in saturation["results"].items():
+                f.write(
+                    f"| {k} | {r['sat1']} | {r['sat10']} "
+                    f"| {r['wall_ratio']:.2f}x | {r['grain_growth']:.2f}x |\n"
+                )
     summary = {"keys": len(results) + len(iter_results)}
     if results:
         summary["worst_norm"] = max(
@@ -429,6 +600,10 @@ def main() -> int:
     if iter_results:
         summary["worst_iter_ratio"] = max(
             r["ratio"] for r in iter_results.values()
+        )
+    if saturation["results"]:
+        summary["worst_sat_wall"] = max(
+            r["wall_ratio"] for r in saturation["results"].values()
         )
     print(json.dumps(summary))
     return 0
