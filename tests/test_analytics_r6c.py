@@ -75,16 +75,21 @@ def test_spearman_rank_attachment_rides_the_prefix_sweep(spark):
 
 
 def test_spearman_single_stacked_sweep(spark):
-    """Round-10 rewrite (VERDICT r09 next-round #3): both variables'
-    ranks come from ONE stacked prefix sweep behind a persisted
-    intermediate — the plan must show the stack() grain and the shared
-    InMemoryTableScan, and the row-level fact must reach the moment
-    fold through the price-grain partial aggregate (groupBy flag,
-    price), never through two separate full-row rank-attach sweeps."""
+    """Round-10 rewrite (VERDICT r09 next-round #3), re-shaped r13: both
+    variables' ranks come from ONE stacked prefix sweep behind a
+    persisted intermediate, and since r13 the sweep's INPUT is the union
+    of the two cached canonical grains (functions/grain_cache.py) rather
+    than a stack() over the fact table — the rank path is entirely
+    grain-side, so the plan must show the shared InMemoryTableScans and
+    NO stack() grain re-scan, and the only row-level fact access is the
+    moment fold's price-grain partial aggregate."""
+    from zonal_datacube_spark.functions import grain_cache
+
+    grain_cache.clear_grain_cache()
     df = Q["q_stats_spearman"](spark, SF_SMOKE)
     plan = formatted_plan(df)
-    assert "stack" in plan, "stacked (var, val) grain missing"
-    assert "InMemoryTableScan" in plan, "sweep not persisted/shared"
+    assert "stack" not in plan, "rank sweep re-scans the fact table"
+    assert "InMemoryTableScan" in plan, "cached grains / sweep not shared"
     # exactly three rows out, exact integer moments upstream
     assert [r["l_returnflag"] for r in df.orderBy("l_returnflag").collect()] == [
         "A", "N", "R"

@@ -37,6 +37,11 @@ CHANGED_IN_R13 = (
     # numbers — re-attested hash-identical via the window
     "q_dq_outlier_mad",
     "q_dq_outlier_iqr",
+    # rank sweep input re-based onto the union of the two cached
+    # canonical grains (the q_agg_percentile trick): identical ranks,
+    # one less fact scan — the remaining row-level access is the moment
+    # fold's price-grain partial aggregate
+    "q_stats_spearman",
 )
 
 CHANGED_IN_R12 = (

@@ -90,8 +90,6 @@ def _doubled_ranks_stacked(
     fold back. The grain is bounded by the value-grid cardinality
     (cents/integer quantities), not by data volume, so the persist is
     control-plane sized at any SF."""
-    from pyspark.storagelevel import StorageLevel
-
     grain = (
         df.selectExpr(
             part,
@@ -100,6 +98,16 @@ def _doubled_ranks_stacked(
         .groupBy(part, "var", "val")
         .agg(F.count("*").alias("n_v"))
     )
+    return _sweep_stacked_ranks(grain, part)
+
+
+def _sweep_stacked_ranks(grain: DataFrame, part: str) -> DataFrame:
+    """The rank sweep over a pre-built stacked (part, var, val, n_v)
+    grain — factored out so q_stats_spearman can feed it the union of
+    the two cached canonical grains (r13) while engineered-input tests
+    keep the fact-table stack path."""
+    from pyspark.storagelevel import StorageLevel
+
     swept = prefix_sweep(
         grain, [part, "var"], "val", strict_sum_cols={"cum_before": "n_v"},
         # width, not quantile (round-10 second pass): the sweep runs at
@@ -163,19 +171,60 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    return _spearman_fold(li)
+    return _spearman_fold(li, ranks=_stacked_ranks_from_cached(spark, sf_dir))
 
 
-def _spearman_fold(li: DataFrame) -> DataFrame:
+def _stacked_ranks_from_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stacked (part, var, val) rank sweep INPUT assembled from the
+    two canonical shared grains (functions/grain_cache.py) instead of a
+    fresh stack+groupBy over the fact table (r13 — the q_agg_percentile
+    union trick applied here): the grain rows are the same multiset
+    (``var`` discriminates, so grouping the stack equals unioning the
+    per-axis groupings — tests/test_grain_cache.py pins it), and both
+    axes are pre-warmed in-suite, so the rank sweep becomes entirely
+    grain-side and spearman's only remaining fact scan is the moment
+    fold. Ranks are identical: the sweep runs on the same (part, var,
+    val, n_v) rows either way."""
+    from zonal_datacube_spark.functions.grain_cache import (
+        GRAIN_COUNT,
+        table_value_grain,
+    )
+
+    qty = table_value_grain(
+        spark, sf_dir, "lineitem", ("l_returnflag",),
+        "CAST(l_quantity AS DOUBLE)", "l_quantity",
+    )
+    price = table_value_grain(
+        spark, sf_dir, "lineitem", ("l_returnflag",),
+        "l_extendedprice", "l_extendedprice",
+    )
+    grain = qty.select(
+        "l_returnflag",
+        F.lit("x").alias("var"),
+        F.col("l_quantity").alias("val"),
+        F.col(GRAIN_COUNT).alias("n_v"),
+    ).unionByName(
+        price.select(
+            "l_returnflag",
+            F.lit("y").alias("var"),
+            F.col("l_extendedprice").alias("val"),
+            F.col(GRAIN_COUNT).alias("n_v"),
+        )
+    )
+    return _sweep_stacked_ranks(grain, "l_returnflag")
+
+
+def _spearman_fold(li: DataFrame, ranks: DataFrame | None = None) -> DataFrame:
     """The full pipeline on a (l_returnflag, l_quantity,
     l_extendedprice) frame — split out so tests can feed ENGINEERED
     inputs the fixture never produces (NULLs in either value column:
     the statistic's row universe is rows present in BOTH grains, and
     n_p must be counted in that joined universe, never taken from the
     y-grain — see the in-body comment)."""
-    ranks = _doubled_ranks_stacked(
-        li, "l_returnflag", "l_quantity", "l_extendedprice"
-    )
+    if ranks is None:
+        ranks = _doubled_ranks_stacked(
+            li, "l_returnflag", "l_quantity", "l_extendedprice"
+        )
     xr = ranks.filter(F.col("var") == "x").select(
         "l_returnflag",
         F.col("val").alias("l_quantity"),

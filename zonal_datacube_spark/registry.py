@@ -104,6 +104,7 @@ KEY_ORDER = (
     "q_dq_outlier_mad",
     "q_dq_outlier_iqr",
     "q_agg_quantiles_multi",
+    "q_stats_spearman",
     # --- oldest-attested: the full r01 cohort ---
     "q_array_funcs",
     "q_array_hof",
