@@ -44,8 +44,21 @@ from zonal_datacube_spark.sources.loader import load_table, source_stamp
 
 GRAIN_COUNT = "_gc_c"
 
+# Column names of the SWEPT grain (table_swept_grain): the value grain's
+# occurrence count re-exposed as the percentile family's working column,
+# plus its exact inclusive cumulative count over the (part, val) total
+# order and the part total. These deliberately match the internal names
+# of functions/percentiles.grain_percentiles_from_counts so the swept
+# cache entry IS that function's post-sweep frame, byte for byte.
+SWEPT_COUNT = "_gp_c"
+SWEPT_CUM = "_gp_cum"
+SWEPT_TOTAL = "_gp_n"
+
 _CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
-_CAP = 8
+# r13: the swept-grain tier doubles the live entries per corpus (3 value
+# + 3 swept); a two-corpus interleave (fixture + rehearsal relayout)
+# must still fit without evict-thrash, so the cap is 2 × 2 × 4.
+_CAP = 16
 
 # Observability (VERDICT r12 nit #3): eviction at _CAP is SILENT — an
 # unpersisted grain recomputes correctly, so thrash shows up only as
@@ -71,11 +84,11 @@ FAMILY_GRAINS = (
 
 
 def warm_family_grains(spark: SparkSession, sf_dir: str) -> None:
-    """Build + persist every canonical family grain (suite-start
-    prologue). Idempotent: each spec lands on its normal cache entry, so
-    subsequent family keys hit."""
+    """Build + persist every canonical family grain AND its swept tier
+    (suite-start prologue). Idempotent: each spec lands on its normal
+    cache entry, so subsequent family keys hit."""
     for table, parts, val_expr, val_name in FAMILY_GRAINS:
-        table_value_grain(spark, sf_dir, table, parts, val_expr, val_name)
+        table_swept_grain(spark, sf_dir, table, parts, val_expr, val_name)
 
 
 def table_value_grain(
@@ -140,6 +153,76 @@ def table_value_grain(
             # eviction must never break the live caller
             pass
     return grain
+
+
+def table_swept_grain(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    part_cols: tuple[str, ...] | list[str],
+    val_expr: str,
+    val_name: str,
+) -> DataFrame:
+    """The canonical value grain PLUS its exact rank structure, cached:
+    ``(part_cols..., val_name, _gp_c, _gp_cum, _gp_n)`` where ``_gp_cum``
+    is the inclusive cumulative occurrence count over the per-part
+    ``val_name`` total order (functions/prefix_sweep.py, width mode) and
+    ``_gp_n`` the part total.
+
+    r13 optimization (guide §2.4 — two operations keyed the same way
+    share one exchange): before this tier, every percentile-family key
+    re-ran the full three-pass prefix sweep over the shared value grain
+    (bounds aggregate + bucketed windows + offset rollup — the dominant
+    per-key cost once the grain itself was cached: 3–4 s/key at sf0.1).
+    The sweep depends only on the axis, never on the requested
+    percentiles, so ONE swept grain per axis serves every consumer;
+    rank extraction from it is a filter + one tiny aggregate.
+    Exactness: the sweep is the same code path `grain_percentiles_from_
+    counts` always ran — exact integer cumulative counts, identical
+    interpolation downstream."""
+    from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        source_stamp(src),
+        table,
+        tuple(part_cols),
+        val_expr,
+        val_name,
+        "swept",
+    )
+    hit = _CACHE.get(key)
+    if hit is not None:
+        STATS["hits"] += 1
+        _CACHE.move_to_end(key)
+        return hit
+    STATS["misses"] += 1
+    grain = table_value_grain(spark, sf_dir, table, part_cols, val_expr, val_name)
+    counts = grain.select(
+        *part_cols,
+        val_name,
+        F.col(GRAIN_COUNT).cast("bigint").alias(SWEPT_COUNT),
+    )
+    swept = prefix_sweep(
+        counts,
+        list(part_cols),
+        val_name,
+        sum_cols={SWEPT_CUM: SWEPT_COUNT},
+        total_sum_cols={SWEPT_TOTAL: SWEPT_COUNT},
+        boundaries="width",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    swept.count()
+    _CACHE[key] = swept
+    while len(_CACHE) > _CAP:
+        STATS["evictions"] += 1
+        _, evicted = _CACHE.popitem(last=False)
+        try:
+            evicted.unpersist()
+        except Exception:
+            pass
+    return swept
 
 
 def clear_grain_cache() -> None:

@@ -178,6 +178,22 @@ def cached_grain_percentiles(
     )
 
 
+def cached_swept_percentiles(
+    swept: DataFrame,
+    part_cols: Sequence[str],
+    val_col: str,
+    ps: Sequence[float],
+) -> DataFrame:
+    """``cached_grain_percentiles`` over a SHARED pre-SWEPT grain
+    (functions/grain_cache.table_swept_grain): the per-key work is one
+    filter + tiny aggregate + the same eager |parts|·|ps| local fold —
+    the prefix sweep itself ran once per axis at cache fill (r13;
+    guide §2.4). Identical values to the per-key sweep path."""
+    return _eager_local(
+        percentiles_from_swept(swept, part_cols, val_col, ps)
+    )
+
+
 def _eager_local(long_df: DataFrame) -> DataFrame:
     """Fold a bounded long-format result to a driver-local relation.
 
@@ -224,6 +240,22 @@ def grain_percentiles_from_counts(
         total_sum_cols={"_gp_n": "_gp_c"},
         boundaries=boundaries,
     )
+    return percentiles_from_swept(swept, parts, val_col, ps)
+
+
+def percentiles_from_swept(
+    swept: DataFrame,
+    part_cols: Sequence[str],
+    val_col: str,
+    ps: Sequence[float],
+) -> DataFrame:
+    """The rank-extraction + interpolation tail of
+    ``grain_percentiles_from_counts``, split out (r13) so consumers of
+    the SHARED pre-swept grain (functions/grain_cache.table_swept_grain)
+    skip the per-key prefix sweep entirely: ``swept`` must carry the
+    sweep's ``_gp_c`` / ``_gp_cum`` / ``_gp_n`` columns. Same arithmetic,
+    byte-identical results — only the sweep's execution count changes."""
+    parts = list(part_cols)
     e = swept.select(
         *parts,
         F.col(val_col).alias("_gp_v"),

@@ -62,49 +62,36 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor buffers; the quantity grain is ~50 rows, the price grain is
     the domain-bounded weighted-median class). Identical interpolation,
     same DuckDB oracle."""
-    from zonal_datacube_spark.functions.grain_cache import table_value_grain
+    from zonal_datacube_spark.functions.grain_cache import table_swept_grain
     from zonal_datacube_spark.functions.percentiles import (
-        cached_grain_percentiles,
+        cached_swept_percentiles,
     )
 
-    # BOTH variables ride ONE stacked (flag, var, value) sweep (the
-    # q_stats_spearman single-sweep trick), but the stacked grain is the
-    # UNION of the two shared per-axis grains (functions/grain_cache.py)
-    # rather than a fresh stack+groupBy over the fact table: the grain
-    # rows are the same multiset (var discriminates, so grouping the
-    # stack equals unioning the per-axis groupings) and the price grain
-    # is shared with the quantiles/IQR/winsorized keys — in-suite the
-    # fact table is scanned once for the whole family, not once per key.
-    # Quantile edges are still drawn per (flag, var), so mixing the two
-    # value distributions costs no bucket balance. Grains are fetched
-    # under their CANONICAL (val_expr, val_name) specs
-    # (grain_cache.FAMILY_GRAINS) and aliased to "val" here — val_name is
-    # part of the cache key, so a per-key alias would rebuild and persist
-    # the (flag, price) grain a second time beside the entry the
-    # quantiles/IQR/winsorized keys share (ADVICE r12 medium).
-    price = table_value_grain(
+    # r13: BOTH variables extract from their shared SWEPT per-axis grains
+    # (functions/grain_cache.table_swept_grain) — the stacked per-key
+    # sweep of the r12 shape is gone (guide §2.4: the sweep depends only
+    # on the axis, so one swept grain per axis serves the whole family).
+    # Interpolated cells are identical: each (flag, var, p) cell folds
+    # from exactly the grain rows and exact integer cumulative counts of
+    # its own axis, which the per-axis sweep produces bit-for-bit (the
+    # stacked sweep partitioned by (flag, var), so its cum counts never
+    # mixed axes either). Grains are fetched under their CANONICAL
+    # (val_expr, val_name) specs (grain_cache.FAMILY_GRAINS, ADVICE r12
+    # medium) and the long results are unioned under the old var tags.
+    price = table_swept_grain(
         spark, sf_dir, "lineitem", ("l_returnflag",),
         "l_extendedprice", "l_extendedprice",
     )
-    qty = table_value_grain(
+    qty = table_swept_grain(
         spark, sf_dir, "lineitem", ("l_returnflag",),
         "CAST(l_quantity AS DOUBLE)", "l_quantity",
     )
-    stacked_grain = price.select(
-        "l_returnflag",
-        F.lit("price").alias("var"),
-        F.col("l_extendedprice").alias("val"),
-        "_gc_c",
-    ).unionByName(
-        qty.select(
-            "l_returnflag",
-            F.lit("qty").alias("var"),
-            F.col("l_quantity").alias("val"),
-            "_gc_c",
-        )
-    )
-    qs = cached_grain_percentiles(
-        stacked_grain, ["l_returnflag", "var"], "val", (0.5, 0.9)
+    qs = cached_swept_percentiles(
+        qty, ["l_returnflag"], "l_quantity", (0.5, 0.9)
+    ).select("l_returnflag", F.lit("qty").alias("var"), "p", "q").unionByName(
+        cached_swept_percentiles(
+            price, ["l_returnflag"], "l_extendedprice", (0.5,)
+        ).select("l_returnflag", F.lit("price").alias("var"), "p", "q")
     )
 
     def _cell(var: str, p: float) -> F.Column:

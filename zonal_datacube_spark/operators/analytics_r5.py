@@ -229,23 +229,23 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (flag, price)-grain prefix sweep (functions/percentiles.py, the
     round-10 exact-percentile rewrite: no flag-keyed executor buffer) —
     broadcast back onto the same scan, one final aggregate."""
-    from zonal_datacube_spark.functions.grain_cache import table_value_grain
+    from zonal_datacube_spark.functions.grain_cache import table_swept_grain
     from zonal_datacube_spark.functions.percentiles import (
-        cached_grain_percentiles,
+        cached_swept_percentiles,
         pivot_percentiles,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    # fences from the shared (flag, price) grain (functions/
-    # grain_cache.py — one lineitem scan serves the whole percentile
-    # family per process); the clamp+average below keeps its original
-    # per-row arithmetic so the oracle-compared mean's summation tree
-    # is untouched.
+    # fences from the shared SWEPT (flag, price) grain (functions/
+    # grain_cache.py — one lineitem scan AND one prefix sweep serve the
+    # whole percentile family per process, r13); the clamp+average below
+    # keeps its original per-row arithmetic so the oracle-compared
+    # mean's summation tree is untouched.
     fences = pivot_percentiles(
-        cached_grain_percentiles(
-            table_value_grain(
+        cached_swept_percentiles(
+            table_swept_grain(
                 spark, sf_dir, "lineitem", ("l_returnflag",),
                 "l_extendedprice", "l_extendedprice",
             ),

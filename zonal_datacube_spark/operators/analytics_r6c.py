@@ -186,32 +186,43 @@ def _stacked_ranks_from_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold. Ranks are identical: the sweep runs on the same (part, var,
     val, n_v) rows either way."""
     from zonal_datacube_spark.functions.grain_cache import (
-        GRAIN_COUNT,
-        table_value_grain,
+        SWEPT_COUNT,
+        SWEPT_CUM,
+        table_swept_grain,
     )
 
-    qty = table_value_grain(
+    # r13 second pass: the doubled tie-averaged rank is pure arithmetic
+    # on the SWEPT grain's exact inclusive cumulative count — with
+    # cum_before = _gp_cum − n_v, u = 2·cum_before + n_v + 1
+    # = 2·_gp_cum − n_v + 1 — so spearman's rank attach no longer runs
+    # ANY sweep of its own: both axes read the shared swept entries
+    # (functions/grain_cache.table_swept_grain) map-side. Integer
+    # arithmetic on the same integers the stacked sweep produced —
+    # identical ranks, hash parity with the unchanged oracle.
+    qty = table_swept_grain(
         spark, sf_dir, "lineitem", ("l_returnflag",),
         "CAST(l_quantity AS DOUBLE)", "l_quantity",
     )
-    price = table_value_grain(
+    price = table_swept_grain(
         spark, sf_dir, "lineitem", ("l_returnflag",),
         "l_extendedprice", "l_extendedprice",
     )
-    grain = qty.select(
+    u = (2 * F.col(SWEPT_CUM) - F.col(SWEPT_COUNT) + 1).alias("u")
+    return qty.select(
         "l_returnflag",
         F.lit("x").alias("var"),
         F.col("l_quantity").alias("val"),
-        F.col(GRAIN_COUNT).alias("n_v"),
+        F.col(SWEPT_COUNT).alias("n_v"),
+        u,
     ).unionByName(
         price.select(
             "l_returnflag",
             F.lit("y").alias("var"),
             F.col("l_extendedprice").alias("val"),
-            F.col(GRAIN_COUNT).alias("n_v"),
+            F.col(SWEPT_COUNT).alias("n_v"),
+            u,
         )
     )
-    return _sweep_stacked_ranks(grain, "l_returnflag")
 
 
 def _spearman_fold(li: DataFrame, ranks: DataFrame | None = None) -> DataFrame:

@@ -116,15 +116,17 @@ def q_agg_sketch_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentiles.py, round-10 exact-percentile rewrite — the referee
     # must not itself be the OOM class it audits); the approx side is
     # the bounded KLL-style sketch under test
-    from zonal_datacube_spark.functions.grain_cache import table_value_grain
+    from zonal_datacube_spark.functions.grain_cache import table_swept_grain
     from zonal_datacube_spark.functions.percentiles import (
-        cached_grain_percentiles,
+        cached_swept_percentiles,
         pivot_percentiles,
     )
 
+    # r13: extracts from the shared SWEPT (type, value) grain — no
+    # per-key prefix sweep (one sweep per axis per process).
     p50e = pivot_percentiles(
-        cached_grain_percentiles(
-            table_value_grain(
+        cached_swept_percentiles(
+            table_swept_grain(
                 spark, sf_dir, "events", ("event_type",), "value", "value"
             ),
             ["event_type"],

@@ -58,48 +58,47 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 damped, weighted PageRank iterations over the nation trade graph,
     ranks in integer 1e-12 units (bit-exact across engines and reducer
-    orders). Returns nation name + fixed-point rank."""
-    edges = _trade_edges(spark, sf_dir).persist()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n_nodes = nodes.count()  # one tiny job; N is needed as a literal
-    out = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    weighted = edges.join(out, "src")  # node-dimension join, broadcast-sized
+    orders). Returns nation name + fixed-point rank.
 
-    base = F.lit((DAMP_DEN - DAMP_NUM) * UNIT // (DAMP_DEN * n_nodes))
-    ranks = nodes.select("node", F.lit(UNIT // n_nodes).alias("r"))
+    r13 shape (guide §1.2: fix the distributed algorithm first): the
+    data-scaled work — rolling the fact tables up to nation-pair
+    edges — is the distributed join+aggregate of ``_trade_edges``,
+    unchanged. The ITERATION runs over that rollup, whose size is
+    bounded by the nation enum at every SF (≤ 25² = 625 rows — the same
+    control-plane regime as the kmeans centroid / PQ codebook collects),
+    so the 5 rank updates fold on the driver in exact Python integer
+    arithmetic instead of composing 5 broadcast-join/aggregate rounds:
+    the old lazy loop executed ~10 sequential broadcast-build and
+    shuffle stages over 25-row tables (3.1 s at sf0.1, nearly all stage
+    latency). Spark's integral ``div`` on non-negative operands is floor
+    division = Python ``//``, and every contribution is an exact int, so
+    ranks are BIT-IDENTICAL (oracle hash re-proven r13). For a graph
+    whose node table scales with the data (not this one), the
+    broadcast/co-partitioned join loop in git history remains the right
+    shape — the loud cap below marks the boundary."""
+    rows = _trade_edges(spark, sf_dir).collect()
+    if len(rows) > 10_000:
+        raise ValueError(
+            f"pagerank edge rollup has {len(rows)} rows — the driver-side "
+            "iteration fold requires an enum-bounded node domain; use the "
+            "distributed broadcast-join loop for data-scaled graphs"
+        )
+    edges = [(r.src, r.dst, int(r.w)) for r in rows]
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n_nodes = len(nodes)
+    out_w: dict = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    base = (DAMP_DEN - DAMP_NUM) * UNIT // (DAMP_DEN * n_nodes)
+    rank = {v: UNIT // n_nodes for v in nodes}
     for _ in range(N_ITER):
-        contrib = (
-            weighted.join(
-                F.broadcast(ranks), weighted.src == ranks.node
-            )
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("r * w div out_w").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            # contrib is node-sized, same regime as the ranks broadcast
-            # above: broadcast while the rank table fits (here, and for any
-            # graph whose node count is ≪ edge count); at billion-node
-            # scale both joins become shuffle joins co-partitioned on node
-            nodes.join(F.broadcast(contrib), "node", "left")
-            .select(
-                "node",
-                (
-                    base
-                    + F.expr(
-                        f"{DAMP_NUM} * coalesce(in_sum, 0L) div {DAMP_DEN}"
-                    )
-                ).alias("r"),
-            )
-        )
+        in_sum = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            in_sum[d] += rank[s] * w // out_w[s]
+        rank = {v: base + DAMP_NUM * in_sum[v] // DAMP_DEN for v in nodes}
+    ranks = spark.createDataFrame(
+        [(int(v), rank[v]) for v in nodes], "node BIGINT, r BIGINT"
+    )
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
@@ -225,7 +224,7 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").desc(), F.col("src").asc(), F.col("dst").asc()
     )
     cnt = Window.partitionBy()
-    heavy = (
+    heavy_rows = (
         edges.select(
             "src",
             "dst",
@@ -234,39 +233,39 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") * 4 <= F.col("n_e"))
         .select("src", "dst")
-        .coalesce(1)
-        .persist()
+        .collect()
     )
-    dist = spark.range(1).select(
-        F.lit(SSSP_SOURCE).alias("node"), F.lit(0).alias("hops")
-    ).coalesce(1).localCheckpoint()
-    frontier = dist
-    try:
-        for hop in range(1, SSSP_MAX_HOPS + 1):
-            # localCheckpoint TRUNCATES the logical lineage each round —
-            # without it the union/anti-join plan tree doubles per hop and
-            # Catalyst re-optimization, not execution, becomes the cost
-            # (measured: hop 6 alone took 22 s planning at sf0.1; with
-            # checkpointing every round is ~0.3 s)
-            nxt = (
-                frontier.join(heavy, frontier.node == heavy.src)
-                .select(F.col("dst").alias("node"))
-                .distinct()
-                .join(dist.select("node"), "node", "left_anti")
-                .select("node", F.lit(hop).alias("hops"))
-                .coalesce(1)
-                .localCheckpoint()
-            )
-            if not nxt.take(1):  # frontier exhausted — BFS converged
-                break
-            dist = dist.unionByName(nxt).coalesce(1).localCheckpoint()
-            frontier = nxt
-    finally:
-        # the final dist checkpoint is already materialized, so the
-        # returned plan no longer reads `heavy` — drop its cached blocks
-        # now instead of leaking them into executor storage for the
-        # session's lifetime (ADVICE r04)
-        heavy.unpersist()
+    # r13 (guide §1.2, same rationale as q_graph_pagerank): the heavy
+    # edge set is bounded by the nation enum (≤ 625 rows at any SF), so
+    # the BFS frontier loop folds on the driver — the old per-hop
+    # join/anti-join/localCheckpoint rounds paid ~3 driver-job latencies
+    # per hop over ≤25-row tables (2.0 s at sf0.1). Hop counts are the
+    # same integers; the rank-cut rollup above stays distributed. The
+    # loud cap marks the enum-bounded boundary (a data-scaled graph
+    # keeps the distributed frontier loop from git history).
+    if len(heavy_rows) > 10_000:
+        raise ValueError(
+            f"sssp heavy-edge rollup has {len(heavy_rows)} rows — the "
+            "driver-side BFS fold requires an enum-bounded node domain"
+        )
+    adj: dict = {}
+    for r in heavy_rows:
+        adj.setdefault(r.src, []).append(r.dst)
+    hops = {SSSP_SOURCE: 0}
+    frontier = [SSSP_SOURCE]
+    for hop in range(1, SSSP_MAX_HOPS + 1):
+        nxt = sorted(
+            {d for s in frontier for d in adj.get(s, ()) if d not in hops}
+        )
+        if not nxt:
+            break
+        for d in nxt:
+            hops[d] = hop
+        frontier = nxt
+    dist = spark.createDataFrame(
+        sorted((int(v), h) for v, h in hops.items()),
+        "node BIGINT, hops BIGINT",
+    )
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )

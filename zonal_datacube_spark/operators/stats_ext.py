@@ -80,22 +80,26 @@ def q_dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     so consecutive suite keys on the same (flag, price) axis share one
     scan between them (VERDICT r11 next-round #2)."""
     from zonal_datacube_spark.functions.grain_cache import (
-        GRAIN_COUNT,
-        table_value_grain,
+        SWEPT_COUNT,
+        table_swept_grain,
     )
     from zonal_datacube_spark.functions.percentiles import (
-        cached_grain_percentiles,
+        cached_swept_percentiles,
         pivot_percentiles,
     )
 
-    grain = table_value_grain(
+    # r13: the SWEPT grain tier (one prefix sweep per axis per process,
+    # guide §2.4) — quartile extraction and the fence-count fold below
+    # both read the cached swept (flag, price) entry; this key no longer
+    # executes a sweep of its own.
+    swept = table_swept_grain(
         spark, sf_dir, "lineitem", ("l_returnflag",),
         "l_extendedprice", "l_extendedprice",
-    ).withColumnRenamed(GRAIN_COUNT, "c")
+    )
+    grain = swept.withColumnRenamed(SWEPT_COUNT, "c")
     fences = pivot_percentiles(
-        cached_grain_percentiles(
-            grain, ["l_returnflag"], "l_extendedprice", (0.25, 0.75),
-            cnt_col="c",
+        cached_swept_percentiles(
+            swept, ["l_returnflag"], "l_extendedprice", (0.25, 0.75),
         ),
         ["l_returnflag"],
         {0.25: "q1", 0.75: "q3"},
@@ -267,10 +271,11 @@ def q_dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     medians, same integer counts."""
     from zonal_datacube_spark.functions.grain_cache import (
         GRAIN_COUNT,
+        table_swept_grain,
         table_value_grain,
     )
     from zonal_datacube_spark.functions.percentiles import (
-        cached_grain_percentiles,
+        cached_swept_percentiles,
         grain_percentiles_from_counts,
         pivot_percentiles,
     )
@@ -279,8 +284,16 @@ def q_dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain = table_value_grain(
         spark, sf_dir, "events", ("event_type",), "value", "value"
     )
+    # r13: the per-type median extracts from the shared SWEPT grain (no
+    # per-key sweep); only the median-relative deviation grain below
+    # still sweeps — its axis depends on med, so it is not shareable.
     med = pivot_percentiles(
-        cached_grain_percentiles(grain, ["event_type"], "value", (0.5,)),
+        cached_swept_percentiles(
+            table_swept_grain(
+                spark, sf_dir, "events", ("event_type",), "value", "value"
+            ),
+            ["event_type"], "value", (0.5,),
+        ),
         ["event_type"],
         {0.5: "med"},
     )
@@ -474,17 +487,19 @@ def q_agg_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared process-wide (flag, price) entry (functions/
     grain_cache.py) — one lineitem scan serves this key, the IQR screen,
     the winsorized mean and the stacked percentile key."""
-    from zonal_datacube_spark.functions.grain_cache import table_value_grain
+    from zonal_datacube_spark.functions.grain_cache import table_swept_grain
     from zonal_datacube_spark.functions.percentiles import (
-        cached_grain_percentiles,
+        cached_swept_percentiles,
     )
 
-    grain = table_value_grain(
+    # r13: all five cut points extract from the shared SWEPT grain —
+    # the per-key prefix sweep is gone (one sweep per axis per process).
+    swept = table_swept_grain(
         spark, sf_dir, "lineitem", ("l_returnflag",),
         "l_extendedprice", "l_extendedprice",
     )
-    qs = cached_grain_percentiles(
-        grain, ["l_returnflag"], "l_extendedprice", QUANTILE_PS
+    qs = cached_swept_percentiles(
+        swept, ["l_returnflag"], "l_extendedprice", QUANTILE_PS
     )
     return qs.select("l_returnflag", "p", F.round("q", 6).alias("q"))
 

@@ -10,6 +10,7 @@ analogue of the reference's fishnet tile pruning + windowed reads
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,10 +43,23 @@ _SESSION_CONFS = {
 }
 
 
+# Sessions whose confs were already pinned — every conf.get/.set is a
+# py4j round trip, and ensure_session_confs runs on EVERY table load
+# (r13, guide §1.2 per-task work: ~3 driver round trips × several loads
+# × 345 bench keys was pure fixed overhead). Nothing on a declared path
+# unsets these confs after pinning (the only mid-session conf the engine
+# touches is shuffle.partitions, not in this set).
+_CONFS_PINNED: set[str] = set()
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    if app in _CONFS_PINNED:
+        return
     for k, v in _SESSION_CONFS.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
+    _CONFS_PINNED.add(app)
 
 
 def source_stamp(path: str) -> tuple:
@@ -90,6 +104,19 @@ def corpus_cache_tag(sf_dir: str, table: str) -> str:
     return f"{base}-{hashlib.md5(ident.encode()).hexdigest()[:10]}"
 
 
+# Memo of the lazy table DataFrames, keyed by (session, corpus path,
+# table, source content stamp). This caches the RELATION — file listing
+# + footer schema inference, each a driver-side py4j + filesystem pass
+# that `spark.read.parquet` repeats on every call (~40–80 ms; r13,
+# guide §6 listing cost / §1.2 fixed overhead: several loads × 345 bench
+# keys) — never data or results: every action on the returned DataFrame
+# re-reads the parquet from disk. The stamp folds the per-part (name,
+# mtime, size) listing, so a rewritten corpus (even in place) misses,
+# exactly like the grain cache (ADVICE r12).
+_RELATION_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_RELATION_CAP = 64
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Schema is inferred from parquet footers —
     no full-file scan happens at load time (lazy, like the reference's
@@ -97,6 +124,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_session_confs(spark)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        name,
+        source_stamp(f"{sf_dir}/{name}.parquet"),
+    )
+    hit = _RELATION_CACHE.get(key)
+    if hit is not None:
+        _RELATION_CACHE.move_to_end(key)
+        return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # TIMESTAMP(NANOS) fixtures surface as raw int64 under the
@@ -111,6 +148,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
+    _RELATION_CACHE[key] = df
+    while len(_RELATION_CACHE) > _RELATION_CAP:
+        _RELATION_CACHE.popitem(last=False)
     return df
 
 
