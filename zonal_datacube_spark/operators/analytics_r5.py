@@ -299,6 +299,11 @@ def q_behavior_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("frequency"),
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
+        # customer-grain and consumed by TEN branches (three sweeps at
+        # three references each + the score join): one-shot
+        # materialization keeps the orders scan/rollup single and the
+        # plan linear in the branch count
+        .localCheckpoint()
     )
 
     def tile(col: str, out: str, descending: bool) -> DataFrame:

@@ -460,7 +460,11 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(shingles("t", CROSS_SHINGLE_N)).alias("sh"),
         )
-        .select(F.md5("sh").alias("dg"), "source")
+        # 16-byte binary digest, not the 32-char hex string: the digest
+        # is a pure grouping key (never output), and unhex(md5) is
+        # bijective on md5's range — same groups, half the shuffle key
+        # bytes on the data-scaled exchange
+        .select(F.unhex(F.md5("sh")).alias("dg"), "source")
         .groupBy("dg")
         .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
         .filter(F.size("srcs") >= 2)

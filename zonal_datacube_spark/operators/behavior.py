@@ -215,6 +215,11 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
         .distinct()
+        # (order, brand)-grain and consumed by FOUR branches (basket
+        # total, singles, both sides of the pair join): one-shot
+        # materialization keeps the lineitem scan + distinct shuffle
+        # single instead of re-expanded per branch
+        .localCheckpoint()
     )
     # 1-row basket total joined in lazily — the key stays a pure plan
     # (no eager driver action at construction time)

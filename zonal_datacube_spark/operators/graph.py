@@ -130,7 +130,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edge building is per-basket pair expansion — bounded by basket
     size (≤7 items here); at 100 TB, heavy baskets get capped or
     frequency-pruned before pairing (the standard market-basket
-    guard)."""
+    guard).
+
+    Plan discipline: `edges`, `deg` and `oriented` each feed 3-4
+    consumers; planned lazily, every consumer re-expanded the whole
+    lineitem⋈orders→distinct→pair-join subtree (136 parquet scans in
+    the r13 before-plan). Each is graph-sized — orders of magnitude
+    smaller than lineitem — so one-shot materialization
+    (localCheckpoint) is the standard iterative-graph discipline: the
+    fact tables are scanned once, every downstream join/aggregate reads
+    the materialized edge list, and the Catalyst plan is linear instead
+    of exponential in the consumer fan-out."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == TRIANGLE_PRIORITY
     )
@@ -148,12 +158,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
@@ -170,6 +182,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select("e.s", "e.d")
+        .localCheckpoint()
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = (

@@ -39,12 +39,23 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.count("*").alias(f"{c}__n"),
             (F.count("*") - F.count(c)).alias(f"{c}__n_null"),
-            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
             F.round(F.min(c), 4).alias(f"{c}__min"),
             F.round(F.max(c), 4).alias(f"{c}__max"),
             F.round(F.sum(c), 2).alias(f"{c}__sum"),
         ]
+    # distinct counts ride SEPARATE single-column aggregates: four
+    # count_distincts in ONE agg make Catalyst's distinct rewrite Expand
+    # every row 5× before the exchange (5 full-width replicas at 100 TB);
+    # per-column they are plain two-phase aggregates over column-pruned
+    # scans — narrower bytes in total, no Expand. Each 1-row result
+    # broadcast-crossjoins back onto the plain-metrics row.
     wide = li.agg(*aggs)
+    for c in PROFILE_COLS:
+        wide = wide.crossJoin(
+            F.broadcast(
+                li.agg(F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"))
+            )
+        )
     stack = ", ".join(
         f"'{c}', {c}__n, {c}__n_null, {c}__n_distinct, {c}__min, {c}__max, {c}__sum"
         for c in PROFILE_COLS

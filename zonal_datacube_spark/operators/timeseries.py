@@ -448,7 +448,12 @@ def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["grid_first", "tb"],
         "obs",
         "prev_obs",
-    ).drop("grid_first")
+        # one-shot materialization between the two carries: the backward
+        # carry references its input three times (bounds, level-1,
+        # bucket totals), and un-truncated each reference re-expands the
+        # ENTIRE forward carry — the plan's biggest duplication
+        # multiplier (64 parquet scans in the r13 before-plan)
+    ).drop("grid_first").localCheckpoint()
     both = carry_last(
         # reverse order: negate the epoch AND the unique tiebreak so the
         # pass is the exact reverse of the forward total order;
