@@ -253,27 +253,43 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes each recursive round as a job, so a naive month-at-a-time
     spine pays ~80 sequential jobs (measured 26 s); the doubling shape
     pays 8. The same consideration applies to any long recursive spine at
-    scale; DuckDB's oracle mirrors the doubling exactly."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("zds_orders_rc")
-    return spark.sql(_RECURSIVE_SQL)
+    scale; DuckDB's oracle mirrors the doubling exactly.
+
+    r13 (guide §1.2 "don't compute things you throw away"): the span
+    bounds are HOISTED to literals before the recursion. As a `bounds`
+    CTE they were re-planned as scalar subqueries over the fact table
+    INSIDE every recursive round (UnionLoop re-executes its step plan
+    per round: 4 subquery slots × 8 rounds ≈ 32 of the key's measured
+    65 jobs at sf0.1 — plans/r13/q_recursive_cte_before.txt nodes 7–10
+    show the per-round Aggregate over the relation). One 2-column
+    aggregate collect replaces them; the spine and every output row are
+    unchanged. The bounds collect is a 1-row fold of min/max — driver
+    traffic is O(1) at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("zds_orders_rc")
+    b = orders.agg(
+        F.date_format(
+            F.date_trunc("month", F.min("o_orderdate")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("lo"),
+        F.date_format(
+            F.date_trunc("month", F.max("o_orderdate")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hi"),
+    ).collect()[0]
+    return spark.sql(
+        _RECURSIVE_SQL.format(lo=f"TIMESTAMP '{b['lo']}'", hi=f"TIMESTAMP '{b['hi']}'")
+    )
 
 
 _RECURSIVE_SQL = """
-    WITH RECURSIVE bounds AS (
-        SELECT date_trunc('month', min(o_orderdate)) AS lo,
-               date_trunc('month', max(o_orderdate)) AS hi
-        FROM zds_orders_rc
-    ),
-    months(m, step) AS (
-        SELECT lo, 1 FROM bounds
+    WITH RECURSIVE months(m, step) AS (
+        SELECT {lo}, 1
         UNION ALL
         SELECT new_m, step * 2 FROM (
             SELECT m AS new_m, step FROM months
-            WHERE (SELECT lo FROM bounds) + make_interval(0, step)
-                  <= (SELECT hi FROM bounds)
+            WHERE {lo} + make_interval(0, step) <= {hi}
             UNION ALL
             SELECT m + make_interval(0, step), step FROM months
-            WHERE m + make_interval(0, step) <= (SELECT hi FROM bounds)
+            WHERE m + make_interval(0, step) <= {hi}
         )
     ),
     spine AS (SELECT DISTINCT m FROM months),

@@ -286,7 +286,21 @@ def q_behavior_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number through the range-bucketed prefix sweep plus the
     arithmetic ANSI ntile (functions/prefix_sweep.py) — the
     customer-grain table never enters a global window. Ties split
-    deterministically on custkey."""
+    deterministically on custkey.
+
+    r13 (guide §2.4; the q_stats_spearman stacking trick): the three
+    per-axis quintile assignments ran as three separate quantile sweeps
+    (a GK-sketch aggregate + bucketed window each) joined back on
+    custkey — 30 sequential jobs at sf0.1. The axis now rides the
+    sweep's PARTITION key: per_cust stacks to (axis, custkey, v) with v
+    negated on the descending axes (descending=True orders by (val
+    DESC, custkey ASC); ordering -val ASC with the same tiebreak is the
+    identical total order, and recency/frequency/monetary are
+    integer-or-2dp-grid values whose negation is exact), ONE sweep
+    ranks all three axes (quantile edges are drawn per part key, so
+    each axis keeps its own boundaries), and the scores pivot back by
+    axis — one sketch job + one sweep + one pivot shuffle instead of
+    three of each."""
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
     per_cust = (
@@ -306,34 +320,42 @@ def q_behavior_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def tile(col: str, out: str, descending: bool) -> DataFrame:
-        # one score table per dimension, joined back on the natural key:
-        # three INDEPENDENT shallow sweeps beat one three-deep chain
-        # (each prefix_sweep re-evaluates its input subtree; chaining
-        # compounds that geometrically, joining keeps it linear)
-        swept = prefix_sweep(
-            per_cust.select("o_custkey", col),
-            [],
-            col,
-            descending=descending,
-            tiebreak=["o_custkey"],
-            row_number_col="_rn",
-            total_count_col="_n",
-            boundaries="quantile",
-        )
-        return swept.select(
-            "o_custkey",
-            ntile_from_row_number(F.col("_rn"), F.col("_n"), RFM_TILES).alias(
-                out
-            ),
-        )
-
-    scored = (
-        per_cust.select("o_custkey", "monetary")
-        .join(tile("recency_d", "r_score", descending=False), "o_custkey")
-        .join(tile("frequency", "f_score", descending=True), "o_custkey")
-        .join(tile("monetary", "m_score", descending=True), "o_custkey")
+    # stack the three axes so ONE sweep ranks them all (docstring r13
+    # note): ascending -frequency / -monetary == descending original,
+    # custkey tiebreak unchanged; values are grid-exact so negation is
+    # lossless
+    stacked = per_cust.selectExpr(
+        "o_custkey",
+        "stack(3,"
+        " 'r', CAST(recency_d AS DOUBLE),"
+        " 'f', -CAST(frequency AS DOUBLE),"
+        " 'm', -monetary) AS (axis, v)",
     )
+    swept = prefix_sweep(
+        stacked,
+        ["axis"],
+        "v",
+        tiebreak=["o_custkey"],
+        row_number_col="_rn",
+        total_count_col="_n",
+        boundaries="quantile",
+    )
+    tiles = swept.select(
+        "axis",
+        "o_custkey",
+        ntile_from_row_number(F.col("_rn"), F.col("_n"), RFM_TILES).alias(
+            "_tile"
+        ),
+    )
+    # pivot the per-axis scores back to one row per customer; every
+    # customer appears on all three axes, so the pivoted columns are
+    # never null and the old three-way inner join is reproduced exactly
+    scores = tiles.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("axis") == "r", F.col("_tile"))).alias("r_score"),
+        F.max(F.when(F.col("axis") == "f", F.col("_tile"))).alias("f_score"),
+        F.max(F.when(F.col("axis") == "m", F.col("_tile"))).alias("m_score"),
+    )
+    scored = per_cust.select("o_custkey", "monetary").join(scores, "o_custkey")
     # cell SUM, not avg: monetary sits on the 1e-2 decimal grid, so the
     # sum rounds exactly at 2dp on both engines — an avg divides by the
     # cell count and can land exactly on a half-cent midpoint, where

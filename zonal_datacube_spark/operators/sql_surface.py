@@ -205,37 +205,57 @@ def q_report_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     each origin quartile's row share) is the churn/upsell mobility chart.
     Each year's quartile assignment is a distributed row_number through
     the range-bucketed prefix sweep + arithmetic ANSI ntile — the
-    customer-grain tables never enter a global window; the two score
-    tables join on the natural key. Counts are exact integers; the one
-    share ratio floors half-up at 6dp."""
+    customer-grain tables never enter a global window. Counts are exact
+    integers; the one share ratio floors half-up at 6dp.
+
+    r13 (guide §2.4 — share one exchange; the q_stats_spearman stacking
+    trick): the two per-year quartile assignments ran as two separate
+    orders scans + two quantile sweeps (each a GK-sketch aggregate plus
+    a bucketed window) joined on custkey. The year now rides the
+    sweep's PARTITION key instead: ONE year-filtered scan groups to the
+    (year, custkey) spend grain, ONE sweep ranks both years (edges are
+    drawn per part key, so each year keeps its own boundaries and its
+    per-year row_number/total are IDENTICAL to the separate sweeps'),
+    and the 4×4 census folds from a year-pivot of the score table —
+    22 jobs → ~8, one fact scan instead of two."""
     orders = load_table(spark, sf_dir, "orders")
-
-    def year_tiles(year: int, out: str) -> DataFrame:
-        spend = (
-            orders.filter(F.year("o_orderdate") == year)
-            .groupBy("o_custkey")
-            .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
-        )
-        swept = prefix_sweep(
-            spend,
-            [],
-            "spend",
-            descending=True,
-            tiebreak=["o_custkey"],
-            row_number_col="_rn",
-            total_count_col="_n",
-            boundaries="quantile",
-        )
-        return swept.select(
-            "o_custkey",
-            ntile_from_row_number(
-                F.col("_rn"), F.col("_n"), MIGRATION_TILES
-            ).alias(out),
-        )
-
+    yr = F.year("o_orderdate")
+    spend = (
+        orders.filter(yr.isin(MIGRATION_Y0, MIGRATION_Y1))
+        .groupBy(yr.alias("_yr"), F.col("o_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    swept = prefix_sweep(
+        spend,
+        ["_yr"],
+        "spend",
+        descending=True,
+        tiebreak=["o_custkey"],
+        row_number_col="_rn",
+        total_count_col="_n",
+        boundaries="quantile",
+    )
+    tiles = swept.select(
+        "_yr",
+        "o_custkey",
+        ntile_from_row_number(
+            F.col("_rn"), F.col("_n"), MIGRATION_TILES
+        ).alias("_tile"),
+    )
+    # year-pivot to (custkey, q_from, q_to); the inner join the two
+    # score tables had is the non-null filter on both pivoted columns
+    per_cust = tiles.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("_yr") == MIGRATION_Y0, F.col("_tile"))).alias(
+            "q_from"
+        ),
+        F.max(F.when(F.col("_yr") == MIGRATION_Y1, F.col("_tile"))).alias(
+            "q_to"
+        ),
+    )
     cells = (
-        year_tiles(MIGRATION_Y0, "q_from")
-        .join(year_tiles(MIGRATION_Y1, "q_to"), "o_custkey")
+        per_cust.filter(
+            F.col("q_from").isNotNull() & F.col("q_to").isNotNull()
+        )
         .groupBy("q_from", "q_to")
         .agg(F.count("*").alias("n_customers"))
     )
