@@ -156,3 +156,54 @@ def test_grain_percentiles_leaves_nothing_cached(spark):
     assert out.count() > 0
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert after <= before, "grain_percentiles leaked a cached grain"
+
+
+def test_local_relation_exact_values_and_plan_shape(spark):
+    """r13 job-count optimization: the eager fold re-distributes its rows
+    as a TRUE Catalyst LocalRelation (parameterized inline VALUES), so
+    broadcasting a fold result downstream is a driver-side array copy
+    instead of a 32-task LogicalRDD scan job. Two contracts pinned here:
+    (1) EXACTNESS — doubles (incl. non-representable decimals fractions),
+    decimals, and NULLs bind as typed literals with zero value drift;
+    (2) PLAN SHAPE — the optimized plan really is a LocalRelation (the
+    whole point; a silent regression to LogicalRDD would re-add the job)."""
+    import math
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        DecimalType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from zonal_datacube_spark.functions.percentiles import local_relation
+
+    schema = StructType(
+        [
+            StructField("part", StringType(), True),
+            StructField("q", DoubleType(), True),
+            StructField("d", DecimalType(38, 0), True),
+            StructField("n", LongType(), True),
+        ]
+    )
+    rows = [
+        ("a", math.pi, Decimal(10) ** 30, 7),
+        ("b", 2.5000000000000004, None, None),
+        (None, float("-0.0"), Decimal(-3), 0),
+    ]
+    df = local_relation(spark, rows, schema)
+    plan = df._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
+    assert plan == "LocalRelation", plan
+    got = sorted(df.collect(), key=lambda r: (r.part is None, str(r.part)))
+    exp = sorted(rows, key=lambda r: (r[0] is None, str(r[0])))
+    for g, e in zip(got, exp):
+        assert (g.part, g.d, g.n) == (e[0], e[2], e[3])
+        # bit-exact double round-trip (copysign catches -0.0 vs 0.0)
+        assert g.q == e[1] and math.copysign(1, g.q) == math.copysign(1, e[1])
+    assert [f.name for f in df.schema.fields] == ["part", "q", "d", "n"]
+    assert [f.dataType for f in df.schema.fields] == [
+        f.dataType for f in schema.fields
+    ]

@@ -34,6 +34,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from zonal_datacube_spark.functions.local_rel import local_relation
 
 TILE = 256  # pixels per tile edge
 
@@ -80,8 +81,8 @@ def make_zones(spark: SparkSession) -> DataFrame:
         (3, "lake", 300, 600, 900, 1024),
         (4, "ridge", 1500, 500, 2000, 1000),
     ]
-    return spark.createDataFrame(
-        rows, "zone_id INT, zone_name STRING, xmin INT, ymin INT, xmax INT, ymax INT"
+    return local_relation(
+        spark, rows, "zone_id INT, zone_name STRING, xmin INT, ymin INT, xmax INT, ymax INT"
     )
 
 

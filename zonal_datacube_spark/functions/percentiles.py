@@ -88,6 +88,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from zonal_datacube_spark.functions.local_rel import local_relation
 from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
 
 # Shuffle partitions for the EAGER grain folds. Their exchanges carry
@@ -114,13 +115,26 @@ def _fold_partitions(spark, n: int = GRAIN_FOLD_PARTITIONS):
     # complete inside their call), so no concurrent planning exists on a
     # declared path — a future multi-threaded caller should scope the
     # fold with spark.newSession() instead of widening this.
+    # AQE is ALSO scoped off here (r13, guide §1.2): the fold's exchanges
+    # carry only the domain-bounded grain at the fixed 8-partition width
+    # this module already pins, so AQE has nothing to coalesce or
+    # re-strategize — but with it on, every exchange materializes as its
+    # own stage-job with a driver re-optimization round trip, and the
+    # fold queries are JOB-COUNT-bound, not data-bound (tight same-process
+    # A/B on the q_report_order_gap_stats fold: 0.59 → 0.47 s median with
+    # a much shorter tail). Join strategy is unchanged (the sweep's
+    # bounds/offsets joins carry explicit F.broadcast hints); AQE never
+    # changes results, only scheduling.
     key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
+    aqe = "spark.sql.adaptive.enabled"
+    prev, prev_aqe = spark.conf.get(key), spark.conf.get(aqe)
     spark.conf.set(key, str(n))
+    spark.conf.set(aqe, "false")
     try:
         yield
     finally:
         spark.conf.set(key, prev)
+        spark.conf.set(aqe, prev_aqe)
 
 
 def grain_percentiles(
@@ -213,7 +227,11 @@ def _eager_local(long_df: DataFrame) -> DataFrame:
             "should use grain_percentiles_from_counts and keep the result "
             "distributed"
         )
-    return long_df.sparkSession.createDataFrame(rows, long_df.schema)
+    # LocalRelation, not createDataFrame's LogicalRDD: broadcasting a
+    # fold result downstream is then a driver-side array copy, zero jobs
+    # (functions/local_rel.py — measured 0.69 → 0.18 s on
+    # q_dq_outlier_mad's final scored aggregate alone)
+    return local_relation(long_df.sparkSession, rows, long_df.schema)
 
 
 def grain_percentiles_from_counts(

@@ -43,6 +43,7 @@ from zonal_datacube_spark.functions.tempdirs import fresh_dirs
 from zonal_datacube_spark.operators.analytics_r5 import _minute_grain
 from zonal_datacube_spark.operators.graph import _trade_edges
 from zonal_datacube_spark.sources.loader import load_table
+from zonal_datacube_spark.functions.local_rel import local_relation
 
 
 def _g6(c):
@@ -223,7 +224,8 @@ def _audit_and_publish(spark, cand: DataFrame, n_src: int, root: str) -> DataFra
         audits.append(("5_published_rows", n_pub, True))
     else:
         audits.append(("5_published_rows", 0, False))
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         [(c, int(o), bool(p)) for c, o, p in audits],
         "check_name string, observed bigint, passed boolean",
     ).orderBy("check_name")

@@ -55,6 +55,7 @@ from zonal_datacube_spark.operators.analytics_r6b import (
     _g6,
 )
 from zonal_datacube_spark.sources.loader import load_table
+from zonal_datacube_spark.functions.local_rel import local_relation
 
 
 # --------------------------------------------------------------------------
@@ -423,9 +424,10 @@ def q_embed_pca_var(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(np.floor(cum * 1e6 + 0.5) / 1e6),
             )
         )
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         out,
-        schema="component int, n_vectors int, dim int, "
+        "component int, n_vectors int, dim int, "
         "var_share double, cum_share double",
     ).orderBy("component")
 

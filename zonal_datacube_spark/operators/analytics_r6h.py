@@ -37,6 +37,7 @@ from zonal_datacube_spark.operators.analytics_r6b import (
     _g6,
 )
 from zonal_datacube_spark.sources.loader import load_table
+from zonal_datacube_spark.functions.local_rel import local_relation
 
 
 # --------------------------------------------------------------------------
@@ -56,8 +57,8 @@ def q_ts_horizon_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate as exact integer cents with a single display division."""
     daily = _daily(spark, sf_dir)
     horizons = F.broadcast(
-        spark.createDataFrame(
-            [(h,) for h in HORIZONS], schema="horizon_days int"
+        local_relation(
+            spark, [(h,) for h in HORIZONS], "horizon_days int"
         )
     )
     cur = daily.select("event_type", "d", F.col("sd").alias("y"))

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zonal_datacube_spark.sources.loader import load_table
+from zonal_datacube_spark.functions.local_rel import local_relation
 
 # (x: 0-200, y: 0-200) point space: px = events.value, py = event_id % 200.
 # P0 pentagon, P1 triangle, P2 concave hexagon; .5 offsets keep every
@@ -61,7 +62,8 @@ def polygon_edges() -> list[tuple[int, float, float, float, float]]:
 
 
 def edges_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         polygon_edges(),
         "zone_id INT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE",
     )

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zonal_datacube_spark.sources.loader import load_table
+from zonal_datacube_spark.functions.local_rel import local_relation
 
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as a ratio — keeps everything integer
 UNIT = 1_000_000_000_000  # rank fixed-point scale: 1e-12
@@ -96,8 +97,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s, d, w in edges:
             in_sum[d] += rank[s] * w // out_w[s]
         rank = {v: base + DAMP_NUM * in_sum[v] // DAMP_DEN for v in nodes}
-    ranks = spark.createDataFrame(
-        [(int(v), rank[v]) for v in nodes], "node BIGINT, r BIGINT"
+    ranks = local_relation(
+        spark, [(int(v), rank[v]) for v in nodes], "node BIGINT, r BIGINT"
     )
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
@@ -275,7 +276,8 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in nxt:
             hops[d] = hop
         frontier = nxt
-    dist = spark.createDataFrame(
+    dist = local_relation(
+        spark,
         sorted((int(v), h) for v, h in hops.items()),
         "node BIGINT, hops BIGINT",
     )

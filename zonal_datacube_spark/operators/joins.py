@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from zonal_datacube_spark.operators.zonal import ZONES_SQL_VALUES, zones_df
 from zonal_datacube_spark.sources.loader import load_table
+from zonal_datacube_spark.functions.local_rel import local_relation
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
@@ -201,7 +202,7 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (5, "2024-01-03 00:00:00", "2024-01-04 12:00:00"),
     ]
     iv = F.broadcast(
-        spark.createDataFrame(intervals, "interval_id INT, lo STRING, hi STRING")
+        local_relation(spark, intervals, "interval_id INT, lo STRING, hi STRING")
         .withColumn("lo", F.col("lo").cast("timestamp_ntz"))
         .withColumn("hi", F.col("hi").cast("timestamp_ntz"))
     )
@@ -261,7 +262,7 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pk")
         .agg(F.count("*").alias("n_orders"))
     )
-    dim = spark.createDataFrame(list(NULLSAFE_DIM), "dk string, label string")
+    dim = local_relation(spark, list(NULLSAFE_DIM), "dk string, label string")
     return (
         counts.join(F.broadcast(dim), counts.pk.eqNullSafe(dim.dk))
         .select("label", "n_orders")

@@ -19,6 +19,7 @@ from pyspark.storagelevel import StorageLevel
 from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
 from zonal_datacube_spark.functions.text_funcs import tokens
 from zonal_datacube_spark.sources.loader import load_table
+from zonal_datacube_spark.functions.local_rel import local_relation
 
 _TOKS = "string_split(lower(text), ' ')"  # DuckDB-side tokenizer (≡ tokens())
 
@@ -116,7 +117,7 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     bench = F.broadcast(
-        spark.createDataFrame([(g,) for g in BENCH_GRAMS], "g STRING")
+        local_relation(spark, [(g,) for g in BENCH_GRAMS], "g STRING")
     )
     return (
         grams.join(bench, "g")
@@ -152,8 +153,8 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter is map-side, so the only shuffle is the report aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     weights = F.broadcast(
-        spark.createDataFrame(
-            list(MIX_BUCKETS.items()), "lang STRING, keep_buckets INT"
+        local_relation(
+            spark, list(MIX_BUCKETS.items()), "lang STRING, keep_buckets INT"
         )
     )
     bucketed = docs.join(weights, "lang").withColumn(
@@ -351,8 +352,8 @@ def q_prep_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stage 1: deterministic mixture sample (per-lang md5 keep-rate)
     weights = F.broadcast(
-        spark.createDataFrame(
-            list(MIX_BUCKETS.items()), "lang STRING, keep_buckets INT"
+        local_relation(
+            spark, list(MIX_BUCKETS.items()), "lang STRING, keep_buckets INT"
         )
     )
     sampled = (
@@ -379,7 +380,7 @@ def q_prep_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     bench = F.broadcast(
-        spark.createDataFrame([(g,) for g in BENCH_GRAMS], "g STRING")
+        local_relation(spark, [(g,) for g in BENCH_GRAMS], "g STRING")
     )
     contaminated = grams.join(bench, "g").select("doc_id").distinct()
     clean = deduped.join(F.broadcast(contaminated), "doc_id", "left_anti")

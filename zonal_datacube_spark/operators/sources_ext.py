@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from zonal_datacube_spark.functions.tempdirs import fresh_dirs
 from zonal_datacube_spark.sources.loader import load_csv, load_json, load_table
 from zonal_datacube_spark.sources.sinks import write_csv, write_json, write_parquet
+from zonal_datacube_spark.functions.local_rel import local_relation
 
 _SRC_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "zds_sources_cache")
 
@@ -258,8 +259,8 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_source_partitioned_pruning's static pruning — at 100 TB, star-join
     dashboards live or die by DPP."""
     ev = spark.read.parquet(partitioned_events_by_type_path(spark, sf_dir))
-    cats = spark.createDataFrame(
-        list(EVENT_CATEGORIES), "event_type string, category string"
+    cats = local_relation(
+        spark, list(EVENT_CATEGORIES), "event_type string, category string"
     ).filter(F.col("category") == DPP_CATEGORY)
     return (
         ev.join(F.broadcast(cats), "event_type")

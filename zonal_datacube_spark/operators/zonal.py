@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zonal_datacube_spark.sources.loader import load_table
+from zonal_datacube_spark.functions.local_rel import local_relation
 
 # Value-band zones over events.value (observed domain ~0–330). Half-open
 # [lo, hi) intervals, deliberately non-uniform width with a catch-all tail.
@@ -42,7 +43,7 @@ ZONES_SQL_VALUES = ", ".join(f"({z}, {lo}, {hi})" for z, lo, hi in ZONES)
 
 
 def zones_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(ZONES, "zone_id INT, lo DOUBLE, hi DOUBLE")
+    return local_relation(spark, ZONES, "zone_id INT, lo DOUBLE, hi DOUBLE")
 
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
