@@ -690,9 +690,9 @@ def q_graph_2hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     first; then one self-equi-join on the edge rollup, a distinct, an
     anti-join against the direct edges — every step hash-join sized on
     the nation-grain table."""
-    from zonal_datacube_spark.operators.graph import _trade_edges
+    from zonal_datacube_spark.operators.graph import trade_edges_cached
 
-    all_edges = _trade_edges(spark, sf_dir).filter(
+    all_edges = trade_edges_cached(spark, sf_dir).filter(
         F.col("src") != F.col("dst")
     )
     w_rank = Window.orderBy(

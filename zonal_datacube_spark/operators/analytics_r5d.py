@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from zonal_datacube_spark.functions.tempdirs import fresh_dirs
 from zonal_datacube_spark.operators.analytics_r5 import _minute_grain
-from zonal_datacube_spark.operators.graph import _trade_edges
+from zonal_datacube_spark.operators.graph import trade_edges_cached
 from zonal_datacube_spark.sources.loader import load_table
 from zonal_datacube_spark.functions.local_rel import local_relation
 
@@ -304,7 +304,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines convert the same exact integers to doubles for the one
     closed form. Two broadcast joins against the 25-row degree tables;
     one moment fold."""
-    edges = _trade_edges(spark, sf_dir)
+    edges = trade_edges_cached(spark, sf_dir)
     outw = edges.groupBy("src").agg(F.sum("w").alias("x"))
     inw = edges.groupBy("dst").agg(F.sum("w").alias("y"))
     e = edges.join(F.broadcast(outw), "src").join(F.broadcast(inw), "dst")

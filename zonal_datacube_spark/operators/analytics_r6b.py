@@ -323,9 +323,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins exact membership and degrees. Output: surviving nations with
     their within-core degree and the rounds-to-converge audit
     column."""
-    from zonal_datacube_spark.operators.graph import _trade_edges
+    from zonal_datacube_spark.operators.graph import trade_edges_cached
 
-    edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    edges = trade_edges_cached(spark, sf_dir).filter(F.col("src") != F.col("dst"))
     w_rank = Window.orderBy(
         F.col("w").desc(), F.col("src").asc(), F.col("dst").asc()
     )

@@ -94,9 +94,9 @@ def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_graph_kcore sparsification), one row per direction."""
     from pyspark.sql import Window
 
-    from zonal_datacube_spark.operators.graph import _trade_edges
+    from zonal_datacube_spark.operators.graph import trade_edges_cached
 
-    edges = _trade_edges(spark, sf_dir).filter(
+    edges = trade_edges_cached(spark, sf_dir).filter(
         F.col("src") != F.col("dst")
     )
     w_rank = Window.orderBy(
@@ -191,9 +191,9 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ min(w_ab, w_ba) / Σ w — how symmetric trade flows are. One
     self-join of the nation-grain rollup on the reversed key (bounded);
     exact integer counts and weights until the two display divisions."""
-    from zonal_datacube_spark.operators.graph import _trade_edges
+    from zonal_datacube_spark.operators.graph import trade_edges_cached
 
-    edges = _trade_edges(spark, sf_dir).filter(
+    edges = trade_edges_cached(spark, sf_dir).filter(
         F.col("src") != F.col("dst")
     )
     rev = edges.select(
