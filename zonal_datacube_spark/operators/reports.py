@@ -441,6 +441,13 @@ def q_report_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # supplier-grain rollup (supplier-scaled, 2 reducers at 100 TB)
     from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
 
+    # one-shot materialization (the q_behavior_rfm per_cust discipline,
+    # r13): the a/b year split below references `ranked` twice, and
+    # Spark re-plans shared subtrees per reference — un-checkpointed,
+    # the fact scan + per-year agg + the whole rank sweep ran TWICE
+    # (event-log profile: four duplicate ~0.34 s stages). The ranked
+    # table is supplier-grain — orders of magnitude smaller than the
+    # fact table it folds.
     ranked = prefix_sweep(
         per_year,
         ["yr"],
@@ -449,7 +456,9 @@ def q_report_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["l_suppkey"],
         row_number_col="rnk",
         boundaries="quantile",
-    ).select("l_suppkey", "yr", F.col("rnk").cast("bigint").alias("rnk"))
+    ).select(
+        "l_suppkey", "yr", F.col("rnk").cast("bigint").alias("rnk")
+    ).localCheckpoint()
     a = ranked.filter(F.col("yr") == RANK_YEARS[0]).select(
         "l_suppkey", F.col("rnk").alias("rank_a")
     )
