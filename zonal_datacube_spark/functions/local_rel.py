@@ -33,11 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 # Parameterized-SQL binding cost grows superlinearly with the number of
-# parameter markers (measured: 2-col relations win below ~200 rows, lose
-# badly at 400+; a 512-row array-typed codebook took >20 s to bind), so
-# the inline-VALUES path is reserved for control-plane-sized relations
-# and everything larger keeps createDataFrame's LogicalRDD verbatim.
-_MAX_CELLS = 384
+# parameter markers (measured warm: ~0.25 s at 312 cells, ~0.45 s at 560,
+# 1.5 s+ by ~1600; a 512-row array-typed codebook took >20 s), so the
+# inline-VALUES path is reserved for control-plane-sized relations and
+# everything larger keeps createDataFrame's LogicalRDD verbatim. The cap
+# sits where the bind cost still clearly undercuts the 32-task
+# LogicalRDD scan jobs it replaces (~1.8 s on the graph edge tables).
+_MAX_CELLS = 640
 
 
 def local_relation(

@@ -34,6 +34,7 @@ from zonal_datacube_spark.functions.prefix_sweep import (
     ntile_from_row_number,
     prefix_sweep,
 )
+from zonal_datacube_spark.functions.local_rel import local_relation
 from zonal_datacube_spark.sources.loader import load_table
 
 SESSION_GAP_MIN = 30
@@ -726,7 +727,12 @@ def q_graph_2hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"schema-bounded ({len(collected)} rows collected); the "
             "driver-side materialization assumes a nation-grain graph"
         )
-    edges = spark.createDataFrame(collected, schema="src long, dst long")
+    # LocalRelation, not createDataFrame's LogicalRDD (functions/
+    # local_rel.py): the self-join + anti-join reference this ≤625-row
+    # table three times, and each LogicalRDD reference paid a 32-task
+    # scan stage over near-empty partitions (event-log profile: 1.8 s
+    # of the key's wall in those stages)
+    edges = local_relation(spark, collected, "src long, dst long")
     e2 = edges.select(
         F.col("src").alias("mid"), F.col("dst").alias("dst2")
     )

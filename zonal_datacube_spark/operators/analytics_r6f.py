@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
 from zonal_datacube_spark.operators.analytics_r6b import _G6_SQL, _g6
+from zonal_datacube_spark.functions.local_rel import local_relation
 from zonal_datacube_spark.sources.loader import load_table
 
 
@@ -138,7 +139,9 @@ def q_graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_graph_link_jaccard: edge rollup is no longer "
             f"schema-bounded ({len(collected)} rows collected)"
         )
-    und = spark.createDataFrame(collected, schema="src long, dst long")
+    # LocalRelation, not LogicalRDD — same rationale as
+    # q_graph_2hop_neighbors (four references, each was a 32-task scan)
+    und = local_relation(spark, collected, "src long, dst long")
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
     e1 = und.select(F.col("src").alias("a"), F.col("dst").alias("n"))
     e2 = und.select(F.col("src").alias("b"), F.col("dst").alias("n"))
