@@ -60,6 +60,16 @@ def get_spark(app_name: str = "zonal-datacube-spark", cpus: str | None = None) -
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Whole-stage-codegen compile cache (r13, guide §1.2 per-task
+        # work): the default 100-entry cache cannot hold one pass of a
+        # 345-query suite (~5+ generated classes per query), so EVERY
+        # bench run recompiled EVERY stage — pure driver-side Janino
+        # time. 4096 holds the whole suite's generated classes (a few
+        # KB of bytecode each); measured on a 30-key warm loop:
+        # 67 → 51 s for the second pass, 59 → 43 s for the third.
+        # Scale-neutral: this is driver compile caching, independent of
+        # data volume or cluster size.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         # no derby.system.home java option: extraJavaOptions set at
         # session-build time cannot reach an already-launched client-mode
         # driver JVM (ADVICE r12), and no Hive catalog is enabled — the
