@@ -92,6 +92,14 @@ def trade_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _EDGE_CACHE.get(key)
     if hit is not None:
         _EDGE_CACHE.move_to_end(key)
+        # a spark.catalog.clearCache() elsewhere (tests, interactive use)
+        # drops the persist UNDER the memoized DataFrame — without this
+        # guard the hit would silently recompute the fact join on every
+        # downstream use (the silent-slow twin of the ADVICE-r12 stale
+        # -cache class)
+        if hit.storageLevel == StorageLevel.NONE:
+            hit.persist(StorageLevel.MEMORY_AND_DISK)
+            hit.count()
         return hit
     df = _trade_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     df.count()  # materialize eagerly: ≤ nations² rows by construction
