@@ -442,12 +442,15 @@ def q_report_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zonal_datacube_spark.functions.prefix_sweep import prefix_sweep
 
     # one-shot materialization (the q_behavior_rfm per_cust discipline,
-    # r13): the a/b year split below references `ranked` twice, and
-    # Spark re-plans shared subtrees per reference — un-checkpointed,
-    # the fact scan + per-year agg + the whole rank sweep ran TWICE
-    # (event-log profile: four duplicate ~0.34 s stages). The ranked
-    # table is supplier-grain — orders of magnitude smaller than the
-    # fact table it folds.
+    # r13): the a/b year split below references the ranked table twice,
+    # and Spark re-plans shared subtrees per reference — unmaterialized,
+    # the fact scan + per-year agg ran TWICE (event-log profile: four
+    # duplicate ~0.34 s stages). The checkpoint sits on the SUPPLIER-
+    # GRAIN rollup BEFORE the sweep (not after): the duplicate fact
+    # scans are what cost; the sweep's bounded window work stays visible
+    # to the plan audits (tests/test_plans_round6.py asserts the bucket
+    # mark) and re-plans cheaply over the checkpointed input.
+    per_year = per_year.localCheckpoint()
     ranked = prefix_sweep(
         per_year,
         ["yr"],
@@ -456,9 +459,7 @@ def q_report_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["l_suppkey"],
         row_number_col="rnk",
         boundaries="quantile",
-    ).select(
-        "l_suppkey", "yr", F.col("rnk").cast("bigint").alias("rnk")
-    ).localCheckpoint()
+    ).select("l_suppkey", "yr", F.col("rnk").cast("bigint").alias("rnk"))
     a = ranked.filter(F.col("yr") == RANK_YEARS[0]).select(
         "l_suppkey", F.col("rnk").alias("rank_a")
     )

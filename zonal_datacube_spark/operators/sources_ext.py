@@ -259,8 +259,13 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_source_partitioned_pruning's static pruning — at 100 TB, star-join
     dashboards live or die by DPP."""
     ev = spark.read.parquet(partitioned_events_by_type_path(spark, sf_dir))
-    cats = local_relation(
-        spark, list(EVENT_CATEGORIES), "event_type string, category string"
+    # NOT a LocalRelation (r13 note): with a literal inline dim Catalyst
+    # folds the filter into static partition pruning and the
+    # dynamicpruningexpression this key exists to DEMONSTRATE never
+    # fires (tests/test_sources_ext.py plan-locks it). The LogicalRDD
+    # dim keeps the partition list runtime-only, which is the point.
+    cats = spark.createDataFrame(
+        list(EVENT_CATEGORIES), "event_type string, category string"
     ).filter(F.col("category") == DPP_CATEGORY)
     return (
         ev.join(F.broadcast(cats), "event_type")
