@@ -55,26 +55,35 @@ def local_relation(
         schema = StructType.fromDDL(schema)
     if not rows:  # inline VALUES needs ≥1 tuple; empty relations stay as-is
         return spark.createDataFrame([], schema)
-    # an ARRAY cell binds one literal PER ELEMENT — count them, or a
-    # 5-row × 1024-dim LUT would sneak 5120 literals past a row-based cap
-    cells = sum(
-        len(v) if isinstance(v, (list, tuple)) else 1
-        for row in rows
-        for v in row
-    )
-    if cells > _MAX_CELLS:
+    # a container cell binds one literal PER LEAF — count them
+    # RECURSIVELY (ADVICE r13: a nested ARRAY<ARRAY<...>>, map, or struct
+    # cell counted as 1 under the old top-level len(), so a large nested
+    # value could slip past the cap into the superlinear binding path),
+    # or a 5-row × 1024-dim LUT would sneak 5120 literals past a
+    # row-based cap
+    def _n_leaves(v) -> int:
+        if isinstance(v, (list, tuple)):
+            return sum(_n_leaves(x) for x in v) or 1
+        if isinstance(v, dict):
+            return sum(1 + _n_leaves(x) for x in v.values()) or 1
+        return 1
+
+    n_cells = sum(_n_leaves(v) for row in rows for v in row)
+    if n_cells > _MAX_CELLS:
         return spark.createDataFrame(rows, schema)
     args: dict[str, object] = {}
     tuples = []
     for i, row in enumerate(rows):
-        cells = []
+        markers = []
         for j in range(len(schema.fields)):
             k = f"v{i}_{j}"
             args[k] = row[j]
-            cells.append(f":{k}")
-        tuples.append("(" + ",".join(cells) + ")")
+            markers.append(f":{k}")
+        tuples.append("(" + ",".join(markers) + ")")
     sel = ",".join(
-        f"CAST(col{j + 1} AS {f.dataType.simpleString()}) AS `{f.name}`"
+        "CAST(col{} AS {}) AS `{}`".format(
+            j + 1, f.dataType.simpleString(), f.name.replace("`", "``")
+        )
         for j, f in enumerate(schema.fields)
     )
     return spark.sql(

@@ -128,9 +128,12 @@ def _fold_partitions(spark, n: int = GRAIN_FOLD_PARTITIONS):
     key = "spark.sql.shuffle.partitions"
     aqe = "spark.sql.adaptive.enabled"
     prev, prev_aqe = spark.conf.get(key), spark.conf.get(aqe)
-    spark.conf.set(key, str(n))
-    spark.conf.set(aqe, "false")
     try:
+        # both sets INSIDE the try (ADVICE r13): if the second set raised,
+        # the finally must still restore the first — the old shape leaked
+        # the partition override for the session's lifetime in that case
+        spark.conf.set(key, str(n))
+        spark.conf.set(aqe, "false")
         yield
     finally:
         spark.conf.set(key, prev)

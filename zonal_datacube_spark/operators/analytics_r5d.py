@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -84,26 +85,46 @@ def q_warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_c"),
     )
     (root,) = fresh_dirs("q_warehouse_time_travel", "zds_timetravel_")
-    d0 = os.path.join(root, "delta_v0")
-    d1 = os.path.join(root, "delta_v1")
-    d2 = os.path.join(root, "delta_v2")
+    deltas = os.path.join(root, "deltas")
+    d0 = os.path.join(deltas, "ver=0")
+    d1 = os.path.join(deltas, "ver=1")
+    d2 = os.path.join(deltas, "ver=2")
     tomb2 = os.path.join(root, "tomb_v2")
     v1c = F.lit(TT_V1_CUT).cast("timestamp_ntz")
     v2c = F.lit(TT_V2_CUT).cast("timestamp_ntz")
     cols = ("o_orderkey", "o_orderstatus", "o_orderdate", "price_c")
-    orders.filter(F.col("o_orderdate") < v1c).select(*cols).write.mode(
-        "overwrite"
-    ).parquet(d0)
-    orders.filter(
-        (F.col("o_orderdate") >= v1c) & (F.col("o_orderdate") < v2c)
-    ).select(*cols).write.mode("overwrite").parquet(d1)
-    orders.filter(F.col("o_orderdate") >= v2c).select(*cols).write.mode(
-        "overwrite"
-    ).parquet(d2)
-    orders.filter(
-        (F.col("o_orderstatus") == "F")
-        & (F.col("o_orderdate") < F.lit(TT_PURGE_CUT).cast("timestamp_ntz"))
-    ).select("o_orderkey").write.mode("overwrite").parquet(tomb2)
+
+    # r14 (guide §1.2 job count, §2.6 overlap independent jobs): the three
+    # version extracts used to be three sequential write jobs over the
+    # same orders scan; ONE dynamic-partitioned write routes every row to
+    # its delta dir in a single pass (`ver` is a routing column only —
+    # partitionBy excludes it from the data files, so each ver=N dir holds
+    # exactly the old delta schema and as_of() reads are unchanged). The
+    # independent tombstone extract overlaps it from a second driver
+    # thread instead of waiting behind it.
+    def _write_deltas() -> None:
+        orders.withColumn(
+            "ver",
+            F.when(F.col("o_orderdate") < v1c, F.lit(0))
+            .when(F.col("o_orderdate") < v2c, F.lit(1))
+            .otherwise(F.lit(2)),
+        ).select(*cols, "ver").write.mode("overwrite").partitionBy(
+            "ver"
+        ).parquet(deltas)
+
+    def _write_tombstones() -> None:
+        orders.filter(
+            (F.col("o_orderstatus") == "F")
+            & (
+                F.col("o_orderdate")
+                < F.lit(TT_PURGE_CUT).cast("timestamp_ntz")
+            )
+        ).select("o_orderkey").write.mode("overwrite").parquet(tomb2)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(_write_deltas), pool.submit(_write_tombstones)]
+        for fut in futures:
+            fut.result()  # surface any write failure, don't swallow it
     manifests = {
         0: {"deltas": [d0], "tombstones": []},
         1: {"deltas": [d0, d1], "tombstones": []},

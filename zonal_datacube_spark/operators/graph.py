@@ -74,6 +74,11 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evicted entries are unpersisted. bench.py's warm-up pagerank call
 # fills it, billing the one fact scan to suite warm-up exactly like the
 # percentile-family grains.
+# SINGLE-THREADED-DRIVER assumption (ADVICE r13, same contract as
+# percentiles._fold_partitions): this OrderedDict is unsynchronized and
+# its persist/unpersist side effects are not atomic — the engine's
+# harnesses run keys sequentially on one driver thread; a future
+# multi-threaded caller must add a lock before sharing it.
 _EDGE_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _EDGE_CACHE_CAP = 4
 

@@ -43,6 +43,27 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
+
+@contextlib.contextmanager
+def _skip_no_data_batch(spark: SparkSession):
+    """Disable the trailing NO-DATA micro-batch for a streaming run whose
+    OUTPUT cannot depend on it (r14, guide §1.2 — don't run work whose
+    result is discarded). The no-data batch exists to advance the
+    watermark so held state can emit (outer-join nulls, append-mode
+    window finalization) or evict. An INNER stream-stream join emits
+    every row eagerly during data batches and the query stops right
+    after the drain, so its finalize batch only evicts state the stopped
+    query throws away — a full state-store load/commit cycle (8
+    partitions × 4 join stores) with zero observable effect. Callers
+    whose semantics DO need the final watermark pass (q_stream_outer_join,
+    watermarked-append aggregates) must never use this scope."""
+    prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
+
 _PART_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "zds_partitioned_events")
 
 
@@ -329,8 +350,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = tempfile.mkdtemp(prefix="zds_ssjoin_")
     # stream-stream joins keep one state store PER JOIN SIDE per partition
-    # — the shared 8-partition pin matters double here
-    with _stream_shuffle_partitions(spark):
+    # — the shared 8-partition pin matters double here. The inner join
+    # emits matches eagerly, so the trailing no-data batch would only
+    # evict state this availableNow run discards — skip it (r14).
+    with _stream_shuffle_partitions(spark), _skip_no_data_batch(spark):
         run_stream_append(
             view_purchase_join(events_stream(spark, sf_dir)), spark, out
         )
