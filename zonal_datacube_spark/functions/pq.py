@@ -137,7 +137,8 @@ def pq_train(
     ksub: int = PQ_K,
     iters: int = 3,
     dim: int | None = None,
-) -> DataFrame:
+    with_rows: bool = False,
+):
     """Fit per-subspace codebooks; returns (sub, code, cvec ARRAY<DOUBLE>).
 
     Codebook fitting runs DRIVER-SIDE in numpy over a bounded
@@ -168,7 +169,14 @@ def pq_train(
     takes the first minimum); empty cells keep their previous centroid.
     A corpus smaller than ``ksub`` degrades gracefully to a
     ``len(sample)``-entry codebook (ADVICE r09: the seed slice, update
-    loop, and output dict all use the effective count)."""
+    loop, and output dict all use the effective count).
+
+    ``with_rows=True`` additionally returns the ``{(sub, code): cvec}``
+    dict the DataFrame was built FROM (r14, guide §1.2): the codebook is
+    fitted driver-side, so consumers that need its values on the driver
+    (LUT folds, ``pq_encode``'s kernel) should take this dict instead of
+    round-tripping a ``codebook.collect()`` job over the LogicalRDD the
+    same values were just parallelized into."""
     import numpy as np
 
     spark = emb.sparkSession
@@ -200,11 +208,16 @@ def pq_train(
         for s in range(m)
         for c in range(ksub_eff)
     }
-    return _codebook_df(spark, current)
+    df = _codebook_df(spark, current)
+    return (df, current) if with_rows else df
 
 
 def pq_encode(
-    emb: DataFrame, codebook: DataFrame, m: int = PQ_M, dim: int | None = None
+    emb: DataFrame,
+    codebook: DataFrame,
+    m: int = PQ_M,
+    dim: int | None = None,
+    codebook_rows: dict[tuple[int, int], list[float]] | None = None,
 ) -> DataFrame:
     """(vec_id, codes ARRAY<INT>) — the compressed corpus representation:
     m small ints instead of dim floats.
@@ -230,11 +243,18 @@ def pq_encode(
     if dim is None:
         dim = len(emb.select("embedding").first()[0])
     d = dim // m
-    rows = codebook.collect()  # bounded: m × ksub_eff codebook entries
-    ksub_eff = max(r.code for r in rows) + 1
+    if codebook_rows is not None:
+        # the codebook was fitted driver-side (pq_train with_rows=True):
+        # use its values directly instead of a collect() job over the
+        # LogicalRDD they were just parallelized into (r14, guide §1.2)
+        entries = [(s, c, v) for (s, c), v in codebook_rows.items()]
+    else:
+        rows = codebook.collect()  # bounded: m × ksub_eff codebook entries
+        entries = [(r.sub, r.code, r.cvec) for r in rows]
+    ksub_eff = max(c for _, c, _ in entries) + 1
     cb_list = [[None] * ksub_eff for _ in range(m)]
-    for r in rows:
-        cb_list[r.sub][r.code] = [float(v) for v in r.cvec]
+    for s, c, v in entries:
+        cb_list[s][c] = [float(x) for x in v]
     assert all(all(c is not None for c in sub) for sub in cb_list)
 
     def encode_batches(batches):

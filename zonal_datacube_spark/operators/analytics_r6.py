@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from zonal_datacube_spark.functions.local_rel import local_relation
 from zonal_datacube_spark.functions.text_funcs import tokens
 from zonal_datacube_spark.sources.loader import load_table
 
@@ -377,8 +378,15 @@ def q_sim_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-joined the rotated output back on vec_id, paying a shuffle for
     # data the GEMV batch already held)
     both = _rotate(emb, concat_raw=True).persist()
-    cb = pq_train(both, 2 * OPQ_M, OPQ_KSUB, iters=OPQ_ITERS, dim=2 * OPQ_DIM)
-    codes = pq_encode(both, cb, 2 * OPQ_M, dim=2 * OPQ_DIM)
+    # with_rows: the codebook is fitted DRIVER-side, so take its values
+    # directly for the LUT fold and the encode kernel — the r13 shape
+    # re-collected the LogicalRDD the same values were parallelized into,
+    # two pure round-trip jobs (r14, guide §1.2 job-count discipline)
+    cb, cb_fit = pq_train(
+        both, 2 * OPQ_M, OPQ_KSUB, iters=OPQ_ITERS, dim=2 * OPQ_DIM,
+        with_rows=True,
+    )
+    codes = pq_encode(both, cb, 2 * OPQ_M, dim=2 * OPQ_DIM, codebook_rows=cb_fit)
 
     # ADC with a per-variant split. The LUT is CONTROL-PLANE sized
     # (probes × 2M × K = 5×32×16 partials — the object faiss ships to
@@ -398,7 +406,7 @@ def q_sim_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.vec_id: list(r.embedding)
         for r in both.filter(F.col("vec_id").isin(*OPQ_PROBE_IDS)).collect()
     }
-    cb_rows = {(r.sub, r.code): list(r.cvec) for r in cb.collect()}
+    cb_rows = {k: list(v) for k, v in cb_fit.items()}
     # LUT stride = the codebook's EFFECTIVE code count: pq_train degrades
     # to a len(sample)-entry codebook on corpora smaller than OPQ_KSUB
     # (its documented contract), and pq_encode emits codes < ksub_eff —
@@ -461,11 +469,17 @@ def q_sim_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the 2-row verdict eagerly so the persisted corpus can
     # be dropped NOW instead of leaking cached blocks for the session's
     # lifetime (the q_graph_sssp unpersist discipline; 2 rows is
-    # control-plane traffic)
+    # control-plane traffic). The re-create is a LocalRelation (r14): the
+    # collect already happened, so unlike the r13-reverted conversion of
+    # the UPSTREAM variants frame this cannot flip any interior join
+    # order — it only makes the caller's materialization a driver-side
+    # array copy instead of one more scan job.
     rows = out.orderBy("variant").collect()
     both.unpersist()
-    return spark.createDataFrame(
-        rows, "variant string, n_probes bigint, k bigint, recall_at_k double"
+    return local_relation(
+        spark,
+        [tuple(r) for r in rows],
+        "variant string, n_probes bigint, k bigint, recall_at_k double",
     )
 
 
