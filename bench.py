@@ -77,6 +77,11 @@ def main() -> int:
     # StreamingQuery machinery startup)
     queries["q_source_python_ds"](spark, sf_dir).count()
     queries["q_source_python_stream"](spark, sf_dir).count()
+    # the custom Python SINK's machinery (DataSourceStreamWriter commit
+    # runner + registration) is the same connector-setup class as the
+    # source twin above — the feed is 8192 synthetic rows, never
+    # fact-scaled, so this stays inside the sanctioned warm-up boundary
+    queries["q_stream_python_sink"](spark, sf_dir).count()
     # the pagerank edge rollup persists and is reused across calls
     # (CacheManager dedupes by plan) — population is index construction,
     # the measured run times the 5 rank iterations over the cached edges

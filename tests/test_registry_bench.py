@@ -19,7 +19,25 @@ from zonal_datacube_spark.registry import KEY_ORDER, all_oracle_sql, all_queries
 # and every EARLIER round's artifact must (ADVICE r08: the old
 # r0[1-7] glob silently pinned the derivation and made each rotation a
 # manual edit the docstring claimed was automatic).
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
+
+CHANGED_IN_R14 = (
+    # codebook round-trip removal (pq_train with_rows → encode kernel +
+    # ADC LUT fold; LocalRelation verdict re-create) — rows-only key,
+    # result bit-compared old-vs-new at sf0.1 before commit
+    "q_sim_opq_eval",
+    # three sequential version writes collapsed into one
+    # dynamic-partitioned pass + overlapped tombstone extract — oracle
+    # re-proven at sf0.01 and sf0.1
+    "q_warehouse_time_travel",
+    # scoped noDataMicroBatches=false (inner joins emit eagerly; the
+    # finalize batch only evicted state the stopped query discards)
+    "q_stream_stream_join",
+    # tick-source InputPartitions now sized by a row budget (CHUNK_ROWS)
+    # instead of a fixed tick count — same rows, same census oracle
+    "q_stream_python_sink",
+    "q_source_python_stream",
+)
 
 CHANGED_IN_R13 = (
     # canonical shared-grain fetch (ADVICE r12 medium: the val_name alias
@@ -231,6 +249,7 @@ def test_registry_order_puts_priority_keys_first():
         + CHANGED_IN_R11
         + CHANGED_IN_R12
         + CHANGED_IN_R13
+        + CHANGED_IN_R14
     ):
         assert k in all_queries(), k
 
@@ -250,6 +269,12 @@ BENCH_WARMUP_KEYS = (
     "q_mv_rewrite",  # daily-MV layout build
     "q_source_python_ds",  # Python DataSource registration + worker
     "q_source_python_stream",  # + one-time StreamingQuery machinery
+    # r14: the Python STREAM-WRITER twin — first .start() pays the sink
+    # commit-runner interpreter spawn + jsonl-sink registration, the same
+    # connector-setup class as q_source_python_stream above; the tick
+    # feed is 8192 synthetic rows (never fact-scaled), so this addition
+    # stays inside the sanctioned warm-up billing boundary
+    "q_stream_python_sink",
     "q_graph_pagerank",  # trade-edge rollup cache population
     "q_media_decode_stats",  # Python/Arrow worker pool spin-up
     "q_join_bucketed",  # bucketed-table layout build

@@ -95,65 +95,77 @@ _MODULES = (
 # r01-attested key (18) and the r02 cohort (q_media_decode_stats first —
 # called out by the judge as the stalest), keeping the union's staleness
 # ceiling shrinking round over round.
+# Round-14 rotation (VERDICT r13 next-round #6): same staleness policy —
+# front this round's 5 touched keys, then the 4 r02 stragglers r13
+# staged, the complete r03 cohort (26) and 15 of the 27 r04 keys; after
+# this window attests, no key in the registry is older than r04
+# (previous ceiling: r02). The 12 remaining r04 keys lead r15, the
+# first 4 staged explicitly below the boundary.
 KEY_ORDER = (
-    # --- r13 changed: canonical shared grains + approx referees ---
-    "q_agg_percentile",
-    "q_agg_approx_distinct",
-    "q_agg_approx_topk",
-    "q_agg_percentile_approx",
-    "q_dq_outlier_mad",
-    "q_dq_outlier_iqr",
-    "q_agg_quantiles_multi",
-    "q_stats_spearman",
-    # --- oldest-attested: the full r01 cohort ---
-    "q_array_funcs",
-    "q_array_hof",
-    "q_conditional",
-    "q_date_funcs",
-    "q_filter_like",
-    "q_filter_predicates",
-    "q_map_funcs",
-    "q_math_funcs",
-    "q_scan_filter_pushdown",
-    "q_scan_project",
-    "q_set_except",
-    "q_set_intersect",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_sort_limit",
-    "q_sort_multikey",
-    "q_str_funcs",
-    "q_str_regexp",
-    # --- oldest-attested: the r02 cohort (stalest first) ---
-    "q_media_decode_stats",
-    "q_agg_minmax_by",
-    "q_agg_pivot",
-    "q_agg_rollup",
-    "q_agg_stats",
-    "q_dedup_clusters",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_full_outer",
-    "q_join_inner_hash",
-    "q_join_interval",
-    "q_join_left_outer",
-    "q_join_multiway",
-    "q_join_semi",
-    "q_join_theta_range",
-    "q_stream_dedup",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_stream_tumbling_partitioned",
-    "q_udf_grouped_zscore",
-    "q_window_lag_lead",
-    "q_window_range_frame",
+    # --- r14 changed: keys whose code path changed this round (results
+    # proven identical — opq bit-compared old-vs-new, the rest
+    # oracle-hashed; fronting them makes the driver re-attest exactly
+    # what moved) ---
+    "q_sim_opq_eval",
+    "q_warehouse_time_travel",
+    "q_stream_stream_join",
+    "q_stream_python_sink",
+    "q_source_python_stream",
+    # --- oldest-attested: the r02 stragglers staged by r13 ---
     "q_window_rank",
-    # --- past the ~50-key window boundary: lead the r14 rotation ---
     "q_window_running",
     "q_window_topk_per_group",
     "q_zonal_categorical",
+    # --- oldest-attested: the full r03 cohort (26) ---
+    "q_dedup_containment",
+    "q_dedup_minhash",
+    "q_dedup_span",
+    "q_dq_benford",
+    "q_drift_psi",
+    "q_embed_dq",
+    "q_embed_quantize",
+    "q_join_salted",
+    "q_media_image_patches",
+    "q_pack_sequences",
+    "q_prep_pipeline_full",
+    "q_report_revenue_bridge",
+    "q_sample_weighted",
+    "q_scd2_pit_join",
+    "q_sim_knn",
+    "q_source_python_ds",
+    "q_split_train_test",
+    "q_text_contamination",
+    "q_text_hapax",
+    "q_text_stats",
+    "q_ts_attribution",
+    "q_ts_ohlc",
+    "q_ts_transitions",
+    "q_view_ivm_join",
+    "q_window_running_distinct",
+    "q_window_streaks",
+    # --- oldest-attested: the r04 cohort, first 15 of 27 (after this
+    # window nothing in the registry is older than r04; r15 takes the
+    # remaining 12, staged below) ---
+    "q_basket_affinity",
+    "q_cdc_diff",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_distinct_rows",
+    "q_graph_sssp",
+    "q_graph_triangles",
+    "q_join_bloom_semi",
+    "q_join_lateral_topn",
+    "q_mv_rewrite",
+    "q_raster_focal",
+    "q_report_segment_topn",
+    "q_report_trade_matrix",
+    "q_set_overlap_jaccard",
+    # --- past the ~50-key window boundary: lead the r15 rotation ---
+    "q_set_symmetric_diff",
+    "q_sim_join",
+    "q_sort_keyset_pagination",
+    "q_source_binary_files",
 )
 
 

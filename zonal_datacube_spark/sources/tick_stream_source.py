@@ -37,7 +37,16 @@ from pyspark.sql.datasource import (
 )
 
 TICK_STREAM_NAME = "zds_tick_stream"
-CHUNK_TICKS = 64  # ticks per InputPartition
+# Row budget per InputPartition: chunk width derives from rows_per_tick
+# so partitions track DATA VOLUME, not a fixed tick count (guide §2
+# scale-adaptive partitioning — the r13 fixed CHUNK_TICKS=64 cut the
+# 8192-row fixture feed into 8 × 1024-row partitions, paying 8 Python
+# worker round-trips per micro-batch for arithmetic a single worker
+# does in microseconds, while a production feed at millions of rows
+# per tick would have OVERFILLED a 64-tick chunk). A backlog of T ticks
+# at R rows/tick drains in ceil(T*R/CHUNK_ROWS) partitions either way —
+# deep backlogs still fan out cluster-wide.
+CHUNK_ROWS = 4096
 
 
 class _TickRange(InputPartition):
@@ -60,9 +69,10 @@ class SyntheticTickStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:  # noqa: D102
         s, e = int(start["tick"]), int(end["tick"])
+        chunk_ticks = max(1, CHUNK_ROWS // max(1, self.rows_per_tick))
         return [
-            _TickRange(t0, min(t0 + CHUNK_TICKS, e), self.rows_per_tick)
-            for t0 in range(s, e, CHUNK_TICKS)
+            _TickRange(t0, min(t0 + chunk_ticks, e), self.rows_per_tick)
+            for t0 in range(s, e, chunk_ticks)
         ] or [_TickRange(s, s, self.rows_per_tick)]
 
     def read(self, partition: _TickRange) -> Iterator[tuple]:  # noqa: D102
